@@ -1,0 +1,169 @@
+"""Host-side record loader feeding device-resident batches.
+
+Replaces the reference's tf.data ``InputStage`` (tensortools/input.py:39-233)
+with an explicit host loader: TFRecord files are decoded by a thread pool
+(PIL's zlib/libjpeg release the GIL), assembled into statically-shaped
+uint8 stacks ``[B, Hs, Ws, C+1]`` (image channels + label plane, missing
+labels filled with 255 like input.py:249-260), and double-buffered through
+a queue while the previous batch computes on the TPU. All per-pixel work
+(crop/flip/scale/normalize/mask) happens on device in
+``pipeline.augment_batch`` / ``pipeline.eval_batch``.
+
+Static shapes: every batch has identical shape; the final partial batch
+is padded and flagged via ``valid`` so jit never recompiles.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import logging
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import etl, example
+
+logger = logging.getLogger(__name__)
+
+
+def load_stack(path: str, storage_hw: Tuple[int, int], channels: int = 3,
+               fill_label: int = 255):
+    """Decode one record into a padded uint8 stack.
+
+    :returns: (stack ``[Hs,Ws,channels+1]``, valid_h, valid_w, has_label)
+    """
+    ex = example.read_example(path)
+    sh, sw = storage_hw
+    stack = np.zeros((sh, sw, channels + 1), dtype=np.uint8)
+    stack[..., channels] = fill_label
+
+    img_bytes = ex.image
+    if img_bytes is None:
+        raise ValueError(f"Record {path} has no image modality")
+    img = etl.decode_image(img_bytes)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] < channels:
+        img = np.repeat(img[:, :, :1], channels, axis=2)
+    h = min(img.shape[0], sh)
+    w = min(img.shape[1], sw)
+    if (img.shape[0], img.shape[1]) > (sh, sw):
+        logger.warning("Example %s (%dx%d) exceeds storage %dx%d; cropping",
+                       ex.file_id, img.shape[0], img.shape[1], sh, sw)
+    stack[:h, :w, :channels] = img[:h, :w, :channels]
+
+    has_label = ex.label is not None
+    if has_label:
+        lbl = etl.decode_image(ex.label)
+        if lbl.ndim == 3:
+            lbl = lbl[..., 0]
+        stack[:h, :w, channels] = lbl[:h, :w]
+    return stack, h, w, has_label
+
+
+class RecordLoader:
+    """Batched, prefetching loader over a list of ``.tfrecord`` paths.
+
+    :param filenames:  sequence of record paths
+    :param batch_size: static batch size (final batch padded + flagged)
+    :param storage_hw: static storage (H, W); peeked from the first
+                       record when omitted
+    :param channels:   image channels stacked before the label plane
+    """
+
+    def __init__(self, filenames: Sequence[str], batch_size: int,
+                 storage_hw: Optional[Tuple[int, int]] = None,
+                 channels: int = 3, num_workers: int = 8,
+                 prefetch: int = 2):
+        self.filenames = np.asarray(filenames)
+        self.batch_size = int(batch_size)
+        self.channels = channels
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        if storage_hw is None:
+            if len(self.filenames) == 0:
+                raise ValueError("Empty dataset and no storage_hw given")
+            h, w, _c = example.peek_dims(str(self.filenames[0]))
+            storage_hw = (h, w)
+        self.storage_hw = tuple(storage_hw)
+
+    @property
+    def count(self) -> int:
+        return len(self.filenames)
+
+    def _assemble(self, order: np.ndarray, pool) -> Dict[str, np.ndarray]:
+        """Decode one batch worth of examples (padded to batch_size)."""
+        n = len(order)
+        bs = self.batch_size
+        sh, sw = self.storage_hw
+        stack = np.zeros((bs, sh, sw, self.channels + 1), dtype=np.uint8)
+        stack[..., self.channels] = 255
+        heights = np.zeros(bs, dtype=np.int32)
+        widths = np.zeros(bs, dtype=np.int32)
+        has_label = np.zeros(bs, dtype=bool)
+        valid = np.zeros(bs, dtype=bool)
+        paths = [str(self.filenames[i]) for i in order]
+        results = list(pool.map(
+            lambda p: load_stack(p, self.storage_hw, self.channels), paths))
+        for j, (s, h, w, hl) in enumerate(results):
+            stack[j] = s
+            heights[j], widths[j] = h, w
+            has_label[j] = hl
+            valid[j] = True
+        if n < bs:
+            # Pad by repeating the last decoded example; padding rows are
+            # masked out downstream via `valid`.
+            for j in range(n, bs):
+                stack[j] = stack[n - 1]
+                heights[j], widths[j] = heights[n - 1], widths[n - 1]
+        index = np.zeros(bs, dtype=np.int32)
+        index[:n] = order
+        index[n:] = order[-1] if n else 0
+        return {"stack": stack, "heights": heights, "widths": widths,
+                "index": index, "has_label": has_label, "valid": valid}
+
+    def batches(self, order: Optional[np.ndarray] = None
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield prefetched batches following ``order`` (default: all
+        examples in file order)."""
+        if order is None:
+            order = np.arange(len(self.filenames))
+        order = np.asarray(order)
+        num_batches = (len(order) + self.batch_size - 1) // self.batch_size
+        if num_batches == 0:
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error_holder = []
+
+        def producer():
+            try:
+                with concurrent.futures.ThreadPoolExecutor(
+                        self.num_workers) as pool:
+                    for b in range(num_batches):
+                        chunk = order[b * self.batch_size:
+                                      (b + 1) * self.batch_size]
+                        out_q.put(self._assemble(chunk, pool))
+            except BaseException as exc:  # propagate to consumer
+                error_holder.append(exc)
+            finally:
+                out_q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+        if error_holder:
+            raise error_holder[0]
+
+    def num_batches(self, count: Optional[int] = None) -> int:
+        if count is None:
+            count = len(self.filenames)
+        return (count - 1) // self.batch_size + 1 if count else 0

@@ -1,0 +1,107 @@
+"""Device-side, jit-compiled input preprocessing.
+
+Replaces the reference's tf.data decode/augment maps
+(tensortools/input.py:235-329) with one fused, statically-shaped jax
+function applied to a whole batch on device:
+
+- random crop within each example's valid region
+- random left-right flip
+- uint8 -> float32 in [0,1]
+- per-example, per-channel intensity scaling U[0.8, 1.4), clipped
+  (the reference's ``px_scaling``, input.py:308-326)
+- ignore-mask generation: ``mask = label != 255``, masked labels -> 0
+  (input.py:18-36)
+
+The train path returns both the undistorted crop (``image_raw``, used by
+the pseudo-labeling forward pass, active_learning.py:231) and the
+distorted crop, exactly like ``_default_augmentation``
+(input.py:296-329).
+
+Batches arrive as a uint8 stack ``[B, Hs, Ws, C+1]`` (image channels +
+label plane) padded to a static storage shape, with per-example valid
+``heights``/``widths`` so crops never sample padding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def generate_mask(labels: jnp.ndarray, mask_index: int = 255
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``mask = label != mask_index``; masked labels mapped to 0
+    (reference: input.py:18-36)."""
+    mask = (labels != mask_index)
+    clean = jnp.where(mask, labels, 0).astype(jnp.int32)
+    return clean, mask.astype(jnp.float32)
+
+
+def _crop_one(stack, top, left, crop_h, crop_w):
+    return jax.lax.dynamic_slice(
+        stack, (top, left, 0), (crop_h, crop_w, stack.shape[-1]))
+
+
+@functools.partial(jax.jit, static_argnames=("crop_hw", "channels"))
+def augment_batch(stack: jnp.ndarray, heights: jnp.ndarray,
+                  widths: jnp.ndarray, key: jax.Array,
+                  crop_hw: Tuple[int, int], channels: int = 3):
+    """Training-path augmentation.
+
+    :param stack:   ``[B, Hs, Ws, channels+1]`` uint8 images+label plane
+    :param heights: ``[B]`` valid heights (<= Hs)
+    :param widths:  ``[B]`` valid widths  (<= Ws)
+    :param key:     PRNG key for this batch
+    :param crop_hw: static ``(crop_h, crop_w)`` network input size
+    :returns: ``(image_raw, image_dist, label, mask)`` with
+              ``image_*`` float32 ``[B,ch,cw,channels]``,
+              ``label`` int32 ``[B,ch,cw]``, ``mask`` float32.
+    """
+    batch = stack.shape[0]
+    crop_h, crop_w = crop_hw
+    k_top, k_left, k_flip, k_scale = jax.random.split(key, 4)
+
+    # Random crop origin within the valid region (tf.random_crop).
+    max_top = jnp.maximum(heights - crop_h, 0)
+    max_left = jnp.maximum(widths - crop_w, 0)
+    u_top = jax.random.uniform(k_top, (batch,))
+    u_left = jax.random.uniform(k_left, (batch,))
+    tops = jnp.floor(u_top * (max_top + 1)).astype(jnp.int32)
+    lefts = jnp.floor(u_left * (max_left + 1)).astype(jnp.int32)
+
+    crops = jax.vmap(_crop_one, in_axes=(0, 0, 0, None, None))(
+        stack, tops, lefts, crop_h, crop_w)
+
+    # Random horizontal flip (tf.image.random_flip_left_right).
+    flip = jax.random.bernoulli(k_flip, 0.5, (batch,))
+    crops = jnp.where(flip[:, None, None, None], crops[:, :, ::-1, :], crops)
+
+    image = crops[..., :channels].astype(jnp.float32) / 255.0
+    label = crops[..., channels].astype(jnp.int32)
+
+    # Per-example per-channel intensity scaling U[0.8, 1.4), clipped.
+    px_scale = jax.random.uniform(k_scale, (batch, 1, 1, channels),
+                                  minval=0.8, maxval=1.4)
+    image_dist = jnp.clip(image * px_scale, 0.0, 1.0)
+
+    label, mask = generate_mask(label)
+    return image, image_dist, label, mask
+
+
+@functools.partial(jax.jit, static_argnames=("crop_hw", "channels"))
+def eval_batch(stack: jnp.ndarray, heights: jnp.ndarray,
+               widths: jnp.ndarray, crop_hw: Tuple[int, int],
+               channels: int = 3):
+    """Evaluation-path preprocessing: deterministic center crop
+    (reference: input.py:277-293)."""
+    crop_h, crop_w = crop_hw
+    tops = jnp.maximum(heights // 2 - crop_h // 2, 0).astype(jnp.int32)
+    lefts = jnp.maximum(widths // 2 - crop_w // 2, 0).astype(jnp.int32)
+    crops = jax.vmap(_crop_one, in_axes=(0, 0, 0, None, None))(
+        stack, tops, lefts, crop_h, crop_w)
+    image = crops[..., :channels].astype(jnp.float32) / 255.0
+    label, mask = generate_mask(crops[..., channels].astype(jnp.int32))
+    return image, label, mask

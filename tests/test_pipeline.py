@@ -1,0 +1,181 @@
+"""Input pipeline tests: jit augmentation semantics, sampler behavior,
+and loader batching over real record files."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from semanticsegmentationactivelearning_tpu.data import (
+    SegExample, etl, loader, make_example, pipeline, sampler, tfrecord)
+
+
+class TestGenerateMask:
+    def test_semantics(self):
+        labels = jnp.array([[0, 5, 255], [255, 18, 2]], dtype=jnp.int32)
+        clean, mask = pipeline.generate_mask(labels)
+        np.testing.assert_array_equal(
+            np.asarray(clean), [[0, 5, 0], [0, 18, 2]])
+        np.testing.assert_array_equal(
+            np.asarray(mask), [[1, 1, 0], [0, 1, 1]])
+
+
+def _make_stack(batch=2, h=16, w=24, channels=3, seed=0):
+    rng = np.random.default_rng(seed)
+    stack = rng.integers(0, 255, (batch, h, w, channels + 1),
+                         dtype=np.uint8)
+    stack[..., channels] = rng.integers(0, 6, (batch, h, w))
+    stack[0, 0, 0, channels] = 255  # one ignore pixel
+    return stack
+
+
+class TestAugmentBatch:
+    def test_shapes_and_ranges(self):
+        stack = _make_stack()
+        heights = np.array([16, 12], np.int32)
+        widths = np.array([24, 20], np.int32)
+        img, img_dist, label, mask = pipeline.augment_batch(
+            stack, heights, widths, jax.random.PRNGKey(0),
+            crop_hw=(8, 12))
+        assert img.shape == (2, 8, 12, 3) and img.dtype == jnp.float32
+        assert img_dist.shape == (2, 8, 12, 3)
+        assert label.shape == (2, 8, 12) and label.dtype == jnp.int32
+        assert mask.shape == (2, 8, 12)
+        assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+        assert float(img_dist.min()) >= 0.0 and float(img_dist.max()) <= 1.0
+
+    def test_crop_stays_in_valid_region(self):
+        # Put sentinel garbage in the padding; valid region is all zeros.
+        stack = np.full((1, 16, 16, 4), 200, dtype=np.uint8)
+        stack[0, :8, :8, :] = 0
+        heights = np.array([8], np.int32)
+        widths = np.array([8], np.int32)
+        for seed in range(10):
+            img, _d, label, _m = pipeline.augment_batch(
+                stack, heights, widths, jax.random.PRNGKey(seed),
+                crop_hw=(8, 8))
+            assert float(jnp.max(img)) == 0.0
+            assert int(jnp.max(label)) == 0
+
+    def test_deterministic_given_key(self):
+        stack = _make_stack()
+        h = np.array([16, 16], np.int32)
+        w = np.array([24, 24], np.int32)
+        a = pipeline.augment_batch(stack, h, w, jax.random.PRNGKey(3),
+                                   crop_hw=(8, 8))
+        b = pipeline.augment_batch(stack, h, w, jax.random.PRNGKey(3),
+                                   crop_hw=(8, 8))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_raw_vs_distorted_differ_only_by_channel_scale(self):
+        stack = _make_stack()
+        h = np.array([16, 16], np.int32)
+        w = np.array([24, 24], np.int32)
+        img, img_dist, _l, _m = pipeline.augment_batch(
+            stack, h, w, jax.random.PRNGKey(1), crop_hw=(8, 8))
+        img, img_dist = np.asarray(img), np.asarray(img_dist)
+        # Per example & channel the (unclipped) ratio is constant.
+        for b in range(2):
+            for c in range(3):
+                sel = (img[b, :, :, c] > 0.01) & (img_dist[b, :, :, c] < 0.99)
+                if sel.sum() < 10:
+                    continue
+                ratios = img_dist[b, :, :, c][sel] / img[b, :, :, c][sel]
+                assert ratios.std() < 1e-4
+                assert 0.8 <= ratios.mean() <= 1.4
+
+
+class TestEvalBatch:
+    def test_center_crop(self):
+        stack = np.zeros((1, 16, 16, 4), dtype=np.uint8)
+        stack[0, 6:10, 6:10, 0] = 100  # center block
+        img, label, mask = pipeline.eval_batch(
+            stack, np.array([16], np.int32), np.array([16], np.int32),
+            crop_hw=(4, 4))
+        np.testing.assert_allclose(np.asarray(img[0, :, :, 0]),
+                                   np.full((4, 4), 100 / 255.0), atol=1e-6)
+
+
+class TestIndexSampler:
+    def test_full_range_default(self):
+        s = sampler.IndexSampler(["a", "b", "c"],
+                                 rng=np.random.default_rng(0))
+        assert s.size == 3
+        assert sorted(s.epoch_order().tolist()) == [0, 1, 2]
+
+    def test_subset_plus_sample(self):
+        s = sampler.IndexSampler([f"f{i}" for i in range(10)],
+                                 rng=np.random.default_rng(0))
+        s.set_indices(np.array([0, 1, 2]))
+        s.set_sample_size(4)
+        assert s.size == 7
+        order = s.epoch_order()
+        assert len(order) == 7
+        assert {0, 1, 2} <= set(order.tolist())
+        # sampled indices come from the complement, no duplicates
+        extra = [i for i in order if i not in (0, 1, 2)]
+        assert len(set(extra)) == 4
+        assert all(3 <= i <= 9 for i in extra)
+
+    def test_sample_capped_at_pool(self):
+        s = sampler.IndexSampler(list("abcd"), rng=np.random.default_rng(1))
+        s.set_indices(np.array([0, 1, 2]))
+        s.set_sample_size(10)
+        assert len(s.epoch_order()) == 4
+
+    def test_reset(self):
+        s = sampler.IndexSampler(list("abcd"))
+        s.set_indices(np.array([1]))
+        s.set_sample_size(2)
+        s.set_indices(None)
+        assert s.size == 4
+
+
+@pytest.fixture
+def record_dir(tmp_path):
+    rng = np.random.default_rng(7)
+    for i in range(5):
+        img = rng.integers(0, 255, (12, 18, 3), dtype=np.uint8)
+        lbl = rng.integers(0, 6, (12, 18), dtype=np.uint8)
+        blob = make_example(SegExample(
+            file_id=f"ex{i}", height=12, width=18,
+            label=etl.encode_png(lbl) if i != 4 else None,
+            modalities={"image": (etl.encode_png(img), "png", 3)}))
+        tfrecord.write_record_file(str(tmp_path / f"ex{i}.tfrecord"), blob)
+    return tmp_path
+
+
+class TestRecordLoader:
+    def test_batching_and_padding(self, record_dir):
+        files = sorted(str(p) for p in record_dir.glob("*.tfrecord"))
+        ld = loader.RecordLoader(files, batch_size=2)
+        assert ld.storage_hw == (12, 18)
+        batches = list(ld.batches())
+        assert len(batches) == 3
+        for b in batches[:2]:
+            assert b["stack"].shape == (2, 12, 18, 4)
+            assert b["valid"].all()
+        last = batches[2]
+        assert last["valid"].tolist() == [True, False]
+        assert last["index"].tolist() == [4, 4]
+        # ex4 has no label -> plane filled with 255
+        assert (last["stack"][0, :, :, 3] == 255).all()
+        assert not last["has_label"][0]
+
+    def test_order_respected(self, record_dir):
+        files = sorted(str(p) for p in record_dir.glob("*.tfrecord"))
+        ld = loader.RecordLoader(files, batch_size=2)
+        order = np.array([3, 1, 0, 2])
+        got = [b["index"].tolist() for b in ld.batches(order)]
+        assert got == [[3, 1], [0, 2]]
+
+    def test_decode_error_propagates(self, tmp_path):
+        bad = tmp_path / "bad.tfrecord"
+        bad.write_bytes(b"")
+        ld = loader.RecordLoader([str(bad)], batch_size=1,
+                                 storage_hw=(4, 4))
+        with pytest.raises(ValueError):
+            list(ld.batches())
