@@ -1,0 +1,118 @@
+"""ENet (arXiv:1606.02147) as a flax module.
+
+Stage layout exactly as the paper and the reference graph
+(models/enet/enet.py:34-247, call graph 320-367):
+
+    Initial (1/2, 16ch)
+    Stage 1: downsample (1/4, 64ch, switches1) + 4 bottlenecks
+    Stage 2: downsample (1/8, 128ch, switches2) + 8 bottlenecks with
+             dilation 2/4/8/16 at 2_2/2_4/2_6/2_8 and asymmetric 5x5 at
+             2_3/2_7 (enet.py:96-143)
+    Stage 3: the stage-2 pattern again without the downsample
+    Stage 4: upsample (1/4, 64ch, consumes switches2) + 2 bottlenecks
+    Stage 5: upsample (1/2, 16ch, consumes switches1) + 1 bottleneck
+    Final:   transpose conv to ``num_classes`` at full resolution
+
+``__call__(..., multiscale=True)`` additionally returns the learned 1x1
+per-endpoint heads over bottleneck5_1/4_2/3_8 used by the multiscale
+loss; the reference created those heads inside the loss and attached
+them to the model for checkpointing (tensortools/losses.py:122-135,
+train.py:120-121) — here they are ordinary submodules.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+
+from .blocks import (Bottleneck, BottleneckDownsample, BottleneckUpsample,
+                     Final, Initial)
+
+_KERNEL_INIT = nn.initializers.glorot_uniform()
+
+
+class ENet(nn.Module):
+    num_classes: int
+    drop_rates: Sequence[float] = (0.01, 0.1, 0.1, 0.1, 0.1)
+
+    def setup(self):
+        if len(self.drop_rates) != 5:
+            raise ValueError(
+                "Illegal argument value drop_rates, length must be 5.")
+        dr = self.drop_rates
+        self.Initial_ = Initial(16, name="Initial")
+
+        self.Bottleneck1_0 = BottleneckDownsample(
+            64, drop_rate=dr[0], name="Bottleneck1_0")
+        self.stage1 = [
+            Bottleneck(64, drop_rate=dr[0], name=f"Bottleneck1_{i}")
+            for i in range(1, 5)]
+
+        self.Bottleneck2_0 = BottleneckDownsample(
+            128, drop_rate=dr[1], name="Bottleneck2_0")
+        self.stage2 = self._dilated_stage(2, dr[1])
+        self.stage3 = self._dilated_stage(3, dr[2])
+
+        self.Bottleneck4_0 = BottleneckUpsample(
+            64, drop_rate=dr[3], name="Bottleneck4_0")
+        self.stage4 = [
+            Bottleneck(64, drop_rate=dr[3], name=f"Bottleneck4_{i}")
+            for i in (1, 2)]
+
+        self.Bottleneck5_0 = BottleneckUpsample(
+            16, drop_rate=dr[4], name="Bottleneck5_0")
+        self.Bottleneck5_1 = Bottleneck(16, drop_rate=dr[4],
+                                        name="Bottleneck5_1")
+        self.Final_ = Final(self.num_classes, name="Final")
+
+        # Multiscale-loss endpoint heads (1x1 conv to classes), one per
+        # endpoint below the final logits (losses.py:122-132).
+        self.ms_heads = [
+            nn.Conv(self.num_classes, (1, 1), use_bias=False,
+                    kernel_init=_KERNEL_INIT, name=f"MultiscaleHead_{i}")
+            for i in range(3)]
+
+    def _dilated_stage(self, stage: int, drop_rate: float):
+        """The repeated stage-2/3 pattern: plain, dilated 2, asym 5x5,
+        dilated 4, plain, dilated 8, asym 5x5, dilated 16."""
+        blocks = []
+        spec = [(1, False), (2, False), (1, True), (4, False),
+                (1, False), (8, False), (1, True), (16, False)]
+        for i, (dilation, asym) in enumerate(spec, start=1):
+            blocks.append(Bottleneck(
+                128, dilation=dilation, asymmetric=asym,
+                kernel_size=5 if asym else 3, drop_rate=drop_rate,
+                name=f"Bottleneck{stage}_{i}"))
+        return blocks
+
+    def __call__(self, x, training: bool = False,
+                 multiscale: bool = False):
+        h = self.Initial_(x, training)
+
+        h, switches1 = self.Bottleneck1_0(h, training)
+        for block in self.stage1:
+            h = block(h, training)
+
+        h, switches2 = self.Bottleneck2_0(h, training)
+        for block in self.stage2:
+            h = block(h, training)
+        for block in self.stage3:
+            h = block(h, training)
+        b3_8 = h
+
+        h = self.Bottleneck4_0(h, switches2, training)
+        for block in self.stage4:
+            h = block(h, training)
+        b4_2 = h
+
+        h = self.Bottleneck5_0(h, switches1, training)
+        b5_1 = self.Bottleneck5_1(h, training)
+
+        logits = self.Final_(b5_1)
+        if not multiscale:
+            return logits
+        endpoints = (b5_1, b4_2, b3_8)
+        ms_logits = tuple(head(ep)
+                          for head, ep in zip(self.ms_heads, endpoints))
+        return logits, ms_logits

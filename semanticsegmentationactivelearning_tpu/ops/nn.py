@@ -1,0 +1,81 @@
+"""Low-level neural-net ops (reference: models/util/extra_ops.py).
+
+The reference's ``max_pool_with_argmax`` + ``unpool_2d``-via-``scatter_nd``
+pair (extra_ops.py:28-86) is re-designed for XLA/TPU: dynamic-index
+scatter is hostile to the compiler, so pooling instead returns a one-hot
+*switch* tensor over each 2x2 window (the argmax position, first-max
+tie-breaking like tf.argmax) and unpooling is a broadcast-multiply +
+reshape — pure dense ops that XLA fuses. The round-trip property
+``max_pool(unpool(max_pool(x))) == max_pool(x)`` from the reference's
+only test (models/util/test_xops.py:6-21) holds exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Parametrized ReLU, per-channel alpha (extra_ops.py:9-26)."""
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def _to_windows(x: jnp.ndarray) -> jnp.ndarray:
+    """``[N,H,W,C] -> [N,H/2,W/2,4,C]`` row-major 2x2 windows."""
+    n, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (
+        f"max_pool_with_switches requires even spatial dims, got {h}x{w}")
+    win = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    win = win.transpose(0, 1, 3, 2, 4, 5)
+    return win.reshape(n, h // 2, w // 2, 4, c)
+
+
+def _from_windows(win: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_to_windows`."""
+    n, h2, w2, _four, c = win.shape
+    out = win.reshape(n, h2, w2, 2, 2, c)
+    out = out.transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(n, h2 * 2, w2 * 2, c)
+
+
+def max_pool_with_switches(x: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """2x2/stride-2 max pool returning (pooled, switches).
+
+    ``switches`` is bool ``[N,H/2,W/2,4,C]`` one-hot over the window
+    position of the (first) maximum — the dense equivalent of
+    ``tf.nn.max_pool_with_argmax`` indices (extra_ops.py:63-81 documents
+    the index-arithmetic bugs this design removes entirely).
+    """
+    win = _to_windows(x)
+    pooled = jnp.max(win, axis=3)
+    idx = jnp.argmax(win, axis=3)  # first occurrence, like tf.argmax
+    switches = jax.nn.one_hot(idx, 4, axis=3, dtype=jnp.bool_)
+    return pooled, switches
+
+
+def unpool_with_switches(y: jnp.ndarray, switches: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """Place each pooled value at its recorded window position, zeros
+    elsewhere (the Zeiler/Fergus unpool; extra_ops.py:28-86)."""
+    scattered = y[:, :, :, None, :] * switches.astype(y.dtype)
+    return _from_windows(scattered)
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Plain 2x2/stride-2 max pool (Initial block residual branch)."""
+    return jnp.max(_to_windows(x), axis=3)
+
+
+def spatial_dropout(x: jnp.ndarray, rate: float, key: jax.Array,
+                    training: bool = True) -> jnp.ndarray:
+    """Channel-wise spatial dropout, noise shape ``[N,1,1,C]``
+    (extra_ops.py:137-151)."""
+    if not training or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0], 1, 1, x.shape[-1]))
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

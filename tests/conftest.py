@@ -1,11 +1,25 @@
-"""Test configuration: force an 8-device CPU mesh so sharding/collective
-paths run in CI without TPU hardware (SURVEY.md §4 test strategy)."""
+"""Test configuration: force local CPU devices with an 8-device mesh so
+sharding/collective paths run in CI without TPU hardware (SURVEY.md §4).
+
+The environment boots jax at interpreter start via a sitecustomize that
+registers the remote "axon" TPU backend and sets JAX_PLATFORMS=axon, so
+env vars set here are too late — use jax.config.update instead, which
+takes effect because no backend has been initialized yet.
+"""
 
 import os
 
-# Must be set before jax is imported by any test module.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on local CPU, got %r" % jax.devices())
+assert jax.device_count() == 8, (
+    "expected 8 virtual CPU devices, got %d" % jax.device_count())
