@@ -1,0 +1,94 @@
+"""Streaming confusion-matrix metrics (reference: tensortools/metrics.py).
+
+The device side computes one batch-level confusion matrix per step via
+the reference's bincount trick (``num_classes * label + pred`` weighted
+by the ignore mask, metrics.py:226-257). Accumulation across steps
+happens host-side in int64 (the reference used an in-graph int64
+variable, metrics.py:12-24; host accumulation is exact, trivially
+resettable, and keeps the jit step functional). Per-batch counts fit
+int32 comfortably (8 x 1024 x 2048 ~= 1.7e7).
+
+Derived metrics follow metrics.py:155-224, including the
+``max(denominator, 1)`` guards and deriving TP/FP/FN without
+``diag_part`` semantics differences.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_matrix(labels: jnp.ndarray, predictions: jnp.ndarray,
+                     num_classes: int,
+                     mask: jnp.ndarray = None) -> jnp.ndarray:
+    """Batch confusion matrix ``[C,C]`` (rows = labels, cols = preds),
+    int32 counts, jit-safe."""
+    l = labels.reshape(-1).astype(jnp.int32)
+    p = predictions.reshape(-1).astype(jnp.int32)
+    idx = num_classes * l + p
+    if mask is not None:
+        w = mask.reshape(-1).astype(jnp.int32)
+    else:
+        w = jnp.ones_like(idx)
+    flat = jnp.zeros((num_classes * num_classes,), jnp.int32)
+    flat = flat.at[idx].add(w, mode="drop")
+    return flat.reshape(num_classes, num_classes)
+
+
+def derive_metrics(confusion: np.ndarray) -> Dict[str, np.ndarray]:
+    """Host-side derived metrics from an accumulated int64 confusion
+    matrix (metrics.py:155-224)."""
+    conf = np.asarray(confusion, dtype=np.int64)
+    samples = conf.sum()
+    tp = np.diag(conf).copy()
+    off = conf - np.diag(tp)
+    fp = off.sum(axis=0)
+    fn = off.sum(axis=1)
+    tp_fp = tp + fp
+    tp_fp_fn = tp_fp + fn
+    tn = samples - tp_fp_fn
+
+    class_accuracy = (tp + tn) / max(samples, 1)
+    class_precision = tp / np.maximum(tp_fp, 1)
+    class_recall = tp / np.maximum(tp + fn, 1)
+    class_iou = tp / np.maximum(tp_fp_fn, 1)
+    pixel_accuracy = tp.sum() / max(samples, 1)
+    mean_iou = class_iou.mean()
+
+    return {
+        "TruePositive": tp, "TrueNegative": tn,
+        "FalsePositive": fp, "FalseNegative": fn,
+        "ClassAccuracy": class_accuracy,
+        "ClassPrecision": class_precision,
+        "ClassRecall": class_recall,
+        "ClassMeanIoU": class_iou,
+        "PixelAccuracy": pixel_accuracy,
+        "MeanIoU": mean_iou,
+        "ConfusionMat": conf,
+    }
+
+
+class ConfusionAccumulator:
+    """Host-side streaming accumulator (replaces the reference's
+    assign_add variable + reset initializer, metrics.py:12-77)."""
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+        self.reset()
+
+    def reset(self) -> None:
+        self.matrix = np.zeros((self.num_classes, self.num_classes),
+                               dtype=np.int64)
+
+    def update(self, batch_confusion) -> None:
+        self.matrix += np.asarray(batch_confusion, dtype=np.int64)
+
+    def metrics(self) -> Dict[str, np.ndarray]:
+        return derive_metrics(self.matrix)
+
+    @property
+    def mean_iou(self) -> float:
+        return float(self.metrics()["MeanIoU"])

@@ -1,0 +1,202 @@
+"""Checkpointing: msgpack state files + a two-phase best-checkpoint
+manager (reference: tensortools/checkpoint_manager.py, tf.train.Checkpoint
+usage at train.py:225-257).
+
+A checkpoint is one file ``{prefix}-{N}.ckpt`` holding the full
+``TrainState`` (params, batch_stats, opt_state, step, epoch) via flax
+msgpack serialization. Directory state lives in ``checkpoint.json``
+(the analogue of TF's ``checkpoint`` state file, checkpoint_manager.py:71-72).
+
+Manager protocol preserved from the reference:
+
+- ``cache(state)``      write to the ``tmp`` prefix each epoch (22-33)
+- ``commit(prefix)``    rename cache -> ``{prefix}-{N}`` only when the
+                        caller observed an improvement; bumps the save
+                        counter; FIFO-prunes to ``max_to_keep`` (35-73)
+- ``chdir(directory)``  per-AL-round subdirectories (75-86); the save
+                        counter survives, matching the in-graph counter
+- ``save(prefix, state)`` unconditional save (95-105)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import flax.serialization
+import jax
+import numpy as np
+
+CKPT_EXT = ".ckpt"
+STATE_FILE = "checkpoint.json"
+
+
+def save_checkpoint(path: str, state) -> str:
+    """Serialize a TrainState (or any pytree) to ``path`` atomically."""
+    state = jax.device_get(state)
+    data = flax.serialization.to_bytes(state)
+    tmp = path + ".part"
+    with open(tmp, "wb") as fp:
+        fp.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def restore_checkpoint(path: str, template):
+    """Restore into the structure of ``template`` (a freshly created
+    TrainState), the object-based-restore analogue of
+    tf.train.Checkpoint.restore (train.py:241-246)."""
+    if os.path.isdir(path):
+        latest = latest_checkpoint(path)
+        if latest is None:
+            raise FileNotFoundError(f"No checkpoint found in {path}")
+        path = latest
+    if not os.path.exists(path) and os.path.exists(path + CKPT_EXT):
+        path = path + CKPT_EXT
+    with open(path, "rb") as fp:
+        data = fp.read()
+    return flax.serialization.from_bytes(template, data)
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    """Path of the newest committed checkpoint in ``directory``
+    (tf.train.latest_checkpoint analogue)."""
+    state_path = os.path.join(directory, STATE_FILE)
+    if os.path.exists(state_path):
+        with open(state_path) as fp:
+            meta = json.load(fp)
+        latest = meta.get("latest")
+        if latest:
+            path = os.path.join(directory, latest)
+            if os.path.exists(path):
+                return path
+    # Fallback: newest .ckpt by number
+    if not os.path.isdir(directory):
+        return None
+    candidates = [f for f in os.listdir(directory) if f.endswith(CKPT_EXT)
+                  and not f.startswith("tmp")]
+    if not candidates:
+        return None
+
+    def _num(name):
+        stem = name[:-len(CKPT_EXT)]
+        try:
+            return int(stem.rsplit("-", 1)[1])
+        except (IndexError, ValueError):
+            return -1
+
+    return os.path.join(directory, max(candidates, key=_num))
+
+
+class CheckpointManager:
+
+    def __init__(self, directory: str, max_to_keep: int = 10):
+        self._directory = directory
+        self._max_to_keep = max_to_keep
+        self._checkpoints = []          # committed paths, oldest first
+        self._cached: Optional[str] = None
+        self._save_counter = 0
+        os.makedirs(directory, exist_ok=True)
+
+    @property
+    def directory(self) -> str:
+        return self._directory
+
+    @property
+    def latest_checkpoint(self) -> str:
+        return self._checkpoints[-1] if self._checkpoints else ""
+
+    @property
+    def save_counter(self) -> int:
+        return self._save_counter
+
+    def set_save_counter(self, value: int) -> None:
+        """Re-seed the counter, e.g. after restoring mid-run state."""
+        self._save_counter = int(value)
+
+    def _cache_path(self) -> str:
+        return os.path.join(self._directory, "tmp" + CKPT_EXT)
+
+    def cache(self, state) -> str:
+        """Stash the epoch's state under the tmp prefix
+        (checkpoint_manager.py:22-33)."""
+        self._cached = save_checkpoint(self._cache_path(), state)
+        return self._cached
+
+    def commit(self, prefix: str = "model") -> str:
+        """Promote the cached checkpoint to ``{prefix}-{N}``; no-op
+        returning the last committed path when nothing is cached
+        (checkpoint_manager.py:35-73)."""
+        if self._cached is None:
+            return self._checkpoints[-1] if self._checkpoints else ""
+
+        if len(self._checkpoints) >= self._max_to_keep:
+            victim = self._checkpoints.pop(0)
+            if os.path.exists(victim):
+                os.remove(victim)
+
+        self._save_counter += 1
+        name = f"{os.path.basename(prefix)}-{self._save_counter}{CKPT_EXT}"
+        target = os.path.join(self._directory, name)
+        os.replace(self._cached, target)
+        self._cached = None
+        self._checkpoints.append(target)
+        self._write_state_file()
+        return target
+
+    def save(self, prefix: str, state) -> str:
+        """Unconditional numbered save (checkpoint_manager.py:95-105;
+        the plain train CLI's per-epoch save, train.py:352)."""
+        self._save_counter += 1
+        name = f"{os.path.basename(prefix)}-{self._save_counter}{CKPT_EXT}"
+        target = os.path.join(self._directory, name)
+        save_checkpoint(target, state)
+        if len(self._checkpoints) >= self._max_to_keep:
+            victim = self._checkpoints.pop(0)
+            if os.path.exists(victim):
+                os.remove(victim)
+        self._checkpoints.append(target)
+        self._write_state_file()
+        return target
+
+    def chdir(self, directory: str) -> None:
+        """Switch output directory (per-AL-round subdirs,
+        checkpoint_manager.py:75-86); clears the tracked FIFO and any
+        uncommitted cache but keeps the save counter."""
+        if self._cached is not None and os.path.exists(self._cached):
+            os.remove(self._cached)
+        self._cached = None
+        self._checkpoints = []
+        self._directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _write_state_file(self) -> None:
+        meta = {
+            "latest": os.path.basename(self._checkpoints[-1]),
+            "checkpoints": [os.path.basename(p)
+                            for p in self._checkpoints],
+            "save_counter": self._save_counter,
+        }
+        with open(os.path.join(self._directory, STATE_FILE), "w") as fp:
+            json.dump(meta, fp, indent=2)
+
+
+def reinitialize_final_layer(state, model, rng, input_hw,
+                             channels: int = 3):
+    """Fresh glorot re-init of the output layer, the ``-r`` transfer
+    option (active_learning.py:461-462, 905-910)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _init(key):
+        dummy = jnp.zeros((1, input_hw[0], input_hw[1], channels),
+                          jnp.float32)
+        return model.init({"params": key,
+                           "dropout": jax.random.PRNGKey(0)},
+                          dummy, training=True)["params"]
+
+    fresh = _init(rng)
+    params = dict(state.params)
+    params["Final"] = fresh["Final"]
+    return state.replace(params=params)

@@ -1,0 +1,172 @@
+"""Train/eval/score step builders.
+
+The reference's graph-assembly + ``sess.run`` hot loop (train.py:91-352,
+active_learning.py:203-328) collapses into three pure, jitted functions
+over an explicit ``TrainState`` pytree:
+
+- ``train_step``: forward (training=True) -> masked CE (+ multiscale,
+  + L1/L2 regularization) -> Adam update; BatchNorm moving averages are
+  threaded as ``batch_stats`` state; optional pseudo-labeling mixes
+  high-confidence predictions into unlabelled examples exactly like
+  active_learning.py:229-275.
+- ``eval_step``: forward (training=False) -> batch confusion matrix.
+  This replaces the reference's second network on GPU:1 plus the
+  per-epoch weight-copy assign group (train.py:102-105, 259-265): with
+  a single param pytree there is nothing to copy.
+- ``score_step``: forward -> fused per-image mean confidence, the
+  pool-ranking pass (active_learning.py:682-715).
+
+All steps also consume a ``valid`` flag so padded tail batches are
+excluded from loss/metrics while shapes stay static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import acquisition, losses, metrics
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray        # int32 scalar, the reference's local_step
+    epoch: jnp.ndarray       # int32 scalar, the reference's epoch_step
+
+
+def create_train_state(model, optimizer: optax.GradientTransformation,
+                       rng: jax.Array, input_hw, channels: int = 3,
+                       multiscale: bool = False) -> TrainState:
+    """Initialize model + optimizer state (jitted: eager flax init is
+    prohibitively slow through the TPU relay)."""
+
+    @jax.jit
+    def _init(key):
+        dummy = jnp.zeros((1, input_hw[0], input_hw[1], channels),
+                          jnp.float32)
+        variables = model.init(
+            {"params": key, "dropout": jax.random.PRNGKey(0)}, dummy,
+            training=True, multiscale=multiscale)
+        return variables
+
+    variables = _init(rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32),
+                      epoch=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, optimizer: optax.GradientTransformation,
+                    num_classes: int, hyperparams: Dict[str, Any],
+                    pseudo_cfg: Optional[Dict[str, Any]] = None):
+    """Build the jitted supervised (or pseudo-labeling) train step.
+
+    :param hyperparams: the conf ``hyperparams`` block (C22 schema)
+    :param pseudo_cfg:  ``{"measure": ..., "threshold": ...}`` enables
+                        the AL pseudo-annotation path
+    """
+    softmax_cfg = hyperparams.get("softmax", {})
+    reg_cfg = hyperparams.get("weight_reg", {})
+    multiscale = bool(softmax_cfg.get("multiscale", False))
+    weight = float(softmax_cfg.get("loginverse_scaling", 0.0))
+    label_smoothing = float(softmax_cfg.get("label_smoothing", 0.0))
+    l1 = float(reg_cfg.get("L1", 0.0))
+    l2 = float(reg_cfg.get("L2", 0.0))
+    glorot_scaling = bool(reg_cfg.get("glorot_scaling", False))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   key: jax.Array):
+        image = batch["image"]          # distorted crop
+        label = batch["label"]
+        mask = batch["mask"] * batch["valid"][:, None, None]
+
+        if pseudo_cfg is not None:
+            # No-dropout forward on the raw crop with current weights +
+            # running BN statistics (active_learning.py:231-233).
+            pseudo_logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["image_raw"], training=False)
+            pseudo_label, pseudo_mask, _conf = acquisition.pseudo_annotate(
+                pseudo_logits, pseudo_cfg["measure"], num_classes,
+                pseudo_cfg["threshold"])
+            labelled = batch["labelled"][:, None, None]
+            label = jnp.where(labelled, label, pseudo_label)
+            mask = jnp.where(labelled, mask,
+                             pseudo_mask * batch["valid"][:, None, None])
+
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                image, training=True, multiscale=multiscale,
+                rngs={"dropout": key}, mutable=["batch_stats"])
+            if multiscale:
+                logits, ms_logits = outputs
+                loss = losses.multiscale_masked_softmax_cross_entropy(
+                    label, [logits, *ms_logits], mask, num_classes,
+                    weight, label_smoothing)
+            else:
+                logits = outputs
+                loss = losses.masked_softmax_cross_entropy(
+                    label, logits, mask, num_classes, weight,
+                    label_smoothing)
+            cost = loss + losses.regularization_loss(
+                params, l1, l2, glorot_scaling)
+            return cost, (loss, logits, mutated["batch_stats"])
+
+        (cost, (loss, logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        pred = jnp.argmax(logits, axis=-1)
+        conf_mat = metrics.confusion_matrix(label, pred, num_classes, mask)
+
+        new_state = state.replace(params=new_params,
+                                  batch_stats=new_stats,
+                                  opt_state=new_opt_state,
+                                  step=state.step + 1)
+        return new_state, {"loss": loss, "cost": cost,
+                           "confusion": conf_mat}
+
+    return train_step
+
+
+def make_eval_step(model, num_classes: int):
+    """Jitted evaluation step: logits -> argmax -> confusion matrix."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], training=False)
+        pred = jnp.argmax(logits, axis=-1)
+        mask = batch["mask"] * batch["valid"][:, None, None]
+        return metrics.confusion_matrix(batch["label"], pred, num_classes,
+                                        mask)
+
+    return eval_step
+
+
+def make_score_step(model, num_classes: int, measure: str):
+    """Jitted pool-scoring step: forward + fused per-image mean
+    confidence (the acquisition hot loop, active_learning.py:697-698)."""
+
+    @jax.jit
+    def score_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], training=False)
+        return acquisition.mean_confidence(logits, measure, num_classes)
+
+    return score_step

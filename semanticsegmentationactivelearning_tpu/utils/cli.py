@@ -1,0 +1,184 @@
+"""Shared CLI plumbing for the four entry scripts.
+
+Reproduces the reference's argparse hierarchy — dataset subcommands
+{cityscapes, vistas, freiburg} inheriting required ``-d/-l/-p`` and
+optional ``-c`` arguments (reference: train.py:387-479,
+active_learning.py:863-973) — plus logging setup and a JSONL metrics
+writer (the rebuild's native observability; TensorBoard event export
+lives in tools/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import logging.config
+import os
+import sys
+import time
+from typing import Optional
+
+from .. import datasets
+
+
+def setup_logging(config_path: str = "util/logging.json") -> None:
+    """dictConfig logging like every reference CLI (train.py:483-487)."""
+    if os.path.exists(config_path):
+        with open(config_path) as fp:
+            logging.config.dictConfig(json.load(fp))
+    else:
+        logging.basicConfig(
+            level=logging.INFO,
+            format="[%(levelname)s] %(asctime)s --- %(name)s//%(module)s"
+                   " : %(message)s")
+
+
+class HelpfulParser(argparse.ArgumentParser):
+    """Prints help instead of the usage string on error
+    (reference: train.py:381-385)."""
+
+    def error(self, message):
+        self.print_help()
+        self.exit(2, "error: %s\n" % message)
+
+
+def build_dataset_parser(prog: str, extra_optional=None,
+                         params_required: bool = True):
+    """The shared subcommand parser tree.
+
+    :param extra_optional: callback(parser) adding script-specific flags
+    """
+    req_parser = argparse.ArgumentParser(add_help=False)
+    req_group = req_parser.add_argument_group(title="Required arguments")
+    req_group.add_argument("-d", "--data-dir", type=str, dest="data_dir",
+                           required=True,
+                           help="Path to dataset root directory")
+    req_group.add_argument("-l", "--log-dir", type=str, dest="log_dir",
+                           required=True, metavar="LOGDIR",
+                           help="Logdirectory for the session.")
+    req_group.add_argument("-p", "--parameters", type=str, dest="params",
+                           required=params_required,
+                           default="conf/default_params.json",
+                           metavar="PARAMS",
+                           help="Path to parameter configuration file, "
+                                "see conf subdirectory.")
+
+    opt_parser = argparse.ArgumentParser(add_help=False)
+    opt_parser.add_argument("-c", "--checkpoint", type=str,
+                            dest="checkpoint", required=False,
+                            metavar="CHECKPOINT",
+                            help="Path to pretrained checkpoint "
+                                 "directory or model.")
+    opt_parser.add_argument("--seed", type=int, dest="seed", default=0,
+                            required=False,
+                            help="PRNG seed for init/augmentation.")
+    if extra_optional is not None:
+        extra_optional(opt_parser)
+
+    top_parser = argparse.ArgumentParser(
+        usage="%s {cityscapes,freiburg,vistas} [-h/--help]" % prog)
+    sub = top_parser.add_subparsers(parser_class=HelpfulParser)
+
+    cityscapes = sub.add_parser(
+        "cityscapes", parents=[req_parser, opt_parser],
+        conflict_handler="resolve", help="The Cityscapes dataset.")
+    cityscapes.set_defaults(dataset="cityscapes")
+    cityscapes.add_argument("--use-coarse", action="store_true",
+                            required=False, dest="coarse")
+
+    vistas = sub.add_parser(
+        "vistas", parents=[req_parser, opt_parser],
+        conflict_handler="resolve", help="The Mapillary Vistas dataset.")
+    vistas.set_defaults(dataset="vistas")
+
+    freiburg = sub.add_parser(
+        "freiburg", parents=[req_parser, opt_parser],
+        conflict_handler="resolve", help="The Freiburg Forest dataset.")
+    freiburg.set_defaults(dataset="freiburg")
+    freiburg.add_argument("-m", "--modalities", type=str, nargs="+",
+                          required=False, default=[],
+                          help="Dataset modalities to load.")
+    return top_parser
+
+
+def parse_dataset_args(prog: str, argv=None, extra_optional=None):
+    parser = build_dataset_parser(prog, extra_optional)
+    argv = sys.argv[1:] if argv is None else argv
+    if not any(ds in argv for ds in ("cityscapes", "freiburg", "vistas")):
+        parser.print_help()
+        sys.exit(0)
+    args = parser.parse_args(argv)
+    return args
+
+
+def make_dataset(args):
+    """Dataset object from parsed args (train.py:27-34)."""
+    if args.dataset == "cityscapes":
+        return datasets.Cityscapes(coarse=getattr(args, "coarse", False))
+    if args.dataset == "freiburg":
+        return datasets.Freiburg(
+            modalities=getattr(args, "modalities", None) or None)
+    if args.dataset == "vistas":
+        return datasets.Vistas()
+    raise NotImplementedError(
+        "Dataset \"%s\" not supported" % args.dataset)
+
+
+def enable_compilation_cache(log_dir: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache: a full-model remote compile
+    takes minutes through the TPU relay, so cache across processes."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "ssal_jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs: non-fatal
+        pass
+
+
+class MetricsWriter:
+    """Append-only JSONL metrics log under the log dir — the rebuild's
+    native equivalent of the reference's TensorBoard scalar summaries
+    (train.py:154-206). tools/ can convert to CSV/TB formats."""
+
+    def __init__(self, log_dir: str, filename: str = "metrics.jsonl"):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, filename)
+
+    def write(self, record: dict) -> None:
+        record = dict(record)
+        record.setdefault("wall_time", time.time())
+        with open(self.path, "a") as fp:
+            fp.write(json.dumps(record, default=_json_default) + "\n")
+
+
+def _json_default(obj):
+    try:
+        import numpy as np
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        if isinstance(obj, (np.integer,)):
+            return int(obj)
+        if isinstance(obj, (np.floating,)):
+            return float(obj)
+    except ImportError:
+        pass
+    return str(obj)
+
+
+def progress(iterable, desc: str, enabled: bool = True, **kwargs):
+    """tqdm when available, like the reference's optional import
+    (train.py:12-18)."""
+    if not enabled:
+        return iterable
+    try:
+        import tqdm
+        return tqdm.tqdm(iterable, desc=desc, ascii=True,
+                         dynamic_ncols=True, **kwargs)
+    except ImportError:
+        return iterable

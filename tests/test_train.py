@@ -1,0 +1,232 @@
+"""Training-runtime tests: state creation, train/eval/score steps
+(including the pseudo-labeling path), optimizer conf, and the two-phase
+checkpoint manager."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semanticsegmentationactivelearning_tpu.models import ENet
+from semanticsegmentationactivelearning_tpu.train import (
+    TrainState, checkpoint, config, create_train_state, make_eval_step,
+    make_score_step, make_train_step, optim)
+
+HW = (32, 48)
+C = 4
+HPARAMS = {
+    "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
+    "learning_rate": 1e-3,
+    "learning_rate_decay": 0.0,
+    "optimizer": {"type": "Adam", "kwargs": {"beta1": 0.9, "beta2": 0.99}},
+    "weight_reg": {"L2": 2e-4, "L1": 0.0, "glorot_scaling": False},
+    "softmax": {"label_smoothing": 0.0, "loginverse_scaling": 0.0,
+                "multiscale": False},
+}
+
+
+@pytest.fixture(scope="module")
+def _setup_shared():
+    model = ENet(num_classes=C)
+    optimizer = optim.make_optimizer(HPARAMS)
+    state = create_train_state(model, optimizer, jax.random.PRNGKey(0), HW)
+    return model, optimizer, state
+
+
+@pytest.fixture
+def setup(_setup_shared):
+    # train_step donates its input state, so hand each test a copy
+    model, optimizer, state = _setup_shared
+    return model, optimizer, jax.tree.map(jnp.copy, state)
+
+
+def _batch(seed=0, batch=2, labelled=None):
+    rng = np.random.default_rng(seed)
+    b = {
+        "image": jnp.asarray(rng.uniform(
+            size=(batch, *HW, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, C, (batch, *HW)),
+                             dtype=jnp.int32),
+        "mask": jnp.ones((batch, *HW), jnp.float32),
+        "valid": jnp.ones((batch,), jnp.float32),
+    }
+    b["image_raw"] = b["image"]
+    if labelled is not None:
+        b["labelled"] = jnp.asarray(labelled)
+    return b
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, setup):
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, C, HPARAMS)
+        batch = _batch()
+        losses = []
+        for i in range(8):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+        assert int(state.step) == 8
+
+    def test_confusion_matrix_totals(self, setup):
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, C, HPARAMS)
+        batch = _batch()
+        _, m = step(state, batch, jax.random.PRNGKey(0))
+        conf = np.asarray(m["confusion"])
+        assert conf.shape == (C, C)
+        assert conf.sum() == 2 * HW[0] * HW[1]
+
+    def test_invalid_examples_excluded(self, setup):
+        model, optimizer, state = setup
+        step = make_train_step(model, optimizer, C, HPARAMS)
+        batch = _batch()
+        batch["valid"] = jnp.array([1.0, 0.0])
+        _, m = step(state, batch, jax.random.PRNGKey(0))
+        assert np.asarray(m["confusion"]).sum() == HW[0] * HW[1]
+
+    def test_multiscale_path(self, setup):
+        model, optimizer, _ = setup
+        hp = dict(HPARAMS)
+        hp["softmax"] = dict(HPARAMS["softmax"], multiscale=True)
+        state = create_train_state(model, optimizer, jax.random.PRNGKey(1),
+                                   HW, multiscale=True)
+        assert "MultiscaleHead_0" in state.params
+        step = make_train_step(model, optimizer, C, hp)
+        k0 = np.asarray(state.params["MultiscaleHead_0"]["kernel"]).copy()
+        state2, m = step(state, _batch(), jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+        # heads received gradient updates
+        k1 = np.asarray(state2.params["MultiscaleHead_0"]["kernel"])
+        assert not np.allclose(k0, k1)
+
+    def test_pseudo_labeling_path(self, setup):
+        model, optimizer, state = setup
+        step = make_train_step(
+            model, optimizer, C, HPARAMS,
+            pseudo_cfg={"measure": "entropy", "threshold": 0.0})
+        # threshold 0: unlabelled examples get fully pseudo-labelled
+        batch = _batch(labelled=[True, False])
+        _, m = step(jax.tree.map(jnp.copy, state), batch,
+                    jax.random.PRNGKey(0))
+        conf = np.asarray(m["confusion"])
+        assert conf.sum() == 2 * HW[0] * HW[1]
+
+        step_hi = make_train_step(
+            model, optimizer, C, HPARAMS,
+            pseudo_cfg={"measure": "entropy", "threshold": 1.1})
+        # threshold > 1: pseudo mask empty, only the labelled example
+        # contributes pixels
+        _, m2 = step_hi(state, batch, jax.random.PRNGKey(0))
+        assert np.asarray(m2["confusion"]).sum() == HW[0] * HW[1]
+
+
+class TestEvalAndScore:
+    def test_eval_step(self, setup):
+        model, _opt, state = setup
+        ev = make_eval_step(model, C)
+        conf = ev(state, _batch())
+        assert np.asarray(conf).sum() == 2 * HW[0] * HW[1]
+
+    def test_score_step_matches_direct(self, setup):
+        model, _opt, state = setup
+        sc = make_score_step(model, C, "entropy")
+        batch = _batch()
+        scores = np.asarray(sc(state, batch))
+        assert scores.shape == (2,)
+        assert (0.0 <= scores).all() and (scores <= 1.0).all()
+
+
+class TestOptim:
+    def test_inverse_time_decay(self):
+        sched = optim.make_schedule(1.0, 0.5, 10)
+        assert sched(0) == pytest.approx(1.0)
+        assert sched(10) == pytest.approx(1.0 / 1.5)
+
+    def test_unknown_optimizer(self):
+        with pytest.raises(NotImplementedError):
+            optim.make_optimizer({"optimizer": {"type": "LBFGS"}})
+
+
+class TestConfig:
+    def test_defaults_merge(self, tmp_path):
+        p = tmp_path / "conf.json"
+        p.write_text('{"batch_size": 2, "hyperparams": '
+                     '{"learning_rate": 0.1}}')
+        params = config.load_params(str(p))
+        assert params["batch_size"] == 2
+        assert params["hyperparams"]["learning_rate"] == 0.1
+        # untouched defaults survive
+        assert params["hyperparams"]["optimizer"]["type"] == "Adam"
+        assert params["network"]["model"] == "ENet"
+
+    def test_dump(self, tmp_path):
+        config.dump_params({"a": 1}, str(tmp_path / "log"))
+        assert os.path.exists(tmp_path / "log" / "config.json")
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, setup, tmp_path):
+        model, _opt, state = setup
+        path = checkpoint.save_checkpoint(str(tmp_path / "m.ckpt"), state)
+        zero = jax.tree.map(jnp.zeros_like, state)
+        restored = checkpoint.restore_checkpoint(path, zero)
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["Final"]["deconv"]["kernel"]),
+            np.asarray(state.params["Final"]["deconv"]["kernel"]))
+
+    def test_cache_commit_protocol(self, setup, tmp_path):
+        _m, _o, state = setup
+        mgr = checkpoint.CheckpointManager(str(tmp_path), max_to_keep=2)
+        # commit with nothing cached -> ""
+        assert mgr.commit() == ""
+        mgr.cache(state)
+        first = mgr.commit("model")
+        assert first.endswith("model-1.ckpt") and os.path.exists(first)
+        # cache overwrites previous cache; commit bumps counter
+        mgr.cache(state)
+        mgr.cache(state)
+        second = mgr.commit("model")
+        assert second.endswith("model-2.ckpt")
+        # FIFO prune at max_to_keep=2
+        mgr.cache(state)
+        third = mgr.commit("model")
+        assert third.endswith("model-3.ckpt")
+        assert not os.path.exists(first)
+        assert checkpoint.latest_checkpoint(str(tmp_path)) == third
+
+    def test_chdir_keeps_counter(self, setup, tmp_path):
+        _m, _o, state = setup
+        mgr = checkpoint.CheckpointManager(str(tmp_path / "a"))
+        mgr.cache(state)
+        mgr.commit("model")
+        mgr.chdir(str(tmp_path / "b"))
+        assert mgr.latest_checkpoint == ""
+        mgr.cache(state)
+        committed = mgr.commit("model")
+        assert committed.endswith("model-2.ckpt")
+        assert os.path.dirname(committed).endswith("b")
+
+    def test_restore_from_directory(self, setup, tmp_path):
+        _m, _o, state = setup
+        mgr = checkpoint.CheckpointManager(str(tmp_path))
+        mgr.cache(state)
+        mgr.commit("model")
+        zero = jax.tree.map(jnp.zeros_like, state)
+        restored = checkpoint.restore_checkpoint(str(tmp_path), zero)
+        assert int(restored.step) == int(state.step)
+
+    def test_reinitialize_final_layer(self, setup):
+        model, _o, state = setup
+        new = checkpoint.reinitialize_final_layer(
+            state, model, jax.random.PRNGKey(42), HW)
+        assert not np.allclose(
+            np.asarray(new.params["Final"]["deconv"]["kernel"]),
+            np.asarray(state.params["Final"]["deconv"]["kernel"]))
+        np.testing.assert_array_equal(
+            np.asarray(new.params["Initial"]["conv"]["kernel"]),
+            np.asarray(state.params["Initial"]["conv"]["kernel"]))

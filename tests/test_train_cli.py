@@ -1,0 +1,120 @@
+"""End-to-end CLI test: synthetic Freiburg records -> train.py -> metrics
++ checkpoints + resume (the SURVEY §7 step-4 'minimum end-to-end slice',
+scaled down for CI)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def records(tmp_path_factory):
+    """Synthetic learnable dataset: color blocks perfectly predict the
+    label, ETL'd through generate_dataset.py."""
+    root = tmp_path_factory.mktemp("freiburg")
+    rng = np.random.default_rng(0)
+    colors = np.array([(170, 170, 170), (0, 255, 0), (102, 102, 51),
+                       (0, 120, 255), (0, 0, 0)], dtype=np.uint8)
+    img_colors = np.array([(200, 40, 40), (40, 200, 40), (40, 40, 200),
+                           (200, 200, 40), (40, 200, 200)], dtype=np.uint8)
+    for split, n in [("train", 30), ("test", 4)]:
+        (root / split / "GT_color").mkdir(parents=True)
+        (root / split / "rgb").mkdir(parents=True)
+        for i in range(n):
+            idx = rng.integers(0, len(colors), (4, 6))
+            big = np.kron(idx, np.ones((8, 8), np.int64))  # 32x48 blocks
+            Image.fromarray(colors[big]).save(
+                root / split / "GT_color" / f"{split[0]}{i:03d}_mask.png")
+            img = img_colors[big]
+            noise = rng.integers(-20, 20, img.shape)
+            img = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                root / split / "rgb" / f"{split[0]}{i:03d}.png")
+    out = tmp_path_factory.mktemp("records")
+    res = subprocess.run(
+        [sys.executable, "generate_dataset.py", "-d", str(root),
+         "-t", "freiburg", "-o", str(out)], cwd=REPO,
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_conf(tmp_path_factory):
+    conf = {
+        "batch_size": 4,
+        "epochs": 2,
+        "hyperparams": {
+            "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
+            "learning_rate": 1e-3,
+            "learning_rate_decay": 0.0,
+            "optimizer": {"type": "Adam",
+                          "kwargs": {"beta1": 0.9, "beta2": 0.99}},
+            "weight_reg": {"L2": 2e-4, "L1": 0.0,
+                           "glorot_scaling": False},
+            "softmax": {"label_smoothing": 0.0,
+                        "loginverse_scaling": 0.0, "multiscale": False},
+        },
+        "network": {"model": "ENet",
+                    "input": {"height": 32, "width": 48}},
+    }
+    path = tmp_path_factory.mktemp("conf") / "tiny.json"
+    path.write_text(json.dumps(conf))
+    return path
+
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=1",
+           JAX_COMPILATION_CACHE_DIR="/tmp/ssal_test_jax_cache")
+
+
+def test_train_cli_end_to_end(records, tiny_conf, tmp_path):
+    log_dir = tmp_path / "log"
+    res = subprocess.run(
+        [sys.executable, "train.py", "freiburg", "-d", str(records),
+         "-l", str(log_dir), "-p", str(tiny_conf)],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+
+    # config dumped for provenance
+    assert (log_dir / "config.json").exists()
+    # per-epoch checkpoints
+    ckpts = sorted(p.name for p in log_dir.glob("model-*.ckpt"))
+    assert ckpts == ["model-1.ckpt", "model-2.ckpt"]
+    # metrics recorded for train/val/final_val
+    lines = [json.loads(l) for l in
+             (log_dir / "metrics.jsonl").read_text().splitlines()]
+    splits = [l["split"] for l in lines]
+    assert splits.count("train") == 2
+    assert splits.count("val") == 2
+    assert "final_val" in splits
+    final = lines[-1]
+    assert 0.0 <= final["mean_iou"] <= 1.0
+    # the task is trivially learnable: loss must drop epoch 1 -> 2
+    train_lines = [l for l in lines if l["split"] == "train"]
+    assert train_lines[1]["loss"] < train_lines[0]["loss"]
+
+    # resume: epochs already done -> immediately final-validates
+    res2 = subprocess.run(
+        [sys.executable, "train.py", "freiburg", "-d", str(records),
+         "-l", str(log_dir), "-p", str(tiny_conf)],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=900)
+    assert res2.returncode == 0, res2.stdout + res2.stderr
+    assert "Resuming from checkpoint" in res2.stdout
+
+
+def test_train_cli_no_data(tiny_conf, tmp_path):
+    res = subprocess.run(
+        [sys.executable, "train.py", "freiburg", "-d",
+         str(tmp_path / "empty"), "-l", str(tmp_path / "log"),
+         "-p", str(tiny_conf)],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 1
+    assert "No training records" in res.stdout + res.stderr

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Supervised training CLI (reference: train.py).
+
+Same subcommands/flags/conf schema as the reference; the TF1 dual-tower
+graph (train net on GPU:0, val net on GPU:1, per-epoch weight-copy,
+train.py:97-105, 259-265) is replaced by one jitted train step and one
+jitted eval step over a single param pytree. Validation runs after each
+training epoch (the reference overlapped it with the *next* epoch's
+training using the previous weights — same cadence, clearer semantics).
+
+Per-epoch metrics go to ``{log_dir}/metrics.jsonl`` and checkpoints to
+``{log_dir}/model-N.ckpt``.
+"""
+
+import glob
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+from semanticsegmentationactivelearning_tpu.data import loader, pipeline
+from semanticsegmentationactivelearning_tpu.models import get_model
+from semanticsegmentationactivelearning_tpu.ops import metrics as xmetrics
+from semanticsegmentationactivelearning_tpu.train import (
+    checkpoint as ckpt, config as conf, create_train_state, make_eval_step,
+    make_train_step, optim)
+from semanticsegmentationactivelearning_tpu.utils import cli
+
+logger = logging.getLogger(__name__)
+
+
+def run_eval_epoch(eval_step, state, val_loader, crop_hw, num_classes,
+                   desc="val", show_progress=True):
+    acc = xmetrics.ConfusionAccumulator(num_classes)
+    batches = cli.progress(val_loader.batches(), desc, show_progress,
+                           total=val_loader.num_batches())
+    for b in batches:
+        image, label, mask = pipeline.eval_batch(
+            b["stack"], b["heights"], b["widths"], crop_hw=crop_hw)
+        conf_mat = eval_step(state, {
+            "image": image, "label": label, "mask": mask,
+            "valid": b["valid"].astype(np.float32)})
+        acc.update(conf_mat)
+    return acc
+
+
+def main(args):
+    import jax
+
+    cli.enable_compilation_cache(args.log_dir)
+    dataset = cli.make_dataset(args)
+    params = args.params
+    hparams = params["hyperparams"]
+    in_hw = (params["network"]["input"]["height"],
+             params["network"]["input"]["width"])
+    batch_size = params["batch_size"]
+
+    train_files = sorted(glob.glob(
+        os.path.join(args.data_dir, "train", "*.tfrecord")))
+    val_files = sorted(glob.glob(
+        os.path.join(args.data_dir, "val", "*.tfrecord")))
+    if not train_files:
+        logger.error("No training records under %s", args.data_dir)
+        return 1
+    train_loader = loader.RecordLoader(train_files, batch_size)
+    val_loader = loader.RecordLoader(val_files, batch_size) \
+        if val_files else None
+    train_batches = train_loader.num_batches()
+    logger.info("%d train / %d val examples", len(train_files),
+                len(val_files))
+
+    # Model + optimizer + state
+    multiscale = bool(hparams["softmax"].get("multiscale", False))
+    model = get_model(params["network"]["model"], dataset.num_classes,
+                      drop_rates=tuple(hparams["dropout_rates"]))
+    optimizer = optim.make_optimizer(hparams, train_batches)
+    rng = jax.random.PRNGKey(args.seed)
+    state = create_train_state(model, optimizer, rng, in_hw,
+                               multiscale=multiscale)
+
+    # Restore (train.py:232-257): explicit -c path wins, else latest in
+    # the log dir.
+    restore_from = None
+    if args.checkpoint is not None:
+        restore_from = args.checkpoint
+        if os.path.isdir(restore_from):
+            restore_from = ckpt.latest_checkpoint(restore_from)
+        if restore_from is None or not (
+                os.path.exists(restore_from)
+                or os.path.exists(restore_from + ckpt.CKPT_EXT)):
+            logger.error("Checkpoint path \"%s\" is invalid.",
+                         args.checkpoint)
+            return 1
+    elif ckpt.latest_checkpoint(args.log_dir) is not None:
+        restore_from = ckpt.latest_checkpoint(args.log_dir)
+    if restore_from:
+        logger.info("Resuming from checkpoint \"%s\"", restore_from)
+        state = ckpt.restore_checkpoint(restore_from, state)
+
+    if not os.path.exists(os.path.join(args.log_dir, "config.json")):
+        conf.dump_params(params, args.log_dir)
+
+    manager = ckpt.CheckpointManager(args.log_dir)
+    writer = cli.MetricsWriter(args.log_dir)
+    train_step = make_train_step(model, optimizer, dataset.num_classes,
+                                 hparams)
+    eval_step = make_eval_step(model, dataset.num_classes)
+
+    aug_rng = np.random.default_rng(args.seed)
+    order_rng = np.random.default_rng(args.seed + 1)
+    start_epoch = int(state.epoch)
+    logger.info("Starting training loop at epoch %d...", start_epoch + 1)
+
+    for epoch in range(start_epoch + 1, params["epochs"] + 1):
+        # --- train epoch ---
+        acc = xmetrics.ConfusionAccumulator(dataset.num_classes)
+        losses, costs = [], []
+        order = order_rng.permutation(len(train_files))
+        batches = cli.progress(
+            train_loader.batches(order),
+            "train[%3d/%3d]" % (epoch, params["epochs"]),
+            total=train_batches)
+        for b in batches:
+            step_seed = int(aug_rng.integers(0, 2 ** 31 - 1))
+            k_aug, k_drop = jax.random.split(
+                jax.random.PRNGKey(step_seed))
+            _raw, image, label, mask = pipeline.augment_batch(
+                b["stack"], b["heights"], b["widths"], k_aug,
+                crop_hw=in_hw)
+            state, m = train_step(state, {
+                "image": image, "label": label, "mask": mask,
+                "valid": b["valid"].astype(np.float32)}, k_drop)
+            losses.append(m["loss"])
+            costs.append(m["cost"])
+            acc.update(m["confusion"])
+        train_metrics = acc.metrics()
+        state = state.replace(epoch=state.epoch + 1)
+        writer.write({
+            "split": "train", "epoch": epoch, "step": int(state.step),
+            "loss": float(np.mean([float(x) for x in losses])),
+            "cost": float(np.mean([float(x) for x in costs])),
+            "mean_iou": float(train_metrics["MeanIoU"]),
+            "pixel_accuracy": float(train_metrics["PixelAccuracy"]),
+        })
+
+        # --- validation epoch ---
+        if val_loader is not None:
+            vacc = run_eval_epoch(eval_step, state, val_loader, in_hw,
+                                  dataset.num_classes,
+                                  desc="val[%3d]" % epoch)
+            vm = vacc.metrics()
+            writer.write({
+                "split": "val", "epoch": epoch, "step": int(state.step),
+                "mean_iou": float(vm["MeanIoU"]),
+                "pixel_accuracy": float(vm["PixelAccuracy"]),
+                "class_iou": vm["ClassMeanIoU"].tolist(),
+            })
+            logger.info("epoch %d: val mIoU %.4f pixel-acc %.4f", epoch,
+                        vm["MeanIoU"], vm["PixelAccuracy"])
+
+        manager.save("model", state)
+
+    # Final standalone validation (train.py:354-374)
+    if val_loader is not None:
+        vacc = run_eval_epoch(eval_step, state, val_loader, in_hw,
+                              dataset.num_classes, desc="final-val")
+        vm = vacc.metrics()
+        writer.write({
+            "split": "final_val", "epoch": params["epochs"],
+            "step": int(state.step),
+            "mean_iou": float(vm["MeanIoU"]),
+            "pixel_accuracy": float(vm["PixelAccuracy"]),
+            "class_iou": vm["ClassMeanIoU"].tolist(),
+            "confusion": vm["ConfusionMat"].tolist(),
+        })
+        logger.info("final val mIoU %.4f", vm["MeanIoU"])
+    logger.info("Training successfully finished %d epochs",
+                params["epochs"])
+    return 0
+
+
+if __name__ == "__main__":
+    cli.setup_logging()
+    args = cli.parse_dataset_args(sys.argv[0])
+    with open(args.params, "r") as f:
+        args.params = conf.load_params(args.params)
+    logger.info("Running with following parameters:\n%s",
+                json.dumps(args.params, sort_keys=True, indent=4))
+    sys.exit(main(args))
