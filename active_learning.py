@@ -1,0 +1,457 @@
+#!/usr/bin/env python
+"""Active-learning CLI (reference: active_learning.py — the flagship).
+
+Capability-identical host loop with a drop-in ``state.json`` schema
+(active_learning.py:110-130):
+
+    { "checkpoint": str|null, "iteration": int,
+      "dataset": { "train": {"filenames", "labelled", "unlabelled",
+                             "no_label"},
+                   "val":   {"filenames"},
+                   "test":  {"filenames"} } }
+
+Per AL round: early-stopped training with pseudo-labeling (warm-up grace
++ no-improvement patience, 523-649), best-checkpoint commit on val mIoU
+(618-635), test-set evaluation logged against the labelled-set size
+(651-680), a fused pool-scoring pass (682-715), lowest-confidence
+selection (or random draw for negative ``selection_size`` — the
+*intended* behavior of the reference's 785-793 branch), an optional
+human-annotation pause for truly-unlabelled examples (796-823), and a
+state.json commit (842-854).
+
+The TF graph/session/placeholder machinery is gone: one param pytree,
+jitted steps, host-side numpy index sets.
+"""
+
+import glob
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+from semanticsegmentationactivelearning_tpu.data import (loader, pipeline,
+                                                         sampler)
+from semanticsegmentationactivelearning_tpu.models import get_model
+from semanticsegmentationactivelearning_tpu.ops import metrics as xmetrics
+from semanticsegmentationactivelearning_tpu.train import (
+    checkpoint as ckpt, config as conf, create_train_state, make_eval_step,
+    make_score_step, make_train_step, optim)
+from semanticsegmentationactivelearning_tpu.utils import cli
+
+logger = logging.getLogger(__name__)
+
+
+def init_or_load_state(state_filename, args, alparams, rng):
+    """Initialize or restore the AL bookkeeping
+    (active_learning.py:73-142)."""
+    if os.path.exists(state_filename):
+        with open(state_filename) as f:
+            return json.load(f)
+
+    train_glob = os.path.join(args.data_dir, "train", "*.tfrecord")
+    if args.dataset == "freiburg":
+        test_glob = os.path.join(args.data_dir, "test", "*.tfrecord")
+    else:
+        # cityscapes/vistas: annotated val split serves as the test set
+        test_glob = os.path.join(args.data_dir, "val", "*.tfrecord")
+
+    train_val = np.sort(np.array(glob.glob(train_glob)))
+    val_examples = train_val[:alparams["num_validation"]]
+    train_examples = train_val[alparams["num_validation"]:]
+    test_examples = np.sort(np.array(glob.glob(test_glob)))
+
+    train_indices = np.arange(len(train_examples), dtype=np.int64)
+    rng.shuffle(train_indices)
+
+    initially_labelled = alparams["num_initially_labelled"]
+    if initially_labelled < 0:
+        initially_labelled = len(train_examples)
+
+    no_label_indices = np.empty(0, dtype=np.int64)
+    if args.unlabelled is not None:
+        no_label_examples = sorted(
+            glob.glob(os.path.join(args.unlabelled, "*.tfrecord")))
+        no_label_indices = np.arange(
+            len(train_examples),
+            len(train_examples) + len(no_label_examples))
+        train_examples = np.concatenate(
+            (train_examples, np.array(no_label_examples)))
+        train_indices = np.concatenate((train_indices, no_label_indices))
+
+    labelled = train_indices[:initially_labelled]
+    unlabelled = train_indices[initially_labelled:]
+
+    state = {
+        "checkpoint": None,
+        "iteration": 0,
+        "dataset": {
+            "train": {
+                "filenames": [str(f) for f in train_examples],
+                "labelled": labelled.tolist(),
+                "unlabelled": unlabelled.tolist(),
+                "no_label": no_label_indices.tolist(),
+            },
+            "val": {"filenames": [str(f) for f in val_examples]},
+            "test": {"filenames": [str(f) for f in test_examples]},
+        },
+    }
+    with open(state_filename, "w") as f:
+        json.dump(state, f, indent=2)
+    return state
+
+
+def poll_human_annotations(to_annotate_indices, train_examples, logger):
+    """Block until the user supplies annotated record files for the
+    selected truly-unlabelled examples (active_learning.py:796-823).
+    Uses a tkinter file dialog when available, else stdin paths."""
+    try:
+        import tkinter
+        import tkinter.filedialog
+        tkinter.Tk().withdraw()
+        have_tk = True
+    except Exception:
+        have_tk = False
+
+    while len(to_annotate_indices) > 0:
+        to_annotate = train_examples[to_annotate_indices]
+        basenames = [os.path.basename(p) for p in to_annotate]
+        logger.info("Please annotate the following examples:\n%s",
+                    "\n".join(basenames))
+        if have_tk:
+            filenames = tkinter.filedialog.askopenfilename(
+                multiple=1, filetypes=(("TFRecord", "*.tfrecord"),))
+        else:
+            line = input("Paths to annotated .tfrecord files "
+                         "(space-separated): ")
+            filenames = line.split()
+        hit = []
+        for filename in filenames:
+            basename = os.path.basename(filename)
+            idx = -1
+            for i, candidate in enumerate(to_annotate):
+                if str(candidate).endswith(basename):
+                    idx = i
+                    break
+            if idx != -1:
+                train_examples[to_annotate_indices[idx]] = filename
+                hit.append(idx)
+            else:
+                logger.info("Unrecognized filepath: %s", filename)
+        to_annotate_indices = np.delete(to_annotate_indices, hit)
+    return train_examples
+
+
+def main(args, logger):
+    import jax
+
+    cli.enable_compilation_cache(args.log_dir)
+    params = args.params
+    hparams = params["hyperparams"]
+    alparams = params["active_learning"]
+    state_filename = os.path.join(args.log_dir, "state.json")
+    if not os.path.exists(args.log_dir):
+        os.makedirs(args.log_dir)
+        conf.dump_params(params, args.log_dir)
+
+    dataset = cli.make_dataset(args)
+    init_rng = np.random.default_rng(args.seed)
+    state = init_or_load_state(state_filename, args, alparams, init_rng)
+
+    train_examples = np.array(state["dataset"]["train"]["filenames"])
+    val_examples = np.array(state["dataset"]["val"]["filenames"])
+    test_examples = np.array(state["dataset"]["test"]["filenames"])
+    labelled = np.array(state["dataset"]["train"]["labelled"],
+                        dtype=np.int64)
+    unlabelled = np.array(state["dataset"]["train"]["unlabelled"],
+                          dtype=np.int64)
+    no_label_indices = np.array(state["dataset"]["train"]["no_label"],
+                                dtype=np.int64)
+
+    labelled_flags = np.zeros(len(train_examples), dtype=bool)
+    labelled_flags[labelled] = True
+
+    in_hw = (params["network"]["input"]["height"],
+             params["network"]["input"]["width"])
+    batch_size = params["batch_size"]
+
+    train_sampler = sampler.IndexSampler(
+        train_examples, rng=np.random.default_rng(args.seed + 1))
+    train_loader = loader.RecordLoader(train_examples, batch_size,
+                                       min_hw=in_hw)
+    val_loader = loader.RecordLoader(val_examples, batch_size,
+                                     min_hw=in_hw) \
+        if len(val_examples) else None
+    test_loader = loader.RecordLoader(test_examples, batch_size,
+                                      min_hw=in_hw) \
+        if len(test_examples) else None
+
+    # Model / optimizer / state
+    multiscale = bool(hparams["softmax"].get("multiscale", False))
+    model = get_model(params["network"]["model"], dataset.num_classes,
+                      drop_rates=tuple(hparams["dropout_rates"]))
+    optimizer = optim.make_optimizer(hparams)
+    tstate = create_train_state(model, optimizer,
+                                jax.random.PRNGKey(args.seed), in_hw,
+                                multiscale=multiscale)
+
+    if args.checkpoint is not None:
+        restore_from = args.checkpoint
+        if os.path.isdir(restore_from):
+            restore_from = ckpt.latest_checkpoint(restore_from)
+        if restore_from is None or not (
+                os.path.exists(restore_from)
+                or os.path.exists(restore_from + ckpt.CKPT_EXT)):
+            logger.error("Checkpoint path \"%s\" is invalid.",
+                         args.checkpoint)
+            return 1
+        logger.info("Resuming from checkpoint \"%s\"", restore_from)
+        tstate = ckpt.restore_checkpoint(restore_from, tstate)
+        if args.reinitialize_output:
+            tstate = ckpt.reinitialize_final_layer(
+                tstate, model, jax.random.PRNGKey(args.seed + 7), in_hw)
+    elif state["checkpoint"] is not None:
+        logger.info("Resuming from checkpoint \"%s\"",
+                    state["checkpoint"])
+        tstate = ckpt.restore_checkpoint(state["checkpoint"], tstate)
+
+    pseudo_cfg = {"measure": alparams["measure"],
+                  "threshold": alparams["threshold"]}
+    train_step = make_train_step(model, optimizer, dataset.num_classes,
+                                 hparams, pseudo_cfg=pseudo_cfg)
+    eval_step = make_eval_step(model, dataset.num_classes)
+    score_step = make_score_step(model, dataset.num_classes,
+                                 alparams["measure"])
+
+    ckpt_manager = ckpt.CheckpointManager(args.log_dir)
+    writer = cli.MetricsWriter(args.log_dir)
+    aug_rng = np.random.default_rng(args.seed + 2)
+
+    def run_train_epoch(tstate, epoch_desc):
+        """One training epoch over the sampler's current set."""
+        order = train_sampler.epoch_order()
+        acc = xmetrics.ConfusionAccumulator(dataset.num_classes)
+        losses = []
+        batches = cli.progress(train_loader.batches(order), epoch_desc,
+                               total=train_loader.num_batches(len(order)))
+        for b in batches:
+            seed = int(aug_rng.integers(0, 2 ** 31 - 1))
+            k_aug, k_drop = jax.random.split(jax.random.PRNGKey(seed))
+            raw, image, label, mask = pipeline.augment_batch(
+                b["stack"], b["heights"], b["widths"], k_aug,
+                crop_hw=in_hw)
+            tstate, m = train_step(tstate, {
+                "image": image, "image_raw": raw, "label": label,
+                "mask": mask,
+                "labelled": labelled_flags[b["index"]],
+                "valid": b["valid"].astype(np.float32)}, k_drop)
+            losses.append(m["loss"])
+            acc.update(m["confusion"])
+        mean_loss = float(np.mean([float(x) for x in losses])) \
+            if losses else float("nan")
+        return tstate, acc, mean_loss
+
+    def run_eval(tstate, data_loader, desc):
+        acc = xmetrics.ConfusionAccumulator(dataset.num_classes)
+        batches = cli.progress(data_loader.batches(), desc,
+                               total=data_loader.num_batches())
+        for b in batches:
+            image, label, mask = pipeline.eval_batch(
+                b["stack"], b["heights"], b["widths"], crop_hw=in_hw)
+            acc.update(eval_step(tstate, {
+                "image": image, "label": label, "mask": mask,
+                "valid": b["valid"].astype(np.float32)}))
+        return acc
+
+    def train_loop(tstate, log_subdir):
+        """Early-stopped AL training round
+        (active_learning.py:523-649)."""
+        grace = alparams.get("epochs/warm_up", 0)
+        best_ckpt_path = state["checkpoint"]
+        best_mean_iou = 0.0
+        run_name = os.path.basename(log_subdir)
+        no_improvement = 0
+        while no_improvement < params["epochs"] or grace >= 0:
+            grace -= 1
+            tstate = tstate.replace(epoch=tstate.epoch + 1)
+            epoch = int(tstate.epoch)
+            tstate, tacc, mean_loss = run_train_epoch(
+                tstate, "%s[%d] NIC=%d" % (run_name, epoch,
+                                           no_improvement))
+            val_miou = 0.0
+            if val_loader is not None:
+                vacc = run_eval(tstate, val_loader, "val[%d]" % epoch)
+                val_miou = vacc.mean_iou
+            writer.write({
+                "split": "al_train", "round": state["iteration"],
+                "epoch": epoch, "loss": mean_loss,
+                "val_mean_iou": val_miou,
+                "labelled": int(len(labelled)),
+                "no_improvement": no_improvement})
+            ckpt_manager.cache(tstate)
+            if val_miou > best_mean_iou:
+                best_mean_iou = val_miou
+                committed = ckpt_manager.commit(
+                    os.path.join(log_subdir, "model"))
+                if committed != "":
+                    best_ckpt_path = committed
+                no_improvement = 0
+            else:
+                no_improvement += 1
+                if no_improvement >= params["epochs"] and grace < 0:
+                    break
+        return tstate, best_ckpt_path
+
+    def test_loop(tstate):
+        """Test metrics keyed by labelled-set size
+        (active_learning.py:651-680)."""
+        acc = run_eval(tstate, test_loader,
+                       "test[%d]" % len(labelled))
+        m = acc.metrics()
+        writer.write({
+            "split": "al_test", "round": state["iteration"],
+            "labelled": int(len(labelled)),
+            "mean_iou": float(m["MeanIoU"]),
+            "pixel_accuracy": float(m["PixelAccuracy"]),
+            "class_iou": m["ClassMeanIoU"].tolist()})
+        logger.info("test @%d labelled: mIoU %.4f", len(labelled),
+                    m["MeanIoU"])
+
+    def rank_confidence(tstate):
+        """Score the full pool; return lowest-confidence unlabelled
+        examples (active_learning.py:682-715). Like the reference, the
+        forward runs on the augment pipeline's *raw* crop."""
+        num_examples = len(train_examples)
+        confidence = np.zeros(num_examples, dtype=np.float32)
+        order = np.arange(num_examples)
+        batches = cli.progress(train_loader.batches(order),
+                               "ranking[%d]" % len(labelled),
+                               total=train_loader.num_batches())
+        for b in batches:
+            seed = int(aug_rng.integers(0, 2 ** 31 - 1))
+            raw, _img, _lbl, _msk = pipeline.augment_batch(
+                b["stack"], b["heights"], b["widths"],
+                jax.random.PRNGKey(seed), crop_hw=in_hw)
+            scores = np.asarray(score_step(tstate, {"image": raw}))
+            valid = b["valid"]
+            confidence[b["index"][valid]] = scores[valid]
+
+        unlabelled_conf = confidence[unlabelled]
+        if len(unlabelled_conf) == 0:
+            return np.empty(0, dtype=np.int64), unlabelled_conf
+        selection_size = int(np.minimum(len(unlabelled),
+                                        alparams["selection_size"]))
+        idx = np.argpartition(unlabelled_conf,
+                              np.minimum(selection_size,
+                                         len(unlabelled_conf) - 1))
+        return unlabelled[idx[:selection_size]], unlabelled_conf
+
+    iterations = alparams["iterations"]
+    if iterations < 0:
+        iterations = int(np.ceil(
+            len(unlabelled) / float(abs(alparams["selection_size"]) or 1)))
+        logger.info("Iteration count: %d", iterations)
+
+    sel_rng = np.random.default_rng(args.seed + 3)
+    while state["iteration"] < iterations:
+        # Step 1: train on the labelled set (+ pseudo-label sample)
+        train_sampler.set_indices(labelled)
+        if state["iteration"] == 0:
+            log_subdir = os.path.join(args.log_dir, "pretrain")
+        else:
+            log_subdir = os.path.join(args.log_dir,
+                                      "iter-%d" % state["iteration"])
+            p = alparams["pseudo_labelling_proportion"]
+            if p > 0:
+                sample_size = int(len(labelled) * p / (1 - p))
+                sample_size = int(np.minimum(sample_size,
+                                             len(unlabelled)))
+                train_sampler.set_sample_size(sample_size)
+        os.makedirs(log_subdir, exist_ok=True)
+        ckpt_manager.chdir(log_subdir)
+
+        try:
+            tstate, checkpoint_path = train_loop(tstate, log_subdir)
+        except KeyboardInterrupt:
+            if ckpt_manager.latest_checkpoint != "":
+                state["checkpoint"] = ckpt_manager.latest_checkpoint
+            with open(state_filename, "w") as f:
+                json.dump(state, f, indent=2)
+            raise
+
+        # Reload the round's best checkpoint (active_learning.py:766-769)
+        if checkpoint_path:
+            tstate = ckpt.restore_checkpoint(checkpoint_path, tstate)
+
+        # Step 2: test set metrics
+        if test_loader is not None and len(test_examples) > 0:
+            test_loop(tstate)
+
+        # Step 3: acquisition
+        train_sampler.set_indices(None)
+        train_sampler.set_sample_size(0)
+        if alparams["selection_size"] > 0:
+            low_conf, unlabelled_conf = rank_confidence(tstate)
+            hist, edges = np.histogram(unlabelled_conf, bins=20,
+                                       range=(0.0, 1.0))
+            writer.write({
+                "split": "al_confidence", "round": state["iteration"],
+                "histogram": hist.tolist(), "bin_edges": edges.tolist(),
+                "mean": float(unlabelled_conf.mean())
+                if len(unlabelled_conf) else None})
+        else:
+            # Negative selection_size N: draw |N| at random — the
+            # baseline config's intended semantics
+            # (active_learning.py:785-793).
+            draw = int(np.minimum(abs(alparams["selection_size"]),
+                                  len(unlabelled)))
+            low_conf = sel_rng.choice(unlabelled, draw, replace=False) \
+                if draw > 0 else np.empty(0, dtype=np.int64)
+
+        # Human annotation pause for truly-unlabelled selections
+        to_annotate = no_label_indices[np.isin(no_label_indices,
+                                               low_conf)]
+        if len(to_annotate) > 0:
+            train_examples = poll_human_annotations(
+                to_annotate, train_examples, logger)
+        no_label_indices = no_label_indices[np.isin(
+            no_label_indices, low_conf, invert=True)]
+
+        if len(low_conf):
+            logger.info("Moving following examples to labelled set:\n%s",
+                        "\n".join(train_examples[low_conf].tolist()))
+        labelled_flags[low_conf] = True
+
+        # Step 4: state commit (active_learning.py:842-854)
+        labelled = np.append(labelled, low_conf)
+        unlabelled = unlabelled[np.isin(unlabelled, low_conf,
+                                        assume_unique=True, invert=True)]
+        state["dataset"]["train"]["filenames"] = train_examples.tolist()
+        state["dataset"]["train"]["labelled"] = labelled.tolist()
+        state["dataset"]["train"]["unlabelled"] = unlabelled.tolist()
+        state["dataset"]["train"]["no_label"] = no_label_indices.tolist()
+        state["iteration"] += 1
+        state["checkpoint"] = checkpoint_path
+        with open(state_filename, "w") as f:
+            json.dump(state, f, indent=2)
+    return 0
+
+
+def _extra_args(parser):
+    parser.add_argument(
+        "-r", "--reinitialize-output-layer", action="store_true",
+        dest="reinitialize_output", required=False,
+        help="Reinitialize last layer of model (if checkpoint "
+             "specified).")
+    parser.add_argument(
+        "-u", "--unlabelled-dir", type=str, default=None,
+        dest="unlabelled", metavar="UNLABELLED_DIR",
+        help="Path to directory containing only feature data.")
+
+
+if __name__ == "__main__":
+    cli.setup_logging()
+    args = cli.parse_dataset_args(sys.argv[0], extra_optional=_extra_args)
+    args.params = conf.load_params(args.params)
+    sys.exit(main(args, logger))

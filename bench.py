@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark: ENet 1024x2048 inference + acquisition scoring,
+images/sec/chip (BASELINE.md north-star metric).
+
+The measured step is the active-learning pool-scoring pass: forward +
+softmax -> normalized entropy -> per-image mean, fused under jit so
+probability maps never round-trip HBM (reference equivalent:
+active_learning.py:229-263 fetched per sess.run at 697-698).
+
+Baseline: the driver's target "score the 2975-image Cityscapes pool in
+<30 s on v5e-8" = 12.4 img/s/chip at 1024x2048. vs_baseline is measured
+throughput over that target.
+
+Prints exactly one JSON line on stdout; diagnostics go to stderr.
+Env knobs: BENCH_BATCH (default 8), BENCH_ITERS (default 20),
+BENCH_HW ("1024x2048"), BENCH_DTYPE ("bf16"|"fp32", default bf16 inputs).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from semanticsegmentationactivelearning_tpu.models import ENet
+    from semanticsegmentationactivelearning_tpu.ops import acquisition
+    from semanticsegmentationactivelearning_tpu.utils import cli
+
+    cli.enable_compilation_cache()
+
+    # fused scoring keeps logits chunked; bf16 batch 16 fits 16G HBM
+    # (the [B,H,W,19] logits pad 19->128 lanes; see ops/acquisition.py)
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    hw = os.environ.get("BENCH_HW", "1024x2048")
+    h, w = (int(v) for v in hw.split("x"))
+    num_classes = 19
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}, batch={batch}, iters={iters}, input={h}x{w}")
+
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE",
+                                           "bf16") == "bf16" \
+        else jnp.float32
+    model = ENet(num_classes=num_classes, dtype=dtype)
+    x0 = jnp.zeros((1, h, w, 3), jnp.float32)
+    t0 = time.time()
+    variables = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": jax.random.PRNGKey(1)}, x0,
+        training=False))(jax.random.PRNGKey(0))
+    log(f"init: {time.time() - t0:.1f}s")
+
+    @jax.jit
+    def score(variables, image):
+        # fused tail: classifier deconv + softmax + entropy + mean run
+        # chunked so the padded full-res logits never hit HBM
+        features = model.apply(variables, image, training=False,
+                               return_pre_logits=True)
+        kernel = variables["params"]["Final"]["deconv"]["kernel"]
+        return acquisition.chunked_deconv_mean_confidence(
+            features, kernel, "entropy", num_classes)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(
+        size=(batch, h, w, 3)).astype(np.float32))
+
+    # Warmup + compile. Through the axon relay block_until_ready is not
+    # a reliable sync for jit outputs; fetching the (tiny) result is —
+    # and fetching scores is exactly what the AL loop does.
+    t0 = time.time()
+    s = np.asarray(score(variables, image))
+    log(f"compile+first step: {time.time() - t0:.1f}s, "
+        f"scores[:2]={s[:2]}")
+    np.asarray(score(variables, image))
+
+    t0 = time.time()
+    for _ in range(iters):
+        s = np.asarray(score(variables, image))
+    dt = (time.time() - t0) / iters
+    imgs_per_sec = batch / dt
+    log(f"steady state: {dt * 1e3:.1f} ms/batch-{batch} "
+        f"-> {imgs_per_sec:.2f} img/s/chip")
+
+    # Scale to the baseline resolution if a smaller probe size was used
+    scale = (h * w) / (1024 * 2048)
+    value = imgs_per_sec * scale
+    baseline = 2975 / 30.0 / 8.0  # img/s/chip on v5e-8 north star
+    print(json.dumps({
+        "metric": "enet_1024x2048_score_images_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

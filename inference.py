@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Inference CLI: checkpoint -> per-example prediction PNGs
+(reference: inference.py).
+
+Reads every ``.tfrecord`` under the dataset's test directory, runs the
+jitted forward, and writes ``{output}/{id}.png`` with either the
+dataset-id reverse embedding (default) or the colormap (``--color``).
+Argmax and the LUT gather run on device; only the final uint8 map is
+transferred (the reference encoded PNGs in-graph, inference.py:111-119 —
+host PNG encode is the equivalent here).
+
+``--output-size`` bilinearly resizes predictions, applying the resize to
+the class probabilities before argmax (the reference resized the raw
+logits and left its softmax dead, inference.py:96-98 — argmax-identical).
+"""
+
+import argparse
+import json
+import logging
+import logging.config
+import os
+import sys
+
+import numpy as np
+
+from semanticsegmentationactivelearning_tpu import datasets
+from semanticsegmentationactivelearning_tpu.data import (etl, example,
+                                                         loader)
+from semanticsegmentationactivelearning_tpu.models import get_model
+from semanticsegmentationactivelearning_tpu.train import checkpoint as ckpt
+from semanticsegmentationactivelearning_tpu.utils import cli
+
+logger = logging.getLogger(__name__)
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    cli.enable_compilation_cache()
+    if args.dataset == "cityscapes":
+        dataset = datasets.Cityscapes()
+    elif args.dataset == "freiburg":
+        dataset = datasets.Freiburg()
+    elif args.dataset == "vistas":
+        dataset = datasets.Vistas()
+    else:
+        raise NotImplementedError("Dataset \"%s\" not yet supported."
+                                  % args.dataset)
+
+    data_dir = args.data_dir
+    if not os.path.isdir(data_dir):
+        logger.error("Data dir %s does not exist", data_dir)
+        return 1
+    files = sorted(os.path.join(data_dir, f)
+                   for f in os.listdir(data_dir)
+                   if f.endswith(".tfrecord"))
+    if not files:
+        # accept a dataset root with a test/ subdir, like the reference's
+        # get_test_paths usage (inference.py:72)
+        test_dir = dataset.get_test_paths(data_dir)[0]
+        if os.path.isdir(test_dir):
+            files = sorted(os.path.join(test_dir, f)
+                           for f in os.listdir(test_dir)
+                           if f.endswith(".tfrecord"))
+    if not files:
+        logger.error("No .tfrecord files under %s", data_dir)
+        return 1
+    os.makedirs(args.output, exist_ok=True)
+
+    # Peek dims from the first record (inference.py:75-83)
+    height, width, channels = example.peek_dims(files[0])
+    logger.info("Input records: %dx%dx%d, %d examples", height, width,
+                channels, len(files))
+
+    model = get_model("ENet", dataset.num_classes)
+    rec_loader = loader.RecordLoader(files, args.batch_size,
+                                     storage_hw=(height, width),
+                                     channels=3)
+
+    # Build + restore state (params/batch_stats only are used)
+    from semanticsegmentationactivelearning_tpu.train import (
+        create_train_state, optim)
+    state = create_train_state(
+        model, optim.make_optimizer({}), jax.random.PRNGKey(0),
+        (height, width))
+    logger.info("Loading checkpoint %s", args.ckpt)
+    state = ckpt.restore_checkpoint(args.ckpt, state)
+    logger.info("Checkpoint loaded")
+
+    out_hw = tuple(args.size) if args.size is not None else None
+    if args.color:
+        lut = jnp.asarray(dataset.colormap)          # [256,3] uint8
+    else:
+        lut = jnp.asarray(dataset.embedding_reversed)
+        if lut.ndim != 1:
+            # color-coded datasets reverse-embed to their colormap
+            lut = jnp.asarray(dataset.colormap)
+
+    @jax.jit
+    def predict(stack):
+        image = stack[..., :3].astype(jnp.float32) / 255.0
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            image, training=False)
+        prob = jax.nn.softmax(logits, axis=-1)
+        if out_hw is not None:
+            prob = jax.image.resize(
+                prob, (prob.shape[0], out_hw[0], out_hw[1],
+                       prob.shape[-1]), method="bilinear")
+        pred = jnp.argmax(prob, axis=-1)
+        return lut[pred]  # uint8 [B,h,w] or [B,h,w,3]
+
+    written = []
+    for b in cli.progress(rec_loader.batches(), "inference",
+                          total=rec_loader.num_batches()):
+        out = np.asarray(predict(b["stack"]))
+        for j in range(len(out)):
+            if not b["valid"][j]:
+                continue
+            file_id = os.path.basename(
+                str(rec_loader.filenames[b["index"][j]]))
+            file_id = file_id.replace(".tfrecord", "")
+            path = os.path.join(args.output, file_id + ".png")
+            with open(path, "wb") as fp:
+                fp.write(etl.encode_png(out[j]))
+            written.append(path)
+            logger.info("Written processed sample %s", file_id)
+    logger.info("Inference successfully finished (%d files).",
+                len(written))
+
+    if args.view:
+        _view(written)
+    return 0
+
+
+def _view(filepaths):
+    """matplotlib key-nav viewer (reference: inference.py:32-59),
+    in-process since there is no session loop to overlap with."""
+    import matplotlib.pyplot as plt
+
+    state = {"idx": 0}
+    fig = plt.figure()
+    ax = fig.gca()
+
+    def show():
+        ax.imshow(plt.imread(filepaths[state["idx"]]))
+        ax.set_xlabel(os.path.basename(filepaths[state["idx"]]))
+        fig.canvas.draw()
+
+    def on_key(event):
+        if event.key == "left":
+            state["idx"] = (state["idx"] - 1) % len(filepaths)
+        elif event.key == "right":
+            state["idx"] = (state["idx"] + 1) % len(filepaths)
+        show()
+
+    fig.canvas.mpl_connect("key_press_event", on_key)
+    show()
+    plt.show()
+
+
+def parse_arguments(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--checkpoint", type=str, dest="ckpt",
+                        required=True, help="Path to checkpoint file.")
+    parser.add_argument("-d", "--data-dir", type=str, dest="data_dir",
+                        required=True,
+                        help="Path to dataset test set directory.")
+    parser.add_argument("-o", "--output", type=str, dest="output",
+                        required=True,
+                        help="Output directory to store prediction maps.")
+    parser.add_argument("-t", "--dataset", type=str, dest="dataset",
+                        required=True,
+                        help="Dataset type: {cityscapes, freiburg, "
+                             "vistas}.")
+    parser.add_argument("-s", "--output-size", type=int, nargs=2,
+                        dest="size", required=False, default=None,
+                        help="Size of the output images.")
+    parser.add_argument("--color", action="store_true", required=False,
+                        default=False, dest="color")
+    parser.add_argument("-b", "--batch-size", type=int, default=1,
+                        dest="batch_size", required=False)
+    parser.add_argument("--view", action="store_true", default=False,
+                        dest="view", help="Interactive result viewer.")
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    cli.setup_logging()
+    sys.exit(main(parse_arguments()))

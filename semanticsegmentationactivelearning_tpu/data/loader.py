@@ -76,17 +76,32 @@ class RecordLoader:
     def __init__(self, filenames: Sequence[str], batch_size: int,
                  storage_hw: Optional[Tuple[int, int]] = None,
                  channels: int = 3, num_workers: int = 8,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_native: str = "auto",
+                 min_hw: Optional[Tuple[int, int]] = None):
         self.filenames = np.asarray(filenames)
         self.batch_size = int(batch_size)
         self.channels = channels
         self.num_workers = num_workers
         self.prefetch = prefetch
+        if use_native == "auto":
+            from . import native
+            self._native = native if native.available() else None
+        elif use_native:
+            from . import native
+            self._native = native
+        else:
+            self._native = None
         if storage_hw is None:
             if len(self.filenames) == 0:
                 raise ValueError("Empty dataset and no storage_hw given")
             h, w, _c = example.peek_dims(str(self.filenames[0]))
             storage_hw = (h, w)
+        if min_hw is not None:
+            # storage must cover the network crop window; smaller
+            # records get zero/ignore padding that the crop may include
+            # (padding pixels are masked out downstream)
+            storage_hw = (max(storage_hw[0], min_hw[0]),
+                          max(storage_hw[1], min_hw[1]))
         self.storage_hw = tuple(storage_hw)
 
     @property
@@ -105,13 +120,23 @@ class RecordLoader:
         has_label = np.zeros(bs, dtype=bool)
         valid = np.zeros(bs, dtype=bool)
         paths = [str(self.filenames[i]) for i in order]
-        results = list(pool.map(
-            lambda p: load_stack(p, self.storage_hw, self.channels), paths))
-        for j, (s, h, w, hl) in enumerate(results):
-            stack[j] = s
-            heights[j], widths[j] = h, w
-            has_label[j] = hl
-            valid[j] = True
+        if self._native is not None:
+            nstack, nh, nw, nhl = self._native.load_batch(
+                paths, self.storage_hw, self.channels,
+                num_threads=self.num_workers)
+            stack[:n] = nstack
+            heights[:n], widths[:n] = nh, nw
+            has_label[:n] = nhl
+            valid[:n] = True
+        else:
+            results = list(pool.map(
+                lambda p: load_stack(p, self.storage_hw, self.channels),
+                paths))
+            for j, (s, h, w, hl) in enumerate(results):
+                stack[j] = s
+                heights[j], widths[j] = h, w
+                has_label[j] = hl
+                valid[j] = True
         if n < bs:
             # Pad by repeating the last decoded example; padding rows are
             # masked out downstream via `valid`.

@@ -3,8 +3,9 @@ an empty stub there, models/icnet/icnet.py:1-7, and is fully implemented
 here)."""
 
 from .enet import ENet
+from .icnet import ICNet
 
-_REGISTRY = {"enet": ENet}
+_REGISTRY = {"enet": ENet, "icnet": ICNet}
 
 
 def get_model(name: str, num_classes: int, **kwargs):
@@ -15,4 +16,4 @@ def get_model(name: str, num_classes: int, **kwargs):
     return cls(num_classes=num_classes, **kwargs)
 
 
-__all__ = ["ENet", "get_model"]
+__all__ = ["ENet", "ICNet", "get_model"]

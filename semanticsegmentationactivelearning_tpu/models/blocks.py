@@ -13,7 +13,7 @@ uniform like the reference (enet.py:11).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -36,9 +36,11 @@ class PReLU(nn.Module):
         return xops.prelu(x, alpha.astype(x.dtype))
 
 
-def _batch_norm(training: bool, name: str) -> nn.BatchNorm:
+def _batch_norm(training: bool, name: str,
+                dtype=jnp.float32) -> nn.BatchNorm:
+    # statistics/params stay fp32; activations may be bf16
     return nn.BatchNorm(use_running_average=not training, momentum=0.90,
-                        epsilon=1e-3, name=name)
+                        epsilon=1e-3, dtype=dtype, name=name)
 
 
 class Initial(nn.Module):
@@ -46,16 +48,18 @@ class Initial(nn.Module):
     -> BN -> PReLU (enet_modules.py:45-224)."""
 
     output_channels: int = 16
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool):
+        x = x.astype(self.dtype)
         filters = self.output_channels - x.shape[-1]
         conv = nn.Conv(filters, (3, 3), strides=(2, 2), padding="SAME",
                        use_bias=False, kernel_init=_KERNEL_INIT,
-                       name="conv")(x)
+                       dtype=self.dtype, name="conv")(x)
         pool = xops.max_pool_2x2(x)
         out = jnp.concatenate([conv, pool], axis=-1)
-        out = _batch_norm(training, "bn")(out)
+        out = _batch_norm(training, "bn", self.dtype)(out)
         return PReLU(name="prelu")(out)
 
 
@@ -73,35 +77,42 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     projection_rate: int = 4
     drop_rate: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool):
+        x = x.astype(self.dtype)
         cin = x.shape[-1]
         filters = cin // self.projection_rate
         k = self.kernel_size
 
         h = nn.Conv(filters, (1, 1), use_bias=False,
-                    kernel_init=_KERNEL_INIT, name="proj_conv")(x)
-        h = _batch_norm(training, "proj_bn")(h)
+                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                    name="proj_conv")(x)
+        h = _batch_norm(training, "proj_bn", self.dtype)(h)
         h = PReLU(name="proj_prelu")(h)
 
         if self.asymmetric:
             # (k,1) then (1,k), the reference's KernelCol/KernelRow order
             # (enet_modules.py:553-563).
             h = nn.Conv(filters, (k, 1), use_bias=False, padding="SAME",
-                        kernel_init=_KERNEL_INIT, name="conv_col")(h)
+                        kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                        name="conv_col")(h)
             h = nn.Conv(filters, (1, k), use_bias=False, padding="SAME",
-                        kernel_init=_KERNEL_INIT, name="conv_row")(h)
+                        kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                        name="conv_row")(h)
         else:
             h = nn.Conv(filters, (k, k), use_bias=False, padding="SAME",
                         kernel_dilation=(self.dilation, self.dilation),
-                        kernel_init=_KERNEL_INIT, name="conv")(h)
-        h = _batch_norm(training, "conv_bn")(h)
+                        kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                        name="conv")(h)
+        h = _batch_norm(training, "conv_bn", self.dtype)(h)
         h = PReLU(name="conv_prelu")(h)
 
         h = nn.Conv(self.output_channels, (1, 1), use_bias=False,
-                    kernel_init=_KERNEL_INIT, name="exp_conv")(h)
-        h = _batch_norm(training, "exp_bn")(h)
+                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                    name="exp_conv")(h)
+        h = _batch_norm(training, "exp_bn", self.dtype)(h)
         if training and self.drop_rate > 0.0:
             h = xops.spatial_dropout(h, self.drop_rate,
                                      self.make_rng("dropout"), training)
@@ -120,27 +131,31 @@ class BottleneckDownsample(nn.Module):
     output_channels: int
     projection_rate: int = 4
     drop_rate: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = x.astype(self.dtype)
         cin = x.shape[-1]
         filters = 2 * (cin // self.projection_rate)
 
         h = nn.Conv(filters, (2, 2), strides=(2, 2), padding="SAME",
                     use_bias=False, kernel_init=_KERNEL_INIT,
-                    name="proj_conv")(x)
-        h = _batch_norm(training, "proj_bn")(h)
+                    dtype=self.dtype, name="proj_conv")(x)
+        h = _batch_norm(training, "proj_bn", self.dtype)(h)
         h = PReLU(name="proj_prelu")(h)
 
         h = nn.Conv(filters, (3, 3), use_bias=False, padding="SAME",
-                    kernel_init=_KERNEL_INIT, name="conv")(h)
-        h = _batch_norm(training, "conv_bn")(h)
+                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                    name="conv")(h)
+        h = _batch_norm(training, "conv_bn", self.dtype)(h)
         h = PReLU(name="conv_prelu")(h)
 
         h = nn.Conv(self.output_channels, (1, 1), use_bias=False,
-                    kernel_init=_KERNEL_INIT, name="exp_conv")(h)
-        h = _batch_norm(training, "exp_bn")(h)
+                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                    name="exp_conv")(h)
+        h = _batch_norm(training, "exp_bn", self.dtype)(h)
         if training and self.drop_rate > 0.0:
             h = xops.spatial_dropout(h, self.drop_rate,
                                      self.make_rng("dropout"), training)
@@ -162,45 +177,56 @@ class BottleneckUpsample(nn.Module):
     output_channels: int
     projection_rate: int = 4
     drop_rate: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, switches, training: bool):
+        x = x.astype(self.dtype)
         cin = x.shape[-1]
         proj_filters = cin // self.projection_rate
         conv_filters = proj_filters // 2
 
         h = nn.Conv(proj_filters, (1, 1), use_bias=False,
-                    kernel_init=_KERNEL_INIT, name="proj_conv")(x)
-        h = _batch_norm(training, "proj_bn")(h)
+                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                    name="proj_conv")(x)
+        h = _batch_norm(training, "proj_bn", self.dtype)(h)
         h = PReLU(name="proj_prelu")(h)
 
         h = nn.ConvTranspose(conv_filters, (3, 3), strides=(2, 2),
                              padding="SAME", use_bias=False,
-                             kernel_init=_KERNEL_INIT, name="deconv")(h)
-        h = _batch_norm(training, "conv_bn")(h)
+                             kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                             name="deconv")(h)
+        h = _batch_norm(training, "conv_bn", self.dtype)(h)
         h = PReLU(name="conv_prelu")(h)
 
         h = nn.Conv(self.output_channels, (1, 1), use_bias=False,
-                    kernel_init=_KERNEL_INIT, name="exp_conv")(h)
-        h = _batch_norm(training, "exp_bn")(h)
+                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                    name="exp_conv")(h)
+        h = _batch_norm(training, "exp_bn", self.dtype)(h)
         if training and self.drop_rate > 0.0:
             h = xops.spatial_dropout(h, self.drop_rate,
                                      self.make_rng("dropout"), training)
 
         res = nn.Conv(self.output_channels, (1, 1), use_bias=False,
-                      kernel_init=_KERNEL_INIT, name="res_conv")(x)
+                      kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                      name="res_conv")(x)
         res = xops.unpool_with_switches(res, switches)
         return PReLU(name="res_prelu")(h + res)
 
 
 class Final(nn.Module):
-    """3x3/s2 transpose conv to class logits (enet_modules.py:1294-1381)."""
+    """3x3/s2 transpose conv to class logits (enet_modules.py:1294-1381).
+
+    Computes in the model dtype but emits float32 logits so loss /
+    softmax numerics are dtype-independent."""
 
     classes: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.ConvTranspose(self.classes, (3, 3), strides=(2, 2),
-                                padding="SAME", use_bias=False,
-                                kernel_init=_KERNEL_INIT,
-                                name="deconv")(x)
+        out = nn.ConvTranspose(self.classes, (3, 3), strides=(2, 2),
+                               padding="SAME", use_bias=False,
+                               kernel_init=_KERNEL_INIT,
+                               dtype=self.dtype, name="deconv")(x)
+        return out.astype(jnp.float32)

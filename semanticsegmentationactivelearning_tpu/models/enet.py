@@ -22,9 +22,10 @@ train.py:120-121) — here they are ordinary submodules.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from .blocks import (Bottleneck, BottleneckDownsample, BottleneckUpsample,
                      Final, Initial)
@@ -35,36 +36,45 @@ _KERNEL_INIT = nn.initializers.glorot_uniform()
 class ENet(nn.Module):
     num_classes: int
     drop_rates: Sequence[float] = (0.01, 0.1, 0.1, 0.1, 0.1)
+    dtype: Any = jnp.float32   # computation dtype; bf16 for TPU speed
+
+    # equal per-head loss weighting (see __call__ loss-head contract)
+    ms_loss_weights = None
+    # scoring can stop at pre-Final features (see return_pre_logits)
+    supports_fused_scoring = True
 
     def setup(self):
         if len(self.drop_rates) != 5:
             raise ValueError(
                 "Illegal argument value drop_rates, length must be 5.")
         dr = self.drop_rates
-        self.Initial_ = Initial(16, name="Initial")
+        dt = self.dtype
+        self.Initial_ = Initial(16, dtype=dt, name="Initial")
 
         self.Bottleneck1_0 = BottleneckDownsample(
-            64, drop_rate=dr[0], name="Bottleneck1_0")
+            64, drop_rate=dr[0], dtype=dt, name="Bottleneck1_0")
         self.stage1 = [
-            Bottleneck(64, drop_rate=dr[0], name=f"Bottleneck1_{i}")
+            Bottleneck(64, drop_rate=dr[0], dtype=dt,
+                       name=f"Bottleneck1_{i}")
             for i in range(1, 5)]
 
         self.Bottleneck2_0 = BottleneckDownsample(
-            128, drop_rate=dr[1], name="Bottleneck2_0")
+            128, drop_rate=dr[1], dtype=dt, name="Bottleneck2_0")
         self.stage2 = self._dilated_stage(2, dr[1])
         self.stage3 = self._dilated_stage(3, dr[2])
 
         self.Bottleneck4_0 = BottleneckUpsample(
-            64, drop_rate=dr[3], name="Bottleneck4_0")
+            64, drop_rate=dr[3], dtype=dt, name="Bottleneck4_0")
         self.stage4 = [
-            Bottleneck(64, drop_rate=dr[3], name=f"Bottleneck4_{i}")
+            Bottleneck(64, drop_rate=dr[3], dtype=dt,
+                       name=f"Bottleneck4_{i}")
             for i in (1, 2)]
 
         self.Bottleneck5_0 = BottleneckUpsample(
-            16, drop_rate=dr[4], name="Bottleneck5_0")
-        self.Bottleneck5_1 = Bottleneck(16, drop_rate=dr[4],
+            16, drop_rate=dr[4], dtype=dt, name="Bottleneck5_0")
+        self.Bottleneck5_1 = Bottleneck(16, drop_rate=dr[4], dtype=dt,
                                         name="Bottleneck5_1")
-        self.Final_ = Final(self.num_classes, name="Final")
+        self.Final_ = Final(self.num_classes, dtype=dt, name="Final")
 
         # Multiscale-loss endpoint heads (1x1 conv to classes), one per
         # endpoint below the final logits (losses.py:122-132).
@@ -83,11 +93,12 @@ class ENet(nn.Module):
             blocks.append(Bottleneck(
                 128, dilation=dilation, asymmetric=asym,
                 kernel_size=5 if asym else 3, drop_rate=drop_rate,
-                name=f"Bottleneck{stage}_{i}"))
+                dtype=self.dtype, name=f"Bottleneck{stage}_{i}"))
         return blocks
 
     def __call__(self, x, training: bool = False,
-                 multiscale: bool = False):
+                 multiscale: bool = False,
+                 return_pre_logits: bool = False):
         h = self.Initial_(x, training)
 
         h, switches1 = self.Bottleneck1_0(h, training)
@@ -109,10 +120,20 @@ class ENet(nn.Module):
         h = self.Bottleneck5_0(h, switches1, training)
         b5_1 = self.Bottleneck5_1(h, training)
 
+        if return_pre_logits:
+            # Pre-Final features for the fused scoring path
+            # (ops/acquisition.py): the Final transpose conv + softmax +
+            # entropy are then evaluated in spatial chunks so the padded
+            # full-resolution logits never materialize in HBM.
+            return b5_1
+
         logits = self.Final_(b5_1)
         if not multiscale:
             return logits
         endpoints = (b5_1, b4_2, b3_8)
-        ms_logits = tuple(head(ep)
+        ms_logits = tuple(head(ep).astype(jnp.float32)
                           for head, ep in zip(self.ms_heads, endpoints))
-        return logits, ms_logits
+        # Loss-head contract: primary head first, then the endpoint
+        # heads; the reference sums CE equally over all of them
+        # (losses.py:115-152), so ms_loss_weights stays None.
+        return logits, (logits, *ms_logits)

@@ -55,6 +55,56 @@ def mean_confidence(logits: jnp.ndarray, measure: str,
                     axis=(1, 2))
 
 
+def chunked_deconv_mean_confidence(features: jnp.ndarray,
+                                   kernel: jnp.ndarray, measure: str,
+                                   num_classes: int,
+                                   chunk: int = 32) -> jnp.ndarray:
+    """Fused tail of the scoring pass: 3x3/s2 transpose conv (the ENet
+    ``Final`` layer) -> softmax -> confidence -> per-image mean, streamed
+    over row chunks of the half-resolution features.
+
+    Why: the full-resolution logits ``[N,H,W,C]`` pad C to 128 lanes on
+    TPU — 6.7x HBM expansion for C=19, which both wastes ~16GB of
+    bandwidth per scoring step and OOMs batches >=8 at 1024x2048
+    (measured; see bench.py). Chunking keeps only a
+    ``[N, 2*chunk+4, W, C]`` logits window live, so HBM traffic for the
+    tail drops to the features themselves.
+
+    Chunks carry a one-row halo on each side: a stride-2 kernel-3
+    transpose conv's output row ``y`` draws from input rows
+    ``floor((y-1)/2)..floor((y+1)/2)``, so after running SAME on the
+    haloed slice the two outermost output rows are invalid and dropped.
+
+    :param features: ``[N, H2, W2, cin]`` pre-Final features (H = 2*H2)
+    :param kernel:   ``[3, 3, cin, C]`` flax ConvTranspose kernel
+    :returns: ``[N]`` mean confidence (float32)
+    """
+    n, h2, w2, _cin = features.shape
+    if h2 % chunk != 0:
+        # fall back to one chunk if the height doesn't divide evenly
+        chunk = h2
+    num_chunks = h2 // chunk
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    # zero-pad one feature row top+bottom so halo slices never clamp
+    padded = jnp.pad(features, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    def body(i, acc):
+        rows = jax.lax.dynamic_slice(
+            padded, (0, i * chunk, 0, 0),
+            (n, chunk + 2, w2, features.shape[-1]))
+        logits = jax.lax.conv_transpose(
+            rows.astype(kernel.dtype), kernel, strides=(2, 2),
+            padding="SAME", dimension_numbers=dn)
+        logits = logits[:, 2:-2].astype(jnp.float32)
+        conf = confidence_map(logits, measure, num_classes)
+        return acc + jnp.sum(conf, axis=(1, 2))
+
+    sums = jax.lax.fori_loop(0, num_chunks, body,
+                             jnp.zeros((n,), jnp.float32))
+    return sums / jnp.float32(h2 * 2 * w2 * 2)
+
+
 def pseudo_annotate(logits: jnp.ndarray, measure: str, num_classes: int,
                     threshold: float):
     """Pseudo-label + high-confidence mask from a no-dropout forward

@@ -18,7 +18,7 @@ created inside the loss; labels/masks are nearest-resized per scale.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,22 +74,30 @@ def _nearest_resize_2d(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
 def multiscale_masked_softmax_cross_entropy(
         labels: jnp.ndarray, logits_per_scale: Sequence[jnp.ndarray],
         mask: jnp.ndarray, num_classes: int, weight: float = 0.0,
-        label_smoothing: float = 0.0,
-        normalize: bool = False) -> jnp.ndarray:
-    """Sum of masked CE over full-resolution logits plus per-endpoint
-    head logits at decreasing scales (losses.py:76-156).
+        label_smoothing: float = 0.0, normalize: bool = False,
+        scale_weights: Optional[Sequence[float]] = None) -> jnp.ndarray:
+    """Sum of masked CE over logits heads at decreasing scales
+    (losses.py:76-156). Labels/masks are nearest-resized to each head.
 
-    :param logits_per_scale: ``[full_res, head_1/2, head_1/4, ...]``
+    :param logits_per_scale: ``[primary, head_1/2, head_1/4, ...]``
+    :param scale_weights:    optional per-head loss weights (ICNet's
+                             cascade label guidance, arXiv:1704.08545
+                             §3.2 uses 1.0/0.4/0.4); None = all 1
     """
-    losses = [masked_softmax_cross_entropy(
-        labels, logits_per_scale[0], mask, num_classes, weight,
-        label_smoothing)]
-    for logits in logits_per_scale[1:]:
-        out_hw = (logits.shape[1], logits.shape[2])
-        labels_s = _nearest_resize_2d(labels, out_hw)
-        mask_s = _nearest_resize_2d(mask, out_hw)
-        losses.append(masked_softmax_cross_entropy(
-            labels_s, logits, mask_s, num_classes, weight, label_smoothing))
+    losses = []
+    for i, logits in enumerate(logits_per_scale):
+        if logits.shape[1:3] == labels.shape[1:3]:
+            labels_s, mask_s = labels, mask
+        else:
+            out_hw = (logits.shape[1], logits.shape[2])
+            labels_s = _nearest_resize_2d(labels, out_hw)
+            mask_s = _nearest_resize_2d(mask, out_hw)
+        term = masked_softmax_cross_entropy(
+            labels_s, logits, mask_s, num_classes, weight,
+            label_smoothing)
+        if scale_weights is not None:
+            term = term * scale_weights[i]
+        losses.append(term)
     total = sum(losses)
     if normalize:
         total = total / len(losses)

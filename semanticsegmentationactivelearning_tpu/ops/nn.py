@@ -45,23 +45,39 @@ def max_pool_with_switches(x: jnp.ndarray
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """2x2/stride-2 max pool returning (pooled, switches).
 
-    ``switches`` is bool ``[N,H/2,W/2,4,C]`` one-hot over the window
-    position of the (first) maximum — the dense equivalent of
-    ``tf.nn.max_pool_with_argmax`` indices (extra_ops.py:63-81 documents
-    the index-arithmetic bugs this design removes entirely).
+    ``switches`` records the window position (0..3, row-major,
+    first-maximum tie-breaking like tf.argmax) of each pooled value —
+    the dense equivalent of ``tf.nn.max_pool_with_argmax`` indices
+    (extra_ops.py:63-81 documents the index-arithmetic bugs the dense
+    design removes entirely).
+
+    Storage layout: int8 ``[N, H/2, (W/2)*C]``. The switch tensor stays
+    live from encoder to decoder, and a ``[N,h,w,4,C]`` one-hot would
+    pad its (4, C) minor dims to (8, 128) tiles — a 16x HBM blowup that
+    OOMs 1024x2048 batches; the flattened index layout pads to ~1x.
+    Treat it as opaque; use :func:`switches_to_onehot` to inspect.
     """
     win = _to_windows(x)
     pooled = jnp.max(win, axis=3)
-    idx = jnp.argmax(win, axis=3)  # first occurrence, like tf.argmax
-    switches = jax.nn.one_hot(idx, 4, axis=3, dtype=jnp.bool_)
-    return pooled, switches
+    idx = jnp.argmax(win, axis=3).astype(jnp.int8)  # first max, like tf
+    n, h2, w2, c = pooled.shape
+    return pooled, idx.reshape(n, h2, w2 * c)
+
+
+def switches_to_onehot(switches: jnp.ndarray, channels: int,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Expand opaque switches to one-hot ``[N,h,w,4,C]``."""
+    n, h2, flat = switches.shape
+    idx = switches.reshape(n, h2, flat // channels, channels)
+    return jax.nn.one_hot(idx, 4, axis=3, dtype=dtype)
 
 
 def unpool_with_switches(y: jnp.ndarray, switches: jnp.ndarray
                          ) -> jnp.ndarray:
     """Place each pooled value at its recorded window position, zeros
     elsewhere (the Zeiler/Fergus unpool; extra_ops.py:28-86)."""
-    scattered = y[:, :, :, None, :] * switches.astype(y.dtype)
+    onehot = switches_to_onehot(switches, y.shape[-1], dtype=y.dtype)
+    scattered = y[:, :, :, None, :] * onehot
     return _from_windows(scattered)
 
 

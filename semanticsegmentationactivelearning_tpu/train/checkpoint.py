@@ -98,6 +98,22 @@ class CheckpointManager:
         self._cached: Optional[str] = None
         self._save_counter = 0
         os.makedirs(directory, exist_ok=True)
+        # Resume counter + FIFO from a previous run in this directory so
+        # new saves never overwrite existing checkpoints (the reference
+        # persisted save_counter inside the TF checkpoint object,
+        # checkpoint_manager.py:52-58).
+        state_path = os.path.join(directory, STATE_FILE)
+        if os.path.exists(state_path):
+            try:
+                with open(state_path) as fp:
+                    meta = json.load(fp)
+                self._save_counter = int(meta.get("save_counter", 0))
+                self._checkpoints = [
+                    os.path.join(directory, name)
+                    for name in meta.get("checkpoints", [])
+                    if os.path.exists(os.path.join(directory, name))]
+            except (ValueError, OSError):
+                pass
 
     @property
     def directory(self) -> str:

@@ -65,14 +65,31 @@ def create_train_state(model, optimizer: optax.GradientTransformation,
                       epoch=jnp.zeros((), jnp.int32))
 
 
+def _mesh_shardings(mesh, num_batch_args: int = 1):
+    """jit sharding kwargs for a step over a ``("data",)`` mesh: state
+    and PRNG keys replicated, batch leaves sharded on the batch axis.
+    With no mesh, plain single-device jit."""
+    if mesh is None:
+        return {}
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return {"repl": repl, "data": data}
+
+
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     num_classes: int, hyperparams: Dict[str, Any],
-                    pseudo_cfg: Optional[Dict[str, Any]] = None):
+                    pseudo_cfg: Optional[Dict[str, Any]] = None,
+                    mesh=None):
     """Build the jitted supervised (or pseudo-labeling) train step.
 
     :param hyperparams: the conf ``hyperparams`` block (C22 schema)
     :param pseudo_cfg:  ``{"measure": ..., "threshold": ...}`` enables
                         the AL pseudo-annotation path
+    :param mesh:        optional ``("data",)`` mesh for SPMD data
+                        parallelism: batch sharded over devices, params
+                        replicated, gradient/metric reductions become
+                        ICI psums inserted by XLA
     """
     softmax_cfg = hyperparams.get("softmax", {})
     reg_cfg = hyperparams.get("weight_reg", {})
@@ -83,7 +100,14 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     l2 = float(reg_cfg.get("L2", 0.0))
     glorot_scaling = bool(reg_cfg.get("glorot_scaling", False))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    sh = _mesh_shardings(mesh)
+    jit_kwargs = {}
+    if sh:
+        jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"],
+                                        sh["repl"]),
+                          out_shardings=(sh["repl"], sh["repl"]))
+
+    @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    key: jax.Array):
         image = batch["image"]          # distorted crop
@@ -110,10 +134,12 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                 image, training=True, multiscale=multiscale,
                 rngs={"dropout": key}, mutable=["batch_stats"])
             if multiscale:
-                logits, ms_logits = outputs
+                logits, loss_heads = outputs
                 loss = losses.multiscale_masked_softmax_cross_entropy(
-                    label, [logits, *ms_logits], mask, num_classes,
-                    weight, label_smoothing)
+                    label, loss_heads, mask, num_classes,
+                    weight, label_smoothing,
+                    scale_weights=getattr(model, "ms_loss_weights",
+                                          None))
             else:
                 logits = outputs
                 loss = losses.masked_softmax_cross_entropy(
@@ -142,10 +168,15 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(model, num_classes: int):
+def make_eval_step(model, num_classes: int, mesh=None):
     """Jitted evaluation step: logits -> argmax -> confusion matrix."""
+    sh = _mesh_shardings(mesh)
+    jit_kwargs = {}
+    if sh:
+        jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
+                          out_shardings=sh["repl"])
 
-    @jax.jit
+    @functools.partial(jax.jit, **jit_kwargs)
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -158,15 +189,35 @@ def make_eval_step(model, num_classes: int):
     return eval_step
 
 
-def make_score_step(model, num_classes: int, measure: str):
+def make_score_step(model, num_classes: int, measure: str, mesh=None,
+                    fused: bool = True):
     """Jitted pool-scoring step: forward + fused per-image mean
-    confidence (the acquisition hot loop, active_learning.py:697-698)."""
+    confidence (the acquisition hot loop, active_learning.py:697-698).
 
-    @jax.jit
+    For models exposing pre-logits features (ENet), the classifier
+    deconv + softmax + confidence + mean run chunked so full-resolution
+    logits never materialize in HBM
+    (acquisition.chunked_deconv_mean_confidence)."""
+    sh = _mesh_shardings(mesh)
+    jit_kwargs = {}
+    if sh:
+        # scores stay batch-sharded; the host gather assembles them
+        jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
+                          out_shardings=sh["data"])
+    use_fused = fused and getattr(model, "supports_fused_scoring", False)
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def score_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        logits = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["image"], training=False)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if use_fused:
+            features = model.apply(variables, batch["image"],
+                                   training=False,
+                                   return_pre_logits=True)
+            kernel = state.params["Final"]["deconv"]["kernel"]
+            return acquisition.chunked_deconv_mean_confidence(
+                features, kernel, measure, num_classes)
+        logits = model.apply(variables, batch["image"], training=False)
         return acquisition.mean_confidence(logits, measure, num_classes)
 
     return score_step

@@ -1,0 +1,160 @@
+"""Active-learning loop integration test on a tiny synthetic dataset:
+state.json round-trip, selection determinism under fixed seeds, label
+set growth, and the random-baseline branch (SURVEY.md §4e)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=1",
+           JAX_COMPILATION_CACHE_DIR="/tmp/ssal_test_jax_cache")
+
+
+@pytest.fixture(scope="module")
+def records(tmp_path_factory):
+    root = tmp_path_factory.mktemp("freiburg")
+    rng = np.random.default_rng(1)
+    colors = np.array([(170, 170, 170), (0, 255, 0), (102, 102, 51),
+                       (0, 120, 255), (0, 0, 0)], dtype=np.uint8)
+    img_colors = np.array([(200, 40, 40), (40, 200, 40), (40, 40, 200),
+                           (200, 200, 40), (40, 200, 200)], dtype=np.uint8)
+    for split, n in [("train", 26), ("test", 4)]:
+        (root / split / "GT_color").mkdir(parents=True)
+        (root / split / "rgb").mkdir(parents=True)
+        for i in range(n):
+            idx = rng.integers(0, len(colors), (4, 6))
+            big = np.kron(idx, np.ones((8, 8), np.int64))
+            Image.fromarray(colors[big]).save(
+                root / split / "GT_color" / f"{split[0]}{i:03d}_mask.png")
+            img = np.clip(img_colors[big].astype(int) +
+                          rng.integers(-20, 20, (32, 48, 3)),
+                          0, 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                root / split / "rgb" / f"{split[0]}{i:03d}.png")
+    out = tmp_path_factory.mktemp("records")
+    res = subprocess.run(
+        [sys.executable, "generate_dataset.py", "-d", str(root),
+         "-t", "freiburg", "-o", str(out)], cwd=REPO,
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    return out
+
+
+def _conf(tmp_path, selection_size=3, measure="entropy",
+          iterations=2):
+    conf = {
+        "batch_size": 4,
+        "epochs": 1,                      # patience of 1 epoch
+        "hyperparams": {
+            "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
+            "learning_rate": 1e-3,
+            "learning_rate_decay": 0.0,
+            "optimizer": {"type": "Adam",
+                          "kwargs": {"beta1": 0.9, "beta2": 0.99}},
+            "weight_reg": {"L2": 2e-4, "L1": 0.0,
+                           "glorot_scaling": False},
+            "softmax": {"label_smoothing": 0.0,
+                        "loginverse_scaling": 0.0, "multiscale": False},
+        },
+        "network": {"model": "ENet",
+                    "input": {"height": 32, "width": 48}},
+        "active_learning": {
+            "iterations": iterations,
+            "num_initially_labelled": 6,
+            "num_validation": 4,
+            "pseudo_labelling_proportion": 0.25,
+            "selection_size": selection_size,
+            "measure": measure,
+            "threshold": 0.9,
+            "epochs/warm_up": 1,
+        },
+    }
+    path = tmp_path / "al.json"
+    path.write_text(json.dumps(conf))
+    return path
+
+
+def _run(records, log_dir, conf_path, timeout=900):
+    return subprocess.run(
+        [sys.executable, "active_learning.py", "freiburg",
+         "-d", str(records), "-l", str(log_dir), "-p", str(conf_path)],
+        cwd=REPO, env=ENV, capture_output=True, text=True,
+        timeout=timeout)
+
+
+class TestActiveLearningCLI:
+    def test_two_rounds_end_to_end(self, records, tmp_path):
+        log_dir = tmp_path / "al_log"
+        res = _run(records, log_dir, _conf(tmp_path))
+        assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+
+        state = json.loads((log_dir / "state.json").read_text())
+        # schema identical to the reference
+        assert set(state) == {"checkpoint", "iteration", "dataset"}
+        assert set(state["dataset"]) == {"train", "val", "test"}
+        assert set(state["dataset"]["train"]) == {
+            "filenames", "labelled", "unlabelled", "no_label"}
+        assert state["iteration"] == 2
+        # 26 train records -> 1 to val-split... (freiburg strided split
+        # happens at ETL time; num_validation=4 taken off the top here)
+        n_train = len(state["dataset"]["train"]["filenames"])
+        lab = state["dataset"]["train"]["labelled"]
+        unlab = state["dataset"]["train"]["unlabelled"]
+        # 6 initial + 3 per round * 2 rounds
+        assert len(lab) == 6 + 3 * 2
+        assert len(lab) + len(unlab) == n_train
+        assert set(lab).isdisjoint(unlab)
+        assert state["checkpoint"] is not None
+        assert os.path.exists(state["checkpoint"])
+
+        # round subdirectories with committed checkpoints
+        assert (log_dir / "pretrain").is_dir()
+        assert (log_dir / "iter-1").is_dir()
+
+        # metrics: test curve keyed by labelled count + confidence hist
+        lines = [json.loads(l) for l in
+                 (log_dir / "metrics.jsonl").read_text().splitlines()]
+        tests = [l for l in lines if l["split"] == "al_test"]
+        assert [t["labelled"] for t in tests] == [6, 9]
+        hists = [l for l in lines if l["split"] == "al_confidence"]
+        assert len(hists) == 2
+        # round-0 histogram covers the then-unlabelled pool (before the
+        # two selections of 3 were moved out of it)
+        assert sum(hists[0]["histogram"]) == len(unlab) + 6
+        assert sum(hists[1]["histogram"]) == len(unlab) + 3
+
+    def test_resume_from_state(self, records, tmp_path):
+        log_dir = tmp_path / "al_log2"
+        conf_path = _conf(tmp_path, iterations=1)
+        res = _run(records, log_dir, conf_path)
+        assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+        state1 = json.loads((log_dir / "state.json").read_text())
+        assert state1["iteration"] == 1
+
+        # bump iterations and resume: picks up state + checkpoint
+        conf_path2 = _conf(tmp_path, iterations=2)
+        res2 = _run(records, log_dir, conf_path2)
+        assert res2.returncode == 0, res2.stdout[-2000:] + res2.stderr[-2000:]
+        assert "Resuming from checkpoint" in res2.stdout
+        state2 = json.loads((log_dir / "state.json").read_text())
+        assert state2["iteration"] == 2
+        assert len(state2["dataset"]["train"]["labelled"]) == \
+            len(state1["dataset"]["train"]["labelled"]) + 3
+
+    def test_random_baseline_branch(self, records, tmp_path):
+        # negative selection_size -> random draw of |N| (the baseline
+        # config's semantics)
+        log_dir = tmp_path / "al_log3"
+        res = _run(records, log_dir,
+                   _conf(tmp_path, selection_size=-3, iterations=1))
+        assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+        state = json.loads((log_dir / "state.json").read_text())
+        assert len(state["dataset"]["train"]["labelled"]) == 9

@@ -31,13 +31,15 @@ class TestForward:
     def test_multiscale_endpoint_shapes(self, enet_and_vars):
         model, variables = enet_and_vars
         x = jnp.ones((1, 32, 48, 3), jnp.float32)
-        logits, ms = model.apply(variables, x, training=False,
-                                 multiscale=True)
+        logits, heads = model.apply(variables, x, training=False,
+                                    multiscale=True)
         assert logits.shape == (1, 32, 48, 6)
-        # endpoints at 1/2 (b5_1), 1/4 (b4_2), 1/8 (b3_8) resolution
-        assert ms[0].shape == (1, 16, 24, 6)
-        assert ms[1].shape == (1, 8, 12, 6)
-        assert ms[2].shape == (1, 4, 6, 6)
+        # loss heads: primary (full res) + endpoints at 1/2 (b5_1),
+        # 1/4 (b4_2), 1/8 (b3_8) resolution
+        assert heads[0] is logits
+        assert heads[1].shape == (1, 16, 24, 6)
+        assert heads[2].shape == (1, 8, 12, 6)
+        assert heads[3].shape == (1, 4, 6, 6)
 
     def test_eval_deterministic(self, enet_and_vars):
         model, variables = enet_and_vars

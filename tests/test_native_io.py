@@ -1,0 +1,69 @@
+"""Native IO library tests: CRC32C vectors, decode parity with the
+pure-Python loader path, and error handling."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from semanticsegmentationactivelearning_tpu.data import (
+    SegExample, etl, loader, make_example, native, tfrecord)
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native IO library not built")
+
+
+class TestCRC:
+    def test_crc32c_vector(self):
+        # Castagnoli test vector
+        assert native.crc32c(b"123456789") == 0xE3069283
+
+    def test_masked_matches_python(self):
+        data = b"some tfrecord payload" * 7
+        assert native.masked_crc32c(data) == tfrecord.masked_crc32c(data)
+
+
+@pytest.fixture
+def record_files(tmp_path):
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(6):
+        img = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+        lbl = rng.integers(0, 6, (20, 30), dtype=np.uint8)
+        ex = SegExample(
+            file_id=f"n{i}", height=20, width=30,
+            label=etl.encode_png(lbl) if i != 5 else None,
+            modalities={"image": (
+                etl.encode_png(img) if i % 2 == 0 else
+                etl.encode_image(img, "jpg"), "png", 3)})
+        p = str(tmp_path / f"n{i}.tfrecord")
+        tfrecord.write_record_file(p, make_example(ex))
+        paths.append(p)
+    return paths
+
+
+class TestNativeBatch:
+    def test_parity_with_python_loader(self, record_files):
+        stack, h, w, hl = native.load_batch(record_files, (24, 32))
+        assert stack.shape == (6, 24, 32, 4)
+        for j, p in enumerate(record_files):
+            ps, ph, pw, phl = loader.load_stack(p, (24, 32))
+            np.testing.assert_array_equal(stack[j], ps)
+            assert (h[j], w[j]) == (ph, pw)
+            assert hl[j] == phl
+        assert not hl[5]  # unlabelled record
+
+    def test_loader_uses_native(self, record_files):
+        ld = loader.RecordLoader(record_files, batch_size=4)
+        assert ld._native is not None
+        ld_py = loader.RecordLoader(record_files, batch_size=4,
+                                    use_native=False)
+        got_n = [b["stack"] for b in ld.batches()]
+        got_p = [b["stack"] for b in ld_py.batches()]
+        for a, b in zip(got_n, got_p):
+            np.testing.assert_array_equal(a, b)
+
+    def test_error_names_file(self, tmp_path):
+        bad = tmp_path / "bad.tfrecord"
+        bad.write_bytes(b"xx")
+        with pytest.raises(ValueError, match="bad.tfrecord"):
+            native.load_batch([str(bad)], (4, 4))

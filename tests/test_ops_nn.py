@@ -28,10 +28,13 @@ class TestPoolUnpool:
         pooled, switches = xops.max_pool_with_switches(jnp.array(x))
         expect = x.reshape(2, 4, 2, 5, 2, 3).max(axis=(2, 4))
         np.testing.assert_allclose(np.asarray(pooled), expect)
-        assert switches.shape == (2, 4, 5, 4, 3)
+        assert switches.shape == (2, 4, 5 * 3)  # compact int8 layout
+        assert switches.dtype == jnp.int8
+        onehot = xops.switches_to_onehot(switches, 3)
+        assert onehot.shape == (2, 4, 5, 4, 3)
         # exactly one switch per window/channel
         np.testing.assert_array_equal(
-            np.asarray(switches).sum(axis=3), np.ones((2, 4, 5, 3)))
+            np.asarray(onehot).sum(axis=3), np.ones((2, 4, 5, 3)))
 
     def test_unpool_places_values(self):
         x = jnp.array(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
@@ -62,8 +65,9 @@ class TestPoolUnpool:
         x = jnp.array(np.full((1, 2, 2, 1), 3.0, np.float32))
         _pooled, switches = xops.max_pool_with_switches(x)
         # all equal -> first window position wins
-        np.testing.assert_array_equal(
-            np.asarray(switches)[0, 0, 0, :, 0], [True, False, False, False])
+        onehot = np.asarray(xops.switches_to_onehot(switches, 1))
+        np.testing.assert_array_equal(onehot[0, 0, 0, :, 0],
+                                      [1.0, 0.0, 0.0, 0.0])
 
 
 class TestSpatialDropout:

@@ -64,8 +64,10 @@ def main(args):
     if not train_files:
         logger.error("No training records under %s", args.data_dir)
         return 1
-    train_loader = loader.RecordLoader(train_files, batch_size)
-    val_loader = loader.RecordLoader(val_files, batch_size) \
+    train_loader = loader.RecordLoader(train_files, batch_size,
+                                       min_hw=in_hw)
+    val_loader = loader.RecordLoader(val_files, batch_size,
+                                     min_hw=in_hw) \
         if val_files else None
     train_batches = train_loader.num_batches()
     logger.info("%d train / %d val examples", len(train_files),
