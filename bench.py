@@ -60,15 +60,18 @@ def main():
         training=False))(jax.random.PRNGKey(0))
     log(f"init: {time.time() - t0:.1f}s")
 
+    from semanticsegmentationactivelearning_tpu.ops import pallas_kernels
+
     @jax.jit
     def score(variables, image):
-        # fused tail: classifier deconv + softmax + entropy + mean run
-        # chunked so the padded full-res logits never hit HBM
+        # fused tail: the Pallas polyphase deconv+softmax+entropy+mean
+        # kernel — full-res logits never exist in HBM
         features = model.apply(variables, image, training=False,
                                return_pre_logits=True)
         kernel = variables["params"]["Final"]["deconv"]["kernel"]
-        return acquisition.chunked_deconv_mean_confidence(
-            features, kernel, "entropy", num_classes)
+        return pallas_kernels.fused_deconv_entropy_score(
+            features.astype(jnp.float32), kernel.astype(jnp.float32),
+            num_classes)
 
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.uniform(

@@ -55,7 +55,10 @@ def _conf(tmp_path, selection_size=3, measure="entropy",
         "epochs": 1,                      # patience of 1 epoch
         "hyperparams": {
             "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
-            "learning_rate": 1e-3,
+            # near-zero lr: val mIoU stays flat so the early-stopping
+            # loop exits after warm_up+patience epochs; the AL
+            # mechanics under test don't need a learning model
+            "learning_rate": 1e-7,
             "learning_rate_decay": 0.0,
             "optimizer": {"type": "Adam",
                           "kwargs": {"beta1": 0.9, "beta2": 0.99}},
