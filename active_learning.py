@@ -218,11 +218,18 @@ def main(args, logger):
 
     pseudo_cfg = {"measure": alparams["measure"],
                   "threshold": alparams["threshold"]}
+    mesh = None
+    if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
+        from semanticsegmentationactivelearning_tpu.parallel import \
+            make_mesh
+        mesh = make_mesh()
+        logger.info("Data-parallel over %d devices", jax.device_count())
     train_step = make_train_step(model, optimizer, dataset.num_classes,
-                                 hparams, pseudo_cfg=pseudo_cfg)
-    eval_step = make_eval_step(model, dataset.num_classes)
+                                 hparams, pseudo_cfg=pseudo_cfg,
+                                 mesh=mesh)
+    eval_step = make_eval_step(model, dataset.num_classes, mesh=mesh)
     score_step = make_score_step(model, dataset.num_classes,
-                                 alparams["measure"])
+                                 alparams["measure"], mesh=mesh)
 
     ckpt_manager = ckpt.CheckpointManager(args.log_dir)
     writer = cli.MetricsWriter(args.log_dir)

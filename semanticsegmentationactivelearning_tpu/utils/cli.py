@@ -125,10 +125,30 @@ def make_dataset(args):
         "Dataset \"%s\" not supported" % args.dataset)
 
 
+def respect_platform_env() -> None:
+    """Make ``JAX_PLATFORMS`` authoritative.
+
+    This container's sitecustomize registers the remote "axon" TPU
+    backend at interpreter start and forces ``jax_platforms=axon,cpu``
+    via config — silently overriding the environment variable. Tests
+    and CI set ``JAX_PLATFORMS=cpu`` expecting local execution; honor
+    it here (config updates after import do take effect)."""
+    import jax
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        try:
+            jax.config.update("jax_platforms", env)
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(log_dir: Optional[str] = None) -> None:
     """Persistent XLA compilation cache: a full-model remote compile
     takes minutes through the TPU relay, so cache across processes."""
     import jax
+
+    respect_platform_env()
 
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",

@@ -1,0 +1,55 @@
+"""Width-sharded conv with halo exchange == unsharded conv, exactly,
+on the 8-virtual-CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from semanticsegmentationactivelearning_tpu.parallel import spatial
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = np.array(jax.devices()[:8]).reshape(8)
+    return Mesh(devices, ("space",))
+
+
+class TestShardedConv:
+    @pytest.mark.parametrize("kernel_w", [1, 3, 5])
+    def test_matches_unsharded(self, mesh, kernel_w):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 8, 64, 4)).astype(np.float32))
+        k = jnp.asarray(rng.normal(
+            size=(3, kernel_w, 4, 6)).astype(np.float32))
+        want = jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        conv = spatial.make_sharded_conv(mesh, kernel_w)
+        xs = spatial.shard_width(x, mesh)
+        got = conv(xs, k)
+        assert len(got.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_halo_exchange_boundaries(self, mesh):
+        """Global edges receive zero halos, interior shards receive
+        their neighbors' columns."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        x = jnp.arange(16, dtype=jnp.float32).reshape(1, 1, 16, 1)
+
+        f = shard_map(
+            lambda b: spatial.halo_exchange_width(b, "space", 1),
+            mesh=mesh, in_specs=P(None, None, "space", None),
+            out_specs=P(None, None, "space", None))
+        out = np.asarray(f(spatial.shard_width(x, mesh)))[0, 0, :, 0]
+        # per-device blocks of 2 -> padded blocks of 4:
+        # [left_halo, c0, c1, right_halo]
+        first = out[:4]
+        np.testing.assert_array_equal(first, [0, 0, 1, 2])
+        last = out[-4:]
+        np.testing.assert_array_equal(last, [13, 14, 15, 0])

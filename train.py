@@ -106,9 +106,17 @@ def main(args):
 
     manager = ckpt.CheckpointManager(args.log_dir)
     writer = cli.MetricsWriter(args.log_dir)
+    # SPMD data parallelism over all local devices when the batch
+    # divides evenly (the reference had no DP at all; SURVEY.md)
+    mesh = None
+    if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
+        from semanticsegmentationactivelearning_tpu.parallel import \
+            make_mesh
+        mesh = make_mesh()
+        logger.info("Data-parallel over %d devices", jax.device_count())
     train_step = make_train_step(model, optimizer, dataset.num_classes,
-                                 hparams)
-    eval_step = make_eval_step(model, dataset.num_classes)
+                                 hparams, mesh=mesh)
+    eval_step = make_eval_step(model, dataset.num_classes, mesh=mesh)
 
     aug_rng = np.random.default_rng(args.seed)
     order_rng = np.random.default_rng(args.seed + 1)
