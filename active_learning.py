@@ -37,7 +37,7 @@ from semanticsegmentationactivelearning_tpu.models import get_model
 from semanticsegmentationactivelearning_tpu.ops import metrics as xmetrics
 from semanticsegmentationactivelearning_tpu.train import (
     checkpoint as ckpt, config as conf, create_train_state, make_eval_step,
-    make_score_step, make_train_step, optim)
+    make_pool_score_step, make_score_step, make_train_step, optim)
 from semanticsegmentationactivelearning_tpu.utils import cli
 
 logger = logging.getLogger(__name__)
@@ -230,6 +230,14 @@ def main(args, logger):
     eval_step = make_eval_step(model, dataset.num_classes, mesh=mesh)
     score_step = make_score_step(model, dataset.num_classes,
                                  alparams["measure"], mesh=mesh)
+    # single-chip pool scoring groups several loader batches into one
+    # dispatch (lax.map) to amortize fixed per-call overhead
+    score_group = 4
+    pool_score_step = None
+    if mesh is None:
+        pool_score_step = make_pool_score_step(
+            model, dataset.num_classes, alparams["measure"],
+            micro_batch=batch_size)
 
     ckpt_manager = ckpt.CheckpointManager(args.log_dir)
     writer = cli.MetricsWriter(args.log_dir)
@@ -335,14 +343,37 @@ def main(args, logger):
         batches = cli.progress(train_loader.batches(order),
                                "ranking[%d]" % len(labelled),
                                total=train_loader.num_batches())
+        import jax.numpy as jnp
+        buf_raw, buf_idx, buf_valid = [], [], []
+
+        def flush():
+            if not buf_raw:
+                return
+            if pool_score_step is not None and len(buf_raw) > 1:
+                scores = np.asarray(pool_score_step(
+                    tstate, jnp.concatenate(buf_raw, axis=0)))
+            else:
+                scores = np.concatenate([
+                    np.asarray(score_step(tstate, {"image": r}))
+                    for r in buf_raw])
+            idx = np.concatenate(buf_idx)
+            val = np.concatenate(buf_valid)
+            confidence[idx[val]] = scores[val]
+            buf_raw.clear()
+            buf_idx.clear()
+            buf_valid.clear()
+
         for b in batches:
             seed = int(aug_rng.integers(0, 2 ** 31 - 1))
             raw, _img, _lbl, _msk = pipeline.augment_batch(
                 b["stack"], b["heights"], b["widths"],
                 jax.random.PRNGKey(seed), crop_hw=in_hw)
-            scores = np.asarray(score_step(tstate, {"image": raw}))
-            valid = b["valid"]
-            confidence[b["index"][valid]] = scores[valid]
+            buf_raw.append(raw)
+            buf_idx.append(b["index"])
+            buf_valid.append(b["valid"])
+            if len(buf_raw) == score_group:
+                flush()
+        flush()
 
         unlabelled_conf = confidence[unlabelled]
         if len(unlabelled_conf) == 0:

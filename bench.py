@@ -62,8 +62,11 @@ def main():
 
     from semanticsegmentationactivelearning_tpu.ops import pallas_kernels
 
-    @jax.jit
-    def score(variables, image):
+    # group several micro-batches per dispatch (lax.map): fixed per-call
+    # overhead through the TPU relay is ~26ms
+    group = int(os.environ.get("BENCH_GROUP", 4))
+
+    def score_one(variables, image):
         # fused tail: the Pallas polyphase deconv+softmax+entropy+mean
         # kernel — full-res logits never exist in HBM
         features = model.apply(variables, image, training=False,
@@ -73,9 +76,13 @@ def main():
             features.astype(jnp.float32), kernel.astype(jnp.float32),
             num_classes)
 
+    @jax.jit
+    def score(variables, images):
+        return jax.lax.map(lambda im: score_one(variables, im), images)
+
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.uniform(
-        size=(batch, h, w, 3)).astype(np.float32))
+        size=(group, batch, h, w, 3)).astype(np.float32))
 
     # Warmup + compile. Through the axon relay block_until_ready is not
     # a reliable sync for jit outputs; fetching the (tiny) result is —
@@ -90,8 +97,8 @@ def main():
     for _ in range(iters):
         s = np.asarray(score(variables, image))
     dt = (time.time() - t0) / iters
-    imgs_per_sec = batch / dt
-    log(f"steady state: {dt * 1e3:.1f} ms/batch-{batch} "
+    imgs_per_sec = group * batch / dt
+    log(f"steady state: {dt * 1e3:.1f} ms/{group}x batch-{batch} "
         f"-> {imgs_per_sec:.2f} img/s/chip")
 
     # Scale to the baseline resolution if a smaller probe size was used

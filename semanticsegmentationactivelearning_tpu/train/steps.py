@@ -189,6 +189,55 @@ def make_eval_step(model, num_classes: int, mesh=None):
     return eval_step
 
 
+def _make_score_impl(model, num_classes: int, measure: str,
+                     fused: bool = True):
+    """Un-jitted scoring body shared by the per-batch and pooled steps."""
+    use_fused = fused and getattr(model, "supports_fused_scoring", False)
+    use_pallas = (use_fused and measure == "entropy"
+                  and jax.default_backend() not in ("cpu",))
+
+    def score_impl(state: TrainState, image: jnp.ndarray):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if use_fused:
+            features = model.apply(variables, image, training=False,
+                                   return_pre_logits=True)
+            kernel = state.params["Final"]["deconv"]["kernel"]
+            if use_pallas:
+                from ..ops import pallas_kernels
+                return pallas_kernels.fused_deconv_entropy_score(
+                    features.astype(jnp.float32),
+                    kernel.astype(jnp.float32), num_classes)
+            return acquisition.chunked_deconv_mean_confidence(
+                features, kernel, measure, num_classes)
+        logits = model.apply(variables, image, training=False)
+        return acquisition.mean_confidence(logits, measure, num_classes)
+
+    return score_impl
+
+
+def make_pool_score_step(model, num_classes: int, measure: str,
+                         micro_batch: int, fused: bool = True):
+    """Jitted multi-micro-batch pool scorer.
+
+    Scores ``[K*micro_batch, H, W, C]`` images in ONE dispatch by
+    ``lax.map``-ing the forward over K micro-batches — memory stays
+    bounded by one micro-batch while fixed per-dispatch overhead
+    (measured ~26ms through the TPU relay) amortizes over the group.
+    This is the AL ranking hot loop (active_learning.py:682-715).
+    """
+    score_impl = _make_score_impl(model, num_classes, measure, fused)
+
+    @jax.jit
+    def pool_score(state: TrainState, images: jnp.ndarray):
+        k = images.shape[0] // micro_batch
+        chunks = images.reshape(k, micro_batch, *images.shape[1:])
+        scores = jax.lax.map(lambda im: score_impl(state, im), chunks)
+        return scores.reshape(-1)
+
+    return pool_score
+
+
 def make_score_step(model, num_classes: int, measure: str, mesh=None,
                     fused: bool = True):
     """Jitted pool-scoring step: forward + fused per-image mean
@@ -204,29 +253,10 @@ def make_score_step(model, num_classes: int, measure: str, mesh=None,
         # scores stay batch-sharded; the host gather assembles them
         jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
                           out_shardings=sh["data"])
-    use_fused = fused and getattr(model, "supports_fused_scoring", False)
-    # the Pallas kernel implements the entropy measure on real TPUs;
-    # it is ~30x faster than the XLA chunked tail (see bench history)
-    use_pallas = (use_fused and measure == "entropy"
-                  and jax.default_backend() not in ("cpu",))
+    score_impl = _make_score_impl(model, num_classes, measure, fused)
 
     @functools.partial(jax.jit, **jit_kwargs)
     def score_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
-        if use_fused:
-            features = model.apply(variables, batch["image"],
-                                   training=False,
-                                   return_pre_logits=True)
-            kernel = state.params["Final"]["deconv"]["kernel"]
-            if use_pallas:
-                from ..ops import pallas_kernels
-                return pallas_kernels.fused_deconv_entropy_score(
-                    features.astype(jnp.float32),
-                    kernel.astype(jnp.float32), num_classes)
-            return acquisition.chunked_deconv_mean_confidence(
-                features, kernel, measure, num_classes)
-        logits = model.apply(variables, batch["image"], training=False)
-        return acquisition.mean_confidence(logits, measure, num_classes)
+        return score_impl(state, batch["image"])
 
     return score_step
