@@ -43,10 +43,42 @@ def save_checkpoint(path: str, state) -> str:
     return path
 
 
-def restore_checkpoint(path: str, template):
+def _merge_state_dicts(target, source, path=""):
+    """Recursively copy matching-shape leaves of ``source`` into
+    ``target``; report what didn't line up."""
+    import logging
+    logger = logging.getLogger(__name__)
+    if isinstance(target, dict) and isinstance(source, dict):
+        merged = {}
+        for key, tval in target.items():
+            if key in source:
+                merged[key] = _merge_state_dicts(tval, source[key],
+                                                 f"{path}/{key}")
+            else:
+                logger.debug("checkpoint missing %s/%s; keeping init",
+                             path, key)
+                merged[key] = tval
+        return merged
+    t_shape = getattr(target, "shape", None)
+    s_shape = getattr(source, "shape", None)
+    if t_shape is not None and s_shape is not None and t_shape != s_shape:
+        logger.warning("checkpoint shape mismatch at %s: %s vs %s; "
+                       "keeping init", path, s_shape, t_shape)
+        return target
+    return source
+
+
+def restore_checkpoint(path: str, template, partial: bool = True):
     """Restore into the structure of ``template`` (a freshly created
     TrainState), the object-based-restore analogue of
-    tf.train.Checkpoint.restore (train.py:241-246)."""
+    tf.train.Checkpoint.restore (train.py:241-246).
+
+    ``partial=True`` mirrors the reference's ``expect_partial``
+    semantics (train.py:243-245): checkpoint entries absent from the
+    template are ignored, template entries absent from the checkpoint
+    keep their fresh initialization — e.g. restoring a
+    multiscale-pretrained model into a non-multiscale run or vice
+    versa."""
     if os.path.isdir(path):
         latest = latest_checkpoint(path)
         if latest is None:
@@ -56,7 +88,12 @@ def restore_checkpoint(path: str, template):
         path = path + CKPT_EXT
     with open(path, "rb") as fp:
         data = fp.read()
-    return flax.serialization.from_bytes(template, data)
+    if not partial:
+        return flax.serialization.from_bytes(template, data)
+    restored = flax.serialization.msgpack_restore(data)
+    target_dict = flax.serialization.to_state_dict(template)
+    merged = _merge_state_dicts(target_dict, restored)
+    return flax.serialization.from_state_dict(template, merged)
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:

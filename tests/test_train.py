@@ -220,6 +220,31 @@ class TestCheckpoint:
         restored = checkpoint.restore_checkpoint(str(tmp_path), zero)
         assert int(restored.step) == int(state.step)
 
+    def test_partial_restore_across_multiscale(self, setup, tmp_path):
+        """expect_partial semantics (reference train.py:243-245):
+        a multiscale-pretrained checkpoint restores into a plain run
+        (heads dropped) and vice versa (heads keep fresh init)."""
+        model, optimizer, _ = setup
+        ms = create_train_state(model, optimizer, jax.random.PRNGKey(3),
+                                HW, multiscale=True)
+        plain = create_train_state(model, optimizer,
+                                   jax.random.PRNGKey(4), HW)
+        p = checkpoint.save_checkpoint(str(tmp_path / "ms.ckpt"), ms)
+        restored = checkpoint.restore_checkpoint(
+            p, jax.tree.map(jnp.copy, plain))
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["Initial"]["conv"]["kernel"]),
+            np.asarray(ms.params["Initial"]["conv"]["kernel"]))
+        assert "MultiscaleHead_0" not in restored.params
+
+        p2 = checkpoint.save_checkpoint(str(tmp_path / "p.ckpt"), plain)
+        back = checkpoint.restore_checkpoint(
+            p2, jax.tree.map(jnp.copy, ms))
+        assert "MultiscaleHead_0" in back.params
+        np.testing.assert_array_equal(
+            np.asarray(back.params["Final"]["deconv"]["kernel"]),
+            np.asarray(plain.params["Final"]["deconv"]["kernel"]))
+
     def test_reinitialize_final_layer(self, setup):
         model, _o, state = setup
         new = checkpoint.reinitialize_final_layer(
