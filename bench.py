@@ -33,7 +33,6 @@ def main():
     import jax.numpy as jnp
 
     from semanticsegmentationactivelearning_tpu.models import ENet
-    from semanticsegmentationactivelearning_tpu.ops import acquisition
     from semanticsegmentationactivelearning_tpu.utils import cli
 
     cli.enable_compilation_cache()

@@ -15,7 +15,6 @@ logits and left its softmax dead, inference.py:96-98 — argmax-identical).
 """
 
 import argparse
-import json
 import logging
 import logging.config
 import os

@@ -22,7 +22,7 @@ train.py:120-121) — here they are ordinary submodules.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

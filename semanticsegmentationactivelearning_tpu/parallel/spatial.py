@@ -16,7 +16,6 @@ which is model-specific.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

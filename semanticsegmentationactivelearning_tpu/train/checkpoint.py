@@ -26,7 +26,6 @@ from typing import Optional
 
 import flax.serialization
 import jax
-import numpy as np
 
 CKPT_EXT = ".ckpt"
 STATE_FILE = "checkpoint.json"

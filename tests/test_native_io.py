@@ -3,7 +3,6 @@ pure-Python loader path, and error handling."""
 
 import numpy as np
 import pytest
-from PIL import Image
 
 from semanticsegmentationactivelearning_tpu.data import (
     SegExample, etl, loader, make_example, native, tfrecord)

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from semanticsegmentationactivelearning_tpu.models import ENet
 from semanticsegmentationactivelearning_tpu.parallel import (
-    check_batch_divisible, data_sharded, make_mesh, replicated)
+    check_batch_divisible, make_mesh)
 from semanticsegmentationactivelearning_tpu.train import (
     create_train_state, make_eval_step, make_score_step, make_train_step,
     optim)

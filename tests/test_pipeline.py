@@ -3,7 +3,6 @@ and loader batching over real record files."""
 
 import numpy as np
 import pytest
-from PIL import Image
 
 import jax
 import jax.numpy as jnp

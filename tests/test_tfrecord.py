@@ -2,8 +2,6 @@
 interoperability with TensorFlow's TFRecord/Example implementation
 (TF is used here strictly as a test oracle)."""
 
-import struct
-
 import numpy as np
 import pytest
 

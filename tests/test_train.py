@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from semanticsegmentationactivelearning_tpu.models import ENet
 from semanticsegmentationactivelearning_tpu.train import (
-    TrainState, checkpoint, config, create_train_state, make_eval_step,
+    checkpoint, config, create_train_state, make_eval_step,
     make_score_step, make_train_step, optim)
 
 HW = (32, 48)
