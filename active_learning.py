@@ -189,8 +189,12 @@ def main(args, logger):
 
     # Model / optimizer / state
     multiscale = bool(hparams["softmax"].get("multiscale", False))
+    model_kwargs = {"drop_rates": tuple(hparams["dropout_rates"])}
+    if params["network"].get("dtype") in ("bfloat16", "bf16"):
+        import jax.numpy as jnp
+        model_kwargs["dtype"] = jnp.bfloat16
     model = get_model(params["network"]["model"], dataset.num_classes,
-                      drop_rates=tuple(hparams["dropout_rates"]))
+                      **model_kwargs)
     optimizer = optim.make_optimizer(hparams)
     tstate = create_train_state(model, optimizer,
                                 jax.random.PRNGKey(args.seed), in_hw,

@@ -27,7 +27,7 @@ Input H/W must be divisible by 32. All convs are bias-free conv-BN(-ReLU).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -158,6 +158,9 @@ class ICNet(nn.Module):
     num_classes: int
     # accepted for registry uniformity with ENet; ICNet has no dropout
     drop_rates: Sequence[float] = ()
+    # accepted for conf uniformity; ICNet compute dtype threading is a
+    # planned follow-up (convs currently run in param dtype fp32)
+    dtype: Any = None
 
     # cascade label guidance weights: (1/4 main, 1/8 aux, 1/16 aux)
     ms_loss_weights = (1.0, 0.4, 0.4)

@@ -140,6 +140,19 @@ class TestEvalAndScore:
         assert scores.shape == (2,)
         assert (0.0 <= scores).all() and (scores <= 1.0).all()
 
+    def test_pool_score_matches_per_batch(self, setup):
+        from semanticsegmentationactivelearning_tpu.train import (
+            make_pool_score_step)
+        model, _opt, state = setup
+        sc = make_score_step(model, C, "entropy")
+        pool = make_pool_score_step(model, C, "entropy", micro_batch=2)
+        b1, b2 = _batch(seed=1), _batch(seed=2)
+        want = np.concatenate([
+            np.asarray(sc(state, b1)), np.asarray(sc(state, b2))])
+        images = np.concatenate([b1["image"], b2["image"]], axis=0)
+        got = np.asarray(pool(state, images))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
 
 class TestOptim:
     def test_inverse_time_decay(self):

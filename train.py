@@ -75,8 +75,12 @@ def main(args):
 
     # Model + optimizer + state
     multiscale = bool(hparams["softmax"].get("multiscale", False))
+    model_kwargs = {"drop_rates": tuple(hparams["dropout_rates"])}
+    if params["network"].get("dtype") in ("bfloat16", "bf16"):
+        import jax.numpy as jnp
+        model_kwargs["dtype"] = jnp.bfloat16
     model = get_model(params["network"]["model"], dataset.num_classes,
-                      drop_rates=tuple(hparams["dropout_rates"]))
+                      **model_kwargs)
     optimizer = optim.make_optimizer(hparams, train_batches)
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(model, optimizer, rng, in_hw,
