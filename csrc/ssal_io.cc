@@ -90,6 +90,10 @@ struct Bytes {
 };
 
 // Read the first framed record of a .tfrecord file into buf.
+// The 64-bit length field is untrusted input: validate it against the
+// actual file size (and its masked CRC) before allocating, so a
+// corrupt/truncated file reports an error instead of throwing
+// bad_alloc inside a worker thread (which would std::terminate).
 static bool read_record(const char* path, std::vector<uint8_t>* buf,
                         std::string* err) {
   FILE* fp = fopen(path, "rb");
@@ -97,14 +101,35 @@ static bool read_record(const char* path, std::vector<uint8_t>* buf,
     *err = std::string("open failed: ") + path;
     return false;
   }
+  if (fseek(fp, 0, SEEK_END) != 0) {
+    fclose(fp);
+    *err = std::string("seek failed: ") + path;
+    return false;
+  }
+  long fsize = ftell(fp);
+  rewind(fp);
   uint8_t header[12];
-  if (fread(header, 1, 12, fp) != 12) {
+  if (fsize < 12 || fread(header, 1, 12, fp) != 12) {
     fclose(fp);
     *err = std::string("truncated header: ") + path;
     return false;
   }
   uint64_t length;
   memcpy(&length, header, 8);  // little-endian host assumed (x86/ARM)
+  // Framing: u64 length + u32 masked-crc(length) + data + u32
+  // masked-crc(data); the file must hold at least the data + its CRC.
+  if (ssal_masked_crc32c(header, 8) !=
+      (uint32_t)(header[8] | header[9] << 8 | header[10] << 16 |
+                 (uint32_t)header[11] << 24)) {
+    fclose(fp);
+    *err = std::string("corrupt length CRC: ") + path;
+    return false;
+  }
+  if (length > (uint64_t)fsize - 12 - 4) {
+    fclose(fp);
+    *err = std::string("record length exceeds file size: ") + path;
+    return false;
+  }
   buf->resize(length);
   size_t got = fread(buf->data(), 1, length, fp);
   fclose(fp);
@@ -138,6 +163,15 @@ struct FeatureHit {
 static void scan_fields(const uint8_t* p, const uint8_t* end,
                         const char* key, size_t keylen, FeatureHit* hit);
 
+// Bounds-checked cursor advance: every varint-declared length is
+// untrusted and must be clamped to the enclosing buffer, otherwise a
+// corrupt record walks the scanner past the allocation (OOB read).
+static bool advance(const uint8_t*& p, const uint8_t* end, uint64_t len) {
+  if (len > (uint64_t)(end - p)) return false;
+  p += len;
+  return true;
+}
+
 // Parse one Feature message body (oneof bytes_list=1 / int64_list=3).
 static void parse_feature(const uint8_t* p, const uint8_t* end,
                           FeatureHit* hit) {
@@ -147,18 +181,19 @@ static void parse_feature(const uint8_t* p, const uint8_t* end,
     if (wire == 2) {
       uint64_t len = read_varint(p, end);
       const uint8_t* sub = p;
-      const uint8_t* sub_end = p + len;
-      p += len;
+      if (!advance(p, end, len)) return;
+      const uint8_t* sub_end = sub + len;
       if (field == 1) {  // BytesList
         while (sub < sub_end) {
           uint64_t t2 = read_varint(sub, sub_end);
           if ((t2 & 7) == 2) {
             uint64_t l2 = read_varint(sub, sub_end);
+            const uint8_t* val = sub;
+            if (!advance(sub, sub_end, l2)) return;
             if ((t2 >> 3) == 1 && !hit->found) {
               hit->found = true;
-              hit->bytes = {sub, (size_t)l2};
+              hit->bytes = {val, (size_t)l2};
             }
-            sub += l2;
           } else {
             read_varint(sub, sub_end);
           }
@@ -170,8 +205,8 @@ static void parse_feature(const uint8_t* p, const uint8_t* end,
           if (w2 == 2) {  // packed
             uint64_t l2 = read_varint(sub, sub_end);
             const uint8_t* pk = sub;
-            const uint8_t* pk_end = sub + l2;
-            sub += l2;
+            if (!advance(sub, sub_end, l2)) return;
+            const uint8_t* pk_end = pk + l2;
             if (pk < pk_end && !hit->found) {
               hit->found = true;
               hit->int_val = (int64_t)read_varint(pk, pk_end);
@@ -188,9 +223,9 @@ static void parse_feature(const uint8_t* p, const uint8_t* end,
     } else if (wire == 0) {
       read_varint(p, end);
     } else if (wire == 5) {
-      p += 4;
+      if (!advance(p, end, 4)) return;
     } else if (wire == 1) {
-      p += 8;
+      if (!advance(p, end, 8)) return;
     } else {
       break;
     }
@@ -205,15 +240,15 @@ static void scan_fields(const uint8_t* p, const uint8_t* end,
     uint64_t tag = read_varint(p, end);
     if ((tag & 7) != 2) {  // skip non-length-delimited
       if ((tag & 7) == 0) read_varint(p, end);
-      else if ((tag & 7) == 5) p += 4;
-      else if ((tag & 7) == 1) p += 8;
+      else if ((tag & 7) == 5) { if (!advance(p, end, 4)) return; }
+      else if ((tag & 7) == 1) { if (!advance(p, end, 8)) return; }
       else return;
       continue;
     }
     uint64_t len = read_varint(p, end);
     const uint8_t* feats = p;
-    const uint8_t* feats_end = p + len;
-    p += len;
+    if (!advance(p, end, len)) return;
+    const uint8_t* feats_end = feats + len;
     if ((tag >> 3) != 1) continue;
     // Features: repeated map entry (field 1)
     const uint8_t* q = feats;
@@ -226,8 +261,8 @@ static void scan_fields(const uint8_t* p, const uint8_t* end,
       }
       uint64_t l2 = read_varint(q, feats_end);
       const uint8_t* entry = q;
-      const uint8_t* entry_end = q + l2;
-      q += l2;
+      if (!advance(q, feats_end, l2)) return;
+      const uint8_t* entry_end = entry + l2;
       // MapEntry: key=1 (string), value=2 (Feature)
       const uint8_t* ekey = nullptr;
       size_t ekey_len = 0;
@@ -242,14 +277,15 @@ static void scan_fields(const uint8_t* p, const uint8_t* end,
           continue;
         }
         uint64_t l3 = read_varint(r, entry_end);
+        const uint8_t* val = r;
+        if (!advance(r, entry_end, l3)) return;
         if ((t3 >> 3) == 1) {
-          ekey = r;
+          ekey = val;
           ekey_len = l3;
         } else if ((t3 >> 3) == 2) {
-          eval = r;
+          eval = val;
           eval_len = l3;
         }
-        r += l3;
       }
       if (ekey && eval && ekey_len == keylen &&
           memcmp(ekey, key, keylen) == 0) {

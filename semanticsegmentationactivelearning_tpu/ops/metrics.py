@@ -25,16 +25,18 @@ _MATMUL_CHUNK = 1 << 21  # pixels per MXU chunk (~512MB padded one-hots)
 
 
 def confusion_matrix(labels: jnp.ndarray, predictions: jnp.ndarray,
-                     num_classes: int,
-                     mask: jnp.ndarray = None) -> jnp.ndarray:
+                     num_classes: int, mask: jnp.ndarray = None,
+                     use_matmul: bool = None) -> jnp.ndarray:
     """Batch confusion matrix ``[C,C]`` (rows = labels, cols = preds),
     int32 counts, jit-safe.
 
     On accelerators this uses chunked one-hot matmuls
     (``onehot(l)ᵀ @ (onehot(p)·w)``) — the MXU path measures ~2.2x the
     scatter-add bincount on v5e, and chunking bounds the padded one-hot
-    buffers. Exactness: 0/1 one-hots in bf16 with an fp32 accumulator
-    are exact for chunk counts < 2^24. CPU keeps the scatter bincount.
+    buffers. Exactness: 0/1 one-hots in bf16 with a per-chunk fp32
+    accumulator are exact for chunk counts <= 2^21 << 2^24; chunks are
+    cast to int32 before the cross-chunk sum, so totals are exact up to
+    int32 range. CPU keeps the scatter bincount.
     """
     l = labels.reshape(-1).astype(jnp.int32)
     p = predictions.reshape(-1).astype(jnp.int32)
@@ -44,7 +46,10 @@ def confusion_matrix(labels: jnp.ndarray, predictions: jnp.ndarray,
         w = jnp.ones_like(l, jnp.float32)
 
     import jax
-    if jax.default_backend() == "cpu" or l.size < (1 << 16):
+    if use_matmul is None:
+        use_matmul = (jax.default_backend() != "cpu"
+                      and l.size >= (1 << 16))
+    if not use_matmul:
         idx = num_classes * l + p
         flat = jnp.zeros((num_classes * num_classes,), jnp.int32)
         flat = flat.at[idx].add(w.astype(jnp.int32), mode="drop")
@@ -64,12 +69,14 @@ def confusion_matrix(labels: jnp.ndarray, predictions: jnp.ndarray,
         lo = jax.nn.one_hot(sl(l), num_classes, dtype=jnp.bfloat16)
         po = jax.nn.one_hot(sl(p), num_classes, dtype=jnp.bfloat16)
         po = po * sl(w).astype(jnp.bfloat16)[:, None]
-        return acc + jnp.dot(lo.T, po,
-                             preferred_element_type=jnp.float32)
+        part = jnp.dot(lo.T, po, preferred_element_type=jnp.float32)
+        # Per-chunk fp32 counts <= 2^21 are exact; cast before the
+        # cross-chunk sum so the int32 accumulator has no fp32 2^24
+        # integer-exactness ceiling at large batch x resolution.
+        return acc + part.astype(jnp.int32)
 
-    acc = jax.lax.fori_loop(
-        0, k, body, jnp.zeros((num_classes, num_classes), jnp.float32))
-    return acc.astype(jnp.int32)
+    return jax.lax.fori_loop(
+        0, k, body, jnp.zeros((num_classes, num_classes), jnp.int32))
 
 
 def derive_metrics(confusion: np.ndarray) -> Dict[str, np.ndarray]:

@@ -138,18 +138,26 @@ class CheckpointManager:
         # new saves never overwrite existing checkpoints (the reference
         # persisted save_counter inside the TF checkpoint object,
         # checkpoint_manager.py:52-58).
-        state_path = os.path.join(directory, STATE_FILE)
-        if os.path.exists(state_path):
-            try:
-                with open(state_path) as fp:
-                    meta = json.load(fp)
-                self._save_counter = int(meta.get("save_counter", 0))
-                self._checkpoints = [
-                    os.path.join(directory, name)
-                    for name in meta.get("checkpoints", [])
-                    if os.path.exists(os.path.join(directory, name))]
-            except (ValueError, OSError):
-                pass
+        self._load_state_file()
+
+    def _load_state_file(self) -> None:
+        """Adopt ``checkpoint.json`` from the current directory: restore
+        the save counter (never going backwards) and the committed-FIFO
+        so resumed runs never overwrite existing checkpoints."""
+        state_path = os.path.join(self._directory, STATE_FILE)
+        if not os.path.exists(state_path):
+            return
+        try:
+            with open(state_path) as fp:
+                meta = json.load(fp)
+            self._save_counter = max(self._save_counter,
+                                     int(meta.get("save_counter", 0)))
+            self._checkpoints = [
+                os.path.join(self._directory, name)
+                for name in meta.get("checkpoints", [])
+                if os.path.exists(os.path.join(self._directory, name))]
+        except (ValueError, OSError):
+            pass
 
     @property
     def directory(self) -> str:
@@ -214,14 +222,18 @@ class CheckpointManager:
 
     def chdir(self, directory: str) -> None:
         """Switch output directory (per-AL-round subdirs,
-        checkpoint_manager.py:75-86); clears the tracked FIFO and any
-        uncommitted cache but keeps the save counter."""
+        checkpoint_manager.py:75-86); clears any uncommitted cache,
+        keeps the save counter, and adopts the target directory's
+        ``checkpoint.json`` so re-entering a round after an interrupted
+        run resumes its counter/FIFO instead of overwriting its
+        ``model-N`` files."""
         if self._cached is not None and os.path.exists(self._cached):
             os.remove(self._cached)
         self._cached = None
         self._checkpoints = []
         self._directory = directory
         os.makedirs(directory, exist_ok=True)
+        self._load_state_file()
 
     def _write_state_file(self) -> None:
         meta = {
@@ -237,8 +249,20 @@ class CheckpointManager:
 def reinitialize_final_layer(state, model, rng, input_hw,
                              channels: int = 3):
     """Fresh glorot re-init of the output layer, the ``-r`` transfer
-    option (active_learning.py:461-462, 905-910)."""
+    option (active_learning.py:461-462, 905-910).
+
+    The output module is resolved from the model
+    (``model.output_module``: "Final" for ENet, "Classifier" for
+    ICNet) rather than hardcoded, so the flag works for every model
+    family."""
     import jax.numpy as jnp
+
+    head = getattr(model, "output_module", None)
+    if head is None or head not in state.params:
+        raise KeyError(
+            f"Cannot reinitialize output layer: model "
+            f"{type(model).__name__} declares output_module="
+            f"{head!r} but params have {sorted(state.params)}")
 
     @jax.jit
     def _init(key):
@@ -250,5 +274,5 @@ def reinitialize_final_layer(state, model, rng, input_hw,
 
     fresh = _init(rng)
     params = dict(state.params)
-    params["Final"] = fresh["Final"]
+    params[head] = fresh[head]
     return state.replace(params=params)

@@ -140,6 +140,32 @@ class TestConfusionMatrix:
             want[l, p] += int(m)
         np.testing.assert_array_equal(got, want)
 
+    def test_matmul_path_matches_oracle(self):
+        rng = np.random.default_rng(4)
+        C = 5
+        labels = rng.integers(0, C, (3, 33, 47))
+        preds = rng.integers(0, C, (3, 33, 47))
+        mask = (rng.uniform(size=(3, 33, 47)) > 0.3).astype(np.float32)
+        got = np.asarray(metrics.confusion_matrix(
+            jnp.array(labels), jnp.array(preds), C, jnp.array(mask),
+            use_matmul=True))
+        want = np.zeros((C, C), np.int64)
+        for l, p, m in zip(labels.ravel(), preds.ravel(), mask.ravel()):
+            want[l, p] += int(m)
+        np.testing.assert_array_equal(got, want)
+
+    def test_matmul_path_exact_above_fp32_integer_ceiling(self):
+        """Cross-chunk accumulation is int32, so a single confusion
+        cell above 2^24 (the fp32 integer-exactness limit a single
+        fp32 accumulator would silently hit at batch 8 x 1024 x 2048)
+        stays exact."""
+        n = (1 << 24) + 4097
+        labels = jnp.zeros((n,), jnp.int32)
+        preds = jnp.zeros((n,), jnp.int32)
+        got = np.asarray(metrics.confusion_matrix(
+            labels, preds, 2, use_matmul=True))
+        assert got[0, 0] == n
+
     def test_derived_metrics(self):
         conf = np.array([[10, 2, 0], [1, 20, 3], [0, 0, 4]], np.int64)
         m = metrics.derive_metrics(conf)

@@ -224,6 +224,27 @@ class TestCheckpoint:
         assert committed.endswith("model-2.ckpt")
         assert os.path.dirname(committed).endswith("b")
 
+    def test_chdir_adopts_existing_round_state(self, setup, tmp_path):
+        """Re-entering a round directory after an interrupted run must
+        resume its counter/FIFO instead of overwriting model-N files."""
+        _m, _o, state = setup
+        # First run commits two checkpoints into round dir "a"
+        mgr1 = checkpoint.CheckpointManager(str(tmp_path))
+        mgr1.chdir(str(tmp_path / "a"))
+        mgr1.cache(state)
+        first = mgr1.commit("model")
+        mgr1.cache(state)
+        second = mgr1.commit("model")
+        # Fresh manager (process restart) re-enters the same round dir
+        mgr2 = checkpoint.CheckpointManager(str(tmp_path))
+        mgr2.chdir(str(tmp_path / "a"))
+        assert mgr2.save_counter == 2
+        assert mgr2.latest_checkpoint == second
+        mgr2.cache(state)
+        third = mgr2.commit("model")
+        assert third.endswith("model-3.ckpt")
+        assert os.path.exists(first) and os.path.exists(second)
+
     def test_restore_from_directory(self, setup, tmp_path):
         _m, _o, state = setup
         mgr = checkpoint.CheckpointManager(str(tmp_path))
@@ -268,3 +289,23 @@ class TestCheckpoint:
         np.testing.assert_array_equal(
             np.asarray(new.params["Initial"]["conv"]["kernel"]),
             np.asarray(state.params["Initial"]["conv"]["kernel"]))
+
+    def test_reinitialize_final_layer_icnet(self):
+        """The -r flag resolves the model's real output module
+        ("Classifier" for ICNet), not a hardcoded ENet name."""
+        from semanticsegmentationactivelearning_tpu.models import ICNet
+        model = ICNet(num_classes=C)
+        optimizer = optim.make_optimizer(HPARAMS)
+        hw = (32, 64)
+        state = create_train_state(model, optimizer,
+                                   jax.random.PRNGKey(1), hw)
+        new = checkpoint.reinitialize_final_layer(
+            state, model, jax.random.PRNGKey(42), hw)
+        assert not np.allclose(
+            np.asarray(new.params["Classifier"]["kernel"]),
+            np.asarray(state.params["Classifier"]["kernel"]))
+        np.testing.assert_array_equal(
+            np.asarray(
+                new.params["SharedStem"]["conv1_1"]["conv"]["kernel"]),
+            np.asarray(
+                state.params["SharedStem"]["conv1_1"]["conv"]["kernel"]))
