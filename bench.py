@@ -12,8 +12,9 @@ Baseline: the driver's target "score the 2975-image Cityscapes pool in
 throughput over that target.
 
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
-Env knobs: BENCH_BATCH (default 8), BENCH_ITERS (default 20),
-BENCH_HW ("1024x2048"), BENCH_DTYPE ("bf16"|"fp32", default bf16 inputs).
+Env knobs: BENCH_BATCH (default 16), BENCH_ITERS (default 20),
+BENCH_HW ("1024x2048"), BENCH_DTYPE ("bf16"|"fp32", default bf16),
+BENCH_MODEL ("ENet"|"ICNet", default ENet), BENCH_GROUP (default 4).
 """
 
 import json
@@ -32,7 +33,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from semanticsegmentationactivelearning_tpu.models import ENet
+    from semanticsegmentationactivelearning_tpu.models import get_model
     from semanticsegmentationactivelearning_tpu.utils import cli
 
     cli.enable_compilation_cache()
@@ -42,16 +43,18 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 16))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     hw = os.environ.get("BENCH_HW", "1024x2048")
+    model_name = os.environ.get("BENCH_MODEL", "ENet")
     h, w = (int(v) for v in hw.split("x"))
     num_classes = 19
 
     dev = jax.devices()[0]
-    log(f"device: {dev}, batch={batch}, iters={iters}, input={h}x{w}")
+    log(f"device: {dev}, model={model_name}, batch={batch}, "
+        f"iters={iters}, input={h}x{w}")
 
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE",
                                            "bf16") == "bf16" \
         else jnp.float32
-    model = ENet(num_classes=num_classes, dtype=dtype)
+    model = get_model(model_name, num_classes, dtype=dtype)
     x0 = jnp.zeros((1, h, w, 3), jnp.float32)
     t0 = time.time()
     variables = jax.jit(lambda k: model.init(
@@ -59,21 +62,16 @@ def main():
         training=False))(jax.random.PRNGKey(0))
     log(f"init: {time.time() - t0:.1f}s")
 
-    from semanticsegmentationactivelearning_tpu.ops import pallas_kernels
-
     # group several micro-batches per dispatch (lax.map): fixed per-call
     # overhead through the TPU relay is ~26ms
     group = int(os.environ.get("BENCH_GROUP", 4))
 
     def score_one(variables, image):
-        # fused tail: the Pallas polyphase deconv+softmax+entropy+mean
-        # kernel — full-res logits never exist in HBM
-        features = model.apply(variables, image, training=False,
-                               return_pre_logits=True)
-        kernel = variables["params"]["Final"]["deconv"]["kernel"]
-        return pallas_kernels.fused_deconv_entropy_score(
-            features.astype(jnp.float32), kernel.astype(jnp.float32),
-            num_classes)
+        # model-specific fused tail (Pallas): full-res logits never
+        # exist in HBM (ENet: polyphase deconv+entropy; ICNet:
+        # polyphase 4x upsample+entropy of the 1/4-res head)
+        return model.fused_score(variables, image, "entropy",
+                                 use_pallas=True)
 
     @jax.jit
     def score(variables, images):
@@ -104,12 +102,20 @@ def main():
     scale = (h * w) / (1024 * 2048)
     value = imgs_per_sec * scale
     baseline = 2975 / 30.0 / 8.0  # img/s/chip on v5e-8 north star
-    print(json.dumps({
-        "metric": "enet_1024x2048_score_images_per_sec_per_chip",
+    result = {
+        "metric": f"{model_name.lower()}_1024x2048_score_images"
+                  f"_per_sec_per_chip",
         "value": round(value, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / baseline, 3),
-    }))
+    }
+    if scale != 1.0:
+        # Linear pixel-ratio extrapolation from a smaller probe is an
+        # estimate, not a measurement — say so in the output.
+        result["extrapolated_from"] = f"{h}x{w}"
+        log(f"NOTE: value extrapolated from {h}x{w} probe by pixel "
+            f"ratio {scale:.4f}; not a direct 1024x2048 measurement")
+    print(json.dumps(result))
     return 0
 
 

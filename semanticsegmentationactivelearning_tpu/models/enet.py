@@ -42,6 +42,11 @@ class ENet(nn.Module):
     ms_loss_weights = None
     # scoring can stop at pre-Final features (see return_pre_logits)
     supports_fused_scoring = True
+    # top-level param collection holding the classifier head (used by
+    # checkpoint.reinitialize_final_layer, the `-r` transfer flag)
+    output_module = "Final"
+    # input H/W must divide this (3 pool/unpool levels)
+    input_divisor = 8
 
     def setup(self):
         if len(self.drop_rates) != 5:
@@ -137,3 +142,21 @@ class ENet(nn.Module):
         # heads; the reference sums CE equally over all of them
         # (losses.py:115-152), so ms_loss_weights stays None.
         return logits, (logits, *ms_logits)
+
+    def fused_score(self, variables, image, measure: str,
+                    use_pallas: bool = False):
+        """Acquisition scoring without materializing full-res logits:
+        stop at pre-Final features, then run the Final transpose conv +
+        softmax + confidence + mean chunked (or as one Pallas kernel).
+        The AL pool-ranking hot loop (reference
+        active_learning.py:229-263)."""
+        from ..ops import acquisition, pallas_kernels
+        features = self.apply(variables, image, training=False,
+                              return_pre_logits=True)
+        kernel = variables["params"]["Final"]["deconv"]["kernel"]
+        if use_pallas and measure == "entropy":
+            return pallas_kernels.fused_deconv_entropy_score(
+                features.astype(jnp.float32),
+                kernel.astype(jnp.float32), self.num_classes)
+        return acquisition.chunked_deconv_mean_confidence(
+            features, kernel, measure, self.num_classes)

@@ -47,16 +47,20 @@ class ConvBN(nn.Module):
     strides: int = 1
     dilation: int = 1
     relu: bool = True
+    dtype: Any = jnp.float32   # computation dtype; bf16 for TPU speed
 
     @nn.compact
     def __call__(self, x, training: bool):
+        x = x.astype(self.dtype)
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.strides, self.strides),
                     kernel_dilation=(self.dilation, self.dilation),
                     padding="SAME", use_bias=False,
-                    kernel_init=_KERNEL_INIT, name="conv")(x)
+                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                    name="conv")(x)
+        # statistics/params stay fp32; activations may be bf16
         x = nn.BatchNorm(use_running_average=not training, momentum=0.90,
-                         epsilon=1e-3, name="bn")(x)
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
         return nn.relu(x) if self.relu else x
 
 
@@ -67,18 +71,21 @@ class ResBottleneck(nn.Module):
     features: int            # output channels (4x the bottleneck width)
     strides: int = 1
     dilation: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool):
         width = self.features // 4
-        h = ConvBN(width, 1, name="reduce")(x, training)
-        h = ConvBN(width, 3, strides=self.strides,
-                   dilation=self.dilation, name="conv")(h, training)
-        h = ConvBN(self.features, 1, relu=False, name="expand")(h, training)
+        dt = self.dtype
+        h = ConvBN(width, 1, dtype=dt, name="reduce")(x, training)
+        h = ConvBN(width, 3, strides=self.strides, dilation=self.dilation,
+                   dtype=dt, name="conv")(h, training)
+        h = ConvBN(self.features, 1, relu=False, dtype=dt,
+                   name="expand")(h, training)
         if x.shape[-1] != self.features or self.strides != 1:
             x = ConvBN(self.features, 1, strides=self.strides,
-                       relu=False, name="proj")(x, training)
-        return nn.relu(h + x)
+                       relu=False, dtype=dt, name="proj")(x, training)
+        return nn.relu(h + x.astype(dt))
 
 
 class PyramidPooling(nn.Module):
@@ -95,7 +102,7 @@ class PyramidPooling(nn.Module):
         for b in self.bins:
             ph, pw = max(h // b, 1), max(w // b, 1)
             pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw))
-            out = out + _resize_bilinear(pooled, (h, w))
+            out = out + _resize_bilinear(pooled, (h, w)).astype(out.dtype)
         return out
 
 
@@ -104,16 +111,18 @@ class CascadeFeatureFusion(nn.Module):
 
     features: int
     num_classes: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, low, high, training: bool):
         low_up = _resize_bilinear(low, (high.shape[1], high.shape[2]))
+        # aux logits in fp32 for loss stability
         aux_logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,
                              kernel_init=_KERNEL_INIT,
-                             name="aux_cls")(low_up)
+                             name="aux_cls")(low_up.astype(jnp.float32))
         low_f = ConvBN(self.features, 3, dilation=2, relu=False,
-                       name="low")(low_up, training)
-        high_f = ConvBN(self.features, 1, relu=False,
+                       dtype=self.dtype, name="low")(low_up, training)
+        high_f = ConvBN(self.features, 1, relu=False, dtype=self.dtype,
                         name="high")(high, training)
         return nn.relu(low_f + high_f), aux_logits
 
@@ -123,15 +132,20 @@ class SharedStem(nn.Module):
     maxpool (1/4) -> stage2 (3 blocks, 128ch) -> stage3 first unit
     (stride 2, 256ch) => 1/8 of its input."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x, training: bool):
-        h = ConvBN(32, 3, strides=2, name="conv1_1")(x, training)
-        h = ConvBN(32, 3, name="conv1_2")(h, training)
-        h = ConvBN(64, 3, name="conv1_3")(h, training)
+        dt = self.dtype
+        h = ConvBN(32, 3, strides=2, dtype=dt, name="conv1_1")(x, training)
+        h = ConvBN(32, 3, dtype=dt, name="conv1_2")(h, training)
+        h = ConvBN(64, 3, dtype=dt, name="conv1_3")(h, training)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
         for i in range(3):
-            h = ResBottleneck(128, name=f"res2_{i + 1}")(h, training)
-        h = ResBottleneck(256, strides=2, name="res3_1")(h, training)
+            h = ResBottleneck(128, dtype=dt,
+                              name=f"res2_{i + 1}")(h, training)
+        h = ResBottleneck(256, strides=2, dtype=dt,
+                          name="res3_1")(h, training)
         return h
 
 
@@ -139,52 +153,69 @@ class LowResTail(nn.Module):
     """Branch-3 continuation at 1/32: rest of stage 3, dilated stages
     4-5, pyramid pooling, 1x1 reduce to 256."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x, training: bool):
+        dt = self.dtype
         h = x
         for i in range(3):
-            h = ResBottleneck(256, name=f"res3_{i + 2}")(h, training)
+            h = ResBottleneck(256, dtype=dt,
+                              name=f"res3_{i + 2}")(h, training)
         for i in range(6):
-            h = ResBottleneck(512, dilation=2,
+            h = ResBottleneck(512, dilation=2, dtype=dt,
                               name=f"res4_{i + 1}")(h, training)
         for i in range(3):
-            h = ResBottleneck(1024, dilation=4,
+            h = ResBottleneck(1024, dilation=4, dtype=dt,
                               name=f"res5_{i + 1}")(h, training)
         h = PyramidPooling(name="ppm")(h, training)
-        return ConvBN(256, 1, name="reduce")(h, training)
+        return ConvBN(256, 1, dtype=dt, name="reduce")(h, training)
 
 
 class ICNet(nn.Module):
     num_classes: int
     # accepted for registry uniformity with ENet; ICNet has no dropout
     drop_rates: Sequence[float] = ()
-    # accepted for conf uniformity; ICNet compute dtype threading is a
-    # planned follow-up (convs currently run in param dtype fp32)
-    dtype: Any = None
+    dtype: Any = jnp.float32   # computation dtype; bf16 for TPU speed
 
     # cascade label guidance weights: (1/4 main, 1/8 aux, 1/16 aux)
     ms_loss_weights = (1.0, 0.4, 0.4)
+    # scoring can stop at the 1/4-res classifier head: the full-res
+    # logits are a pure bilinear upsample of it (see fused_score)
+    supports_fused_scoring = True
+    # top-level param collection holding the classifier head (used by
+    # checkpoint.reinitialize_final_layer, the `-r` transfer flag)
+    output_module = "Classifier"
+    # input H/W must divide this (1/32-resolution low branch)
+    input_divisor = 32
 
     def setup(self):
-        self.branch1_1 = ConvBN(32, 3, strides=2, name="Branch1_1")
-        self.branch1_2 = ConvBN(32, 3, strides=2, name="Branch1_2")
-        self.branch1_3 = ConvBN(64, 3, strides=2, name="Branch1_3")
-        self.stem = SharedStem(name="SharedStem")
-        self.tail = LowResTail(name="LowResTail")
-        self.cff1 = CascadeFeatureFusion(128, self.num_classes,
+        dt = self.dtype if self.dtype is not None else jnp.float32
+        self.branch1_1 = ConvBN(32, 3, strides=2, dtype=dt,
+                                name="Branch1_1")
+        self.branch1_2 = ConvBN(32, 3, strides=2, dtype=dt,
+                                name="Branch1_2")
+        self.branch1_3 = ConvBN(64, 3, strides=2, dtype=dt,
+                                name="Branch1_3")
+        self.stem = SharedStem(dtype=dt, name="SharedStem")
+        self.tail = LowResTail(dtype=dt, name="LowResTail")
+        self.cff1 = CascadeFeatureFusion(128, self.num_classes, dtype=dt,
                                          name="CFF1")
-        self.cff2 = CascadeFeatureFusion(128, self.num_classes,
+        self.cff2 = CascadeFeatureFusion(128, self.num_classes, dtype=dt,
                                          name="CFF2")
         self.classifier = nn.Conv(self.num_classes, (1, 1), use_bias=True,
                                   kernel_init=_KERNEL_INIT,
                                   name="Classifier")
 
     def __call__(self, x, training: bool = False,
-                 multiscale: bool = False):
+                 multiscale: bool = False,
+                 return_pre_logits: bool = False):
         n, h, w, _c = x.shape
         if h % 32 or w % 32:
             raise ValueError(
                 f"ICNet input dims must be divisible by 32, got {h}x{w}")
+        dt = self.dtype if self.dtype is not None else jnp.float32
+        x = x.astype(dt)
 
         # Branch 1: full res -> 1/8, 64ch
         f1 = self.branch1_1(x, training)
@@ -203,11 +234,33 @@ class ICNet(nn.Module):
         fused16, aux16 = self.cff1(f3, f2, training)
         fused8, aux8 = self.cff2(fused16, f1, training)
 
-        # Head: 1/8 -> 1/4 -> classify -> full res
+        # Head: 1/8 -> 1/4 -> classify (fp32 logits) -> full res
         up4 = _resize_bilinear(fused8, (h // 4, w // 4))
-        cls4 = self.classifier(up4)
+        cls4 = self.classifier(up4.astype(jnp.float32))
+
+        if return_pre_logits:
+            # 1/4-res logits for the fused scoring path: the tail
+            # (bilinear 4x upsample + softmax + confidence + mean) runs
+            # chunked in ops/acquisition.chunked_upsample_mean_confidence
+            # so full-res lane-padded logits never hit HBM.
+            return cls4
+
         logits = _resize_bilinear(cls4, (h, w))
 
         if not multiscale:
             return logits
         return logits, (cls4, aux8, aux16)
+
+    def fused_score(self, variables, image, measure: str,
+                    use_pallas: bool = False):
+        """Acquisition scoring without materializing full-res logits
+        (the AL pool-ranking hot loop, reference
+        active_learning.py:229-263)."""
+        from ..ops import acquisition, pallas_kernels
+        cls4 = self.apply(variables, image, training=False,
+                          return_pre_logits=True)
+        if use_pallas and measure == "entropy":
+            return pallas_kernels.fused_upsample_entropy_score(
+                cls4.astype(jnp.float32), 4, self.num_classes)
+        return acquisition.chunked_upsample_mean_confidence(
+            cls4, 4, measure, self.num_classes)

@@ -105,6 +105,49 @@ def chunked_deconv_mean_confidence(features: jnp.ndarray,
     return sums / jnp.float32(h2 * 2 * w2 * 2)
 
 
+def chunked_upsample_mean_confidence(logits_low: jnp.ndarray, scale: int,
+                                     measure: str, num_classes: int,
+                                     chunk: int = 32) -> jnp.ndarray:
+    """Fused scoring tail for models that classify at reduced resolution
+    (ICNet's 1/4-res head, models/icnet.py): bilinear ``scale``x
+    upsample -> softmax -> confidence -> per-image mean, streamed over
+    row chunks of the low-res logits so the padded full-resolution
+    logits (19 -> 128 lanes, 6.7x HBM) never materialize.
+
+    Exactness: each chunk carries a one-row halo taken from an
+    edge-replicated pad. For bilinear upsampling (tent support < 1
+    low-res row) the kept interior rows of a slice-resize equal the
+    global resize — including at the true image edges, where the
+    replicated row reproduces ``jax.image.resize``'s clamping. Verified
+    against the unchunked resize in tests/test_icnet.py.
+
+    :param logits_low: ``[N, Hl, Wl, C]`` low-resolution logits
+    :param scale:      integer upsample factor to full resolution
+    :returns: ``[N]`` mean confidence (float32)
+    """
+    n, hl, wl, c = logits_low.shape
+    if hl % chunk != 0:
+        chunk = hl
+    num_chunks = hl // chunk
+    wf = wl * scale
+
+    padded = jnp.pad(logits_low.astype(jnp.float32),
+                     ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+
+    def body(i, acc):
+        rows = jax.lax.dynamic_slice(
+            padded, (0, i * chunk, 0, 0), (n, chunk + 2, wl, c))
+        up = jax.image.resize(
+            rows, (n, (chunk + 2) * scale, wf, c), method="bilinear")
+        up = up[:, scale:-scale]
+        conf = confidence_map(up, measure, num_classes)
+        return acc + jnp.sum(conf, axis=(1, 2))
+
+    sums = jax.lax.fori_loop(0, num_chunks, body,
+                             jnp.zeros((n,), jnp.float32))
+    return sums / jnp.float32(hl * scale * wf)
+
+
 def pseudo_annotate(logits: jnp.ndarray, measure: str, num_classes: int,
                     threshold: float):
     """Pseudo-label + high-confidence mask from a no-dropout forward

@@ -78,6 +78,87 @@ def _score_kernel(x_ref, xu_ref, k_ref, out_ref, *, num_classes: int):
     out_ref[i, j] = pixels + neg_entropy_sum / log_c
 
 
+def _upsample_kernel(x_ref, xu_ref, xd_ref, out_ref, *, num_classes: int):
+    """Bilinear 4x upsample (16 polyphases) + softmax + entropy of a
+    low-res logits tile, accumulated as one scalar per grid cell.
+
+    Polyphase weights (tent, positions (j+0.5)/4-0.5): output row
+    4i+r draws on rows (i-1, i) for r in {0,1} with weights
+    (3/8, 5/8), (1/8, 7/8), and on rows (i, i+1) for r in {2,3} with
+    (7/8, 1/8), (5/8, 3/8); columns identically. Edge clamping is
+    provided by the caller's edge-replicated shifted copies (rows) and
+    in-register clamped shifts (columns), reproducing
+    ``jax.image.resize`` exactly.
+    """
+    x = x_ref[0].astype(jnp.float32)      # [TH, Wl, C]
+    xu = xu_ref[0].astype(jnp.float32)    # row i-1 (edge-clamped)
+    xd = xd_ref[0].astype(jnp.float32)    # row i+1 (edge-clamped)
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    rows = (0.375 * xu + 0.625 * x, 0.125 * xu + 0.875 * x,
+            0.875 * x + 0.125 * xd, 0.625 * x + 0.375 * xd)
+
+    log_c = jnp.log(jnp.float32(num_classes))
+    neg_entropy_sum = jnp.float32(0.0)
+    for y in rows:
+        yl = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)   # col j-1
+        yr = jnp.concatenate([y[:, 1:], y[:, -1:]], axis=1)   # col j+1
+        for logits in (0.375 * yl + 0.625 * y, 0.125 * yl + 0.875 * y,
+                       0.875 * y + 0.125 * yr, 0.625 * y + 0.375 * yr):
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            prob = e / jnp.sum(e, axis=-1, keepdims=True)
+            neg_entropy_sum = neg_entropy_sum + jnp.sum(
+                prob * jnp.log(prob + EPSILON))
+    th, wl, _c = x.shape
+    pixels = jnp.float32(16 * th * wl)
+    out_ref[i, j] = pixels + neg_entropy_sum / log_c
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "num_classes", "tile_h",
+                                    "interpret"))
+def fused_upsample_entropy_score(logits_low: jnp.ndarray, scale: int,
+                                 num_classes: int, tile_h: int = 4,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Per-image mean entropy-confidence of bilinearly upsampled low-res
+    logits — the ICNet scoring tail (models/icnet.py classifies at 1/4
+    resolution; the reference scored full-res logits,
+    active_learning.py:240-263). Full-res lane-padded logits never exist
+    in HBM.
+
+    :param logits_low: ``[N, Hl, Wl, C]`` low-resolution logits
+    :param scale:      must be 4 (the polyphase decomposition)
+    :returns: ``[N]`` float32 — identical math to
+              ``acquisition.mean_confidence(resize(logits_low, 4x),
+              "entropy", C)``
+    """
+    if scale != 4:
+        raise NotImplementedError("fused upsample kernel is 4x only")
+    n, hl, wl, c = logits_low.shape
+    if hl % tile_h != 0:
+        tile_h = hl
+    grid_h = hl // tile_h
+
+    # edge-clamped row-shifted copies: xu[i] = x[i-1], xd[i] = x[i+1]
+    xu = jnp.concatenate([logits_low[:, :1], logits_low[:, :-1]], axis=1)
+    xd = jnp.concatenate([logits_low[:, 1:], logits_low[:, -1:]], axis=1)
+
+    spec = pl.BlockSpec((1, tile_h, wl, c), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    partial_sums = pl.pallas_call(
+        functools.partial(_upsample_kernel, num_classes=num_classes),
+        grid=(n, grid_h),
+        in_specs=[spec, spec, spec],
+        out_specs=pl.BlockSpec((n, grid_h), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n, grid_h), jnp.float32),
+        interpret=interpret,
+    )(logits_low, xu, xd)
+
+    return jnp.sum(partial_sums, axis=1) / jnp.float32(16 * hl * wl)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_classes", "tile_h", "interpret"))
 def fused_deconv_entropy_score(features: jnp.ndarray, kernel: jnp.ndarray,

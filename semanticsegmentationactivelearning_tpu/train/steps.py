@@ -66,15 +66,26 @@ def create_train_state(model, optimizer: optax.GradientTransformation,
 
 
 def _mesh_shardings(mesh, num_batch_args: int = 1):
-    """jit sharding kwargs for a step over a ``("data",)`` mesh: state
-    and PRNG keys replicated, batch leaves sharded on the batch axis.
-    With no mesh, plain single-device jit."""
+    """jit sharding kwargs for a step over a ``("data",)`` (or
+    ``("data", "space")``) mesh: state and PRNG keys replicated, batch
+    leaves sharded on the batch axis; with a ``space`` axis, NHWC
+    image tensors are additionally width-sharded (XLA GSPMD inserts
+    the per-convolution halo exchanges over ICI — the idiomatic TPU
+    form of the reference-free spatial partitioning design, SURVEY.md
+    §5 long-context analogue). With no mesh, plain single-device jit."""
     if mesh is None:
         return {}
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return {"repl": repl, "data": data}
+    out = {"repl": repl, "data": data}
+    if "space" in mesh.axis_names:
+        # batch on data, W on space: full-res images whose activations
+        # exceed per-chip HBM split their spatial work across the mesh
+        out["image"] = NamedSharding(mesh, P("data", None, "space"))
+    else:
+        out["image"] = data
+    return out
 
 
 def make_train_step(model, optimizer: optax.GradientTransformation,
@@ -189,27 +200,44 @@ def make_eval_step(model, num_classes: int, mesh=None):
     return eval_step
 
 
+def make_predict_step(model, mesh=None):
+    """Jitted forward -> argmax trainId predictions (image summaries;
+    the reference colorized predictions in-graph, train.py:178-206)."""
+    sh = _mesh_shardings(mesh)
+    jit_kwargs = {}
+    if sh:
+        jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
+                          out_shardings=sh["data"])
+
+    @functools.partial(jax.jit, **jit_kwargs)
+    def predict_step(state: TrainState, image: jnp.ndarray):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            image, training=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return predict_step
+
+
 def _make_score_impl(model, num_classes: int, measure: str,
-                     fused: bool = True):
-    """Un-jitted scoring body shared by the per-batch and pooled steps."""
+                     fused: bool = True, allow_pallas: bool = True):
+    """Un-jitted scoring body shared by the per-batch and pooled steps.
+
+    ``allow_pallas=False`` forces the XLA chunked path — used under a
+    mesh, where the Pallas custom call has no SPMD partitioning rule
+    and would be replicated by the partitioner."""
     use_fused = fused and getattr(model, "supports_fused_scoring", False)
-    use_pallas = (use_fused and measure == "entropy"
+    use_pallas = (allow_pallas and use_fused
                   and jax.default_backend() not in ("cpu",))
 
     def score_impl(state: TrainState, image: jnp.ndarray):
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         if use_fused:
-            features = model.apply(variables, image, training=False,
-                                   return_pre_logits=True)
-            kernel = state.params["Final"]["deconv"]["kernel"]
-            if use_pallas:
-                from ..ops import pallas_kernels
-                return pallas_kernels.fused_deconv_entropy_score(
-                    features.astype(jnp.float32),
-                    kernel.astype(jnp.float32), num_classes)
-            return acquisition.chunked_deconv_mean_confidence(
-                features, kernel, measure, num_classes)
+            # model-specific fused tail (ENet: chunked/Pallas deconv +
+            # entropy; ICNet: chunked 4x upsample of the 1/4-res head)
+            return model.fused_score(variables, image, measure,
+                                     use_pallas=use_pallas)
         logits = model.apply(variables, image, training=False)
         return acquisition.mean_confidence(logits, measure, num_classes)
 
@@ -217,7 +245,8 @@ def _make_score_impl(model, num_classes: int, measure: str,
 
 
 def make_pool_score_step(model, num_classes: int, measure: str,
-                         micro_batch: int, fused: bool = True):
+                         micro_batch: int, fused: bool = True,
+                         mesh=None):
     """Jitted multi-micro-batch pool scorer.
 
     Scores ``[K*micro_batch, H, W, C]`` images in ONE dispatch by
@@ -225,13 +254,26 @@ def make_pool_score_step(model, num_classes: int, measure: str,
     bounded by one micro-batch while fixed per-dispatch overhead
     (measured ~26ms through the TPU relay) amortizes over the group.
     This is the AL ranking hot loop (active_learning.py:682-715).
-    """
-    score_impl = _make_score_impl(model, num_classes, measure, fused)
 
-    @jax.jit
+    With a mesh, each micro-batch is sharded over the ``data`` axis so
+    every chip scores ``micro_batch / n_devices`` images per map step.
+    """
+    sh = _mesh_shardings(mesh)
+    jit_kwargs = {}
+    if sh:
+        jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
+                          out_shardings=sh["data"])
+    score_impl = _make_score_impl(model, num_classes, measure, fused,
+                                  allow_pallas=mesh is None)
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def pool_score(state: TrainState, images: jnp.ndarray):
         k = images.shape[0] // micro_batch
         chunks = images.reshape(k, micro_batch, *images.shape[1:])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            chunks = jax.lax.with_sharding_constraint(
+                chunks, NamedSharding(mesh, P(None, "data")))
         scores = jax.lax.map(lambda im: score_impl(state, im), chunks)
         return scores.reshape(-1)
 
@@ -246,14 +288,22 @@ def make_score_step(model, num_classes: int, measure: str, mesh=None,
     For models exposing pre-logits features (ENet), the classifier
     deconv + softmax + confidence + mean run chunked so full-resolution
     logits never materialize in HBM
-    (acquisition.chunked_deconv_mean_confidence)."""
+    (acquisition.chunked_deconv_mean_confidence).
+
+    With a 2-D ``("data", "space")`` mesh the input (and, propagated by
+    GSPMD, every activation) is width-sharded over the ``space`` axis:
+    XLA inserts the per-convolution halo exchanges, so full-resolution
+    scoring whose activations exceed per-chip HBM spreads across chips
+    — the spatial-partitioning design of SURVEY.md §5 (the reference
+    coped by downscaling/cropping instead)."""
     sh = _mesh_shardings(mesh)
     jit_kwargs = {}
     if sh:
         # scores stay batch-sharded; the host gather assembles them
-        jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
+        jit_kwargs = dict(in_shardings=(sh["repl"], {"image": sh["image"]}),
                           out_shardings=sh["data"])
-    score_impl = _make_score_impl(model, num_classes, measure, fused)
+    score_impl = _make_score_impl(model, num_classes, measure, fused,
+                                  allow_pallas=mesh is None)
 
     @functools.partial(jax.jit, **jit_kwargs)
     def score_step(state: TrainState, batch: Dict[str, jnp.ndarray]):

@@ -70,6 +70,92 @@ class TestICNetForward:
         assert 5.0e6 < n < 1.0e7, n
 
 
+class TestICNetScoring:
+    """The TPU scoring path: 1/4-res head + chunked/Pallas upsample
+    tail must equal scoring the full-res logits directly."""
+
+    def _direct_score(self, model, variables, x, measure):
+        from semanticsegmentationactivelearning_tpu.ops import acquisition
+        logits = model.apply(variables, x, training=False)
+        return np.asarray(acquisition.mean_confidence(logits, measure, C))
+
+    @pytest.mark.parametrize("measure", ["entropy", "margin",
+                                         "confidence"])
+    def test_fused_score_matches_direct(self, icnet_and_vars, measure):
+        model, variables = icnet_and_vars
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(size=(2, *HW, 3)), jnp.float32)
+        got = np.asarray(jax.jit(
+            lambda v, x: model.fused_score(v, x, measure))(variables, x))
+        want = self._direct_score(model, variables, x, measure)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("chunk", [2, 3, 4, 16])
+    def test_chunked_upsample_exact(self, chunk):
+        """Slice-resize with edge-replicated halo == global resize,
+        for dividing and non-dividing (fallback) chunk sizes."""
+        from semanticsegmentationactivelearning_tpu.ops import acquisition
+        rng = np.random.default_rng(2)
+        low = jnp.asarray(rng.normal(size=(2, 16, 12, C)), jnp.float32)
+        got = np.asarray(acquisition.chunked_upsample_mean_confidence(
+            low, 4, "entropy", C, chunk=chunk))
+        full = jax.image.resize(low, (2, 64, 48, C), method="bilinear")
+        want = np.asarray(acquisition.mean_confidence(full, "entropy", C))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_pallas_upsample_kernel_matches(self):
+        """Interpreted Pallas kernel == resize+entropy oracle."""
+        from semanticsegmentationactivelearning_tpu.ops import (
+            acquisition, pallas_kernels)
+        rng = np.random.default_rng(3)
+        low = jnp.asarray(rng.normal(size=(2, 8, 16, C)), jnp.float32)
+        got = np.asarray(pallas_kernels.fused_upsample_entropy_score(
+            low, 4, C, interpret=True))
+        full = jax.image.resize(low, (2, 32, 64, C), method="bilinear")
+        want = np.asarray(acquisition.mean_confidence(full, "entropy", C))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_score_step_uses_fused_path(self, icnet_and_vars):
+        """make_score_step on ICNet routes through fused_score and
+        matches direct scoring."""
+        from semanticsegmentationactivelearning_tpu.train import (
+            TrainState, make_score_step)
+        model, variables = icnet_and_vars
+        state = TrainState(params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_state=None,
+                           step=jnp.zeros((), jnp.int32),
+                           epoch=jnp.zeros((), jnp.int32))
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(size=(2, *HW, 3)), jnp.float32)
+        step = make_score_step(model, C, "entropy")
+        got = np.asarray(step(state, {"image": x}))
+        want = self._direct_score(model, variables, x, "entropy")
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestICNetBf16:
+    def test_bf16_forward_and_score(self):
+        model = ICNet(num_classes=C, dtype=jnp.bfloat16)
+        x = jnp.zeros((1, *HW, 3), jnp.float32)
+        variables = jax.jit(lambda k: model.init(
+            {"params": k}, x, training=False))(jax.random.PRNGKey(0))
+        # params stay fp32; logits come back fp32
+        kern = variables["params"]["SharedStem"]["conv1_1"]["conv"][
+            "kernel"]
+        assert kern.dtype == jnp.float32
+        logits = jax.jit(lambda v, x: model.apply(v, x,
+                                                  training=False))(
+            variables, x)
+        assert logits.dtype == jnp.float32
+        assert np.isfinite(np.asarray(logits)).all()
+        scores = np.asarray(jax.jit(
+            lambda v, x: model.fused_score(v, x, "entropy"))(
+                variables, x))
+        assert scores.shape == (1,)
+        assert np.isfinite(scores).all()
+
+
 class TestICNetTraining:
     def test_train_step_decreases_loss(self):
         model = ICNet(num_classes=C)
