@@ -15,6 +15,7 @@ logits and left its softmax dead, inference.py:96-98 — argmax-identical).
 """
 
 import argparse
+import json
 import logging
 import logging.config
 import os
@@ -72,9 +73,16 @@ def main(args):
     logger.info("Input records: %dx%dx%d, %d examples", height, width,
                 channels, len(files))
 
-    model = get_model("ENet", dataset.num_classes)
+    model_name = _resolve_model_name(args)
+    logger.info("Model: %s", model_name)
+    model = get_model(model_name, dataset.num_classes)
+    # Pad the storage window up to the model's input-divisibility
+    # requirement (ENet 8, ICNet 32); predictions are cropped back to
+    # the record dims before writing.
+    div = getattr(model, "input_divisor", 1)
+    store_hw = (-(-height // div) * div, -(-width // div) * div)
     rec_loader = loader.RecordLoader(files, args.batch_size,
-                                     storage_hw=(height, width),
+                                     storage_hw=store_hw,
                                      channels=3)
 
     # Build + restore state (params/batch_stats only are used)
@@ -82,7 +90,7 @@ def main(args):
         create_train_state, optim)
     state = create_train_state(
         model, optim.make_optimizer({}), jax.random.PRNGKey(0),
-        (height, width))
+        store_hw)
     logger.info("Loading checkpoint %s", args.ckpt)
     state = ckpt.restore_checkpoint(args.ckpt, state)
     logger.info("Checkpoint loaded")
@@ -102,6 +110,8 @@ def main(args):
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             image, training=False)
+        # crop divisor padding back to the record dims
+        logits = logits[:, :height, :width]
         prob = jax.nn.softmax(logits, axis=-1)
         if out_hw is not None:
             prob = jax.image.resize(
@@ -131,6 +141,30 @@ def main(args):
     if args.view:
         _view(written)
     return 0
+
+
+def _resolve_model_name(args):
+    """Model family for the checkpoint: the ``--model`` flag, else the
+    ``network.model`` recorded in the training run's ``config.json``
+    (dumped next to — or one level above — the checkpoint), else ENet.
+    The reference hardcoded its only model (inference.py:93)."""
+    if args.model:
+        return args.model
+    start = args.ckpt
+    if not os.path.isdir(start):
+        start = os.path.dirname(os.path.abspath(start))
+    for d in (start, os.path.dirname(start)):
+        cfg = os.path.join(d, "config.json")
+        if os.path.exists(cfg):
+            try:
+                with open(cfg) as fp:
+                    name = json.load(fp).get("network", {}).get("model")
+            except (ValueError, OSError):
+                continue
+            if name:
+                return name
+    logger.info("No config.json found near checkpoint; assuming ENet")
+    return "ENet"
 
 
 def _view(filepaths):
@@ -173,6 +207,11 @@ def parse_arguments(argv=None):
                         required=True,
                         help="Dataset type: {cityscapes, freiburg, "
                              "vistas}.")
+    parser.add_argument("-m", "--model", type=str, default=None,
+                        dest="model", required=False,
+                        help="Model family of the checkpoint; defaults "
+                             "to the network.model in the config.json "
+                             "next to the checkpoint, else ENet.")
     parser.add_argument("-s", "--output-size", type=int, nargs=2,
                         dest="size", required=False, default=None,
                         help="Size of the output images.")

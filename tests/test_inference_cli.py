@@ -1,0 +1,136 @@
+"""End-to-end inference CLI tests: checkpoint -> prediction PNGs for
+ENet *and* ICNet (reference capability: inference.py:61-153).
+
+Covers reverse-embedding to dataset ids (cityscapes), ``--color``
+colormap output, ``--output-size`` resizing, and model-family
+resolution from the training run's config.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=1",
+           JAX_COMPILATION_CACHE_DIR="/tmp/ssal_test_jax_cache")
+
+H, W, C = 32, 64, 19
+
+
+def _png_bytes(arr):
+    import io
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def records(tmp_path_factory):
+    """Three cityscapes-style .tfrecord files (trainId label maps)."""
+    from semanticsegmentationactivelearning_tpu.data import (example,
+                                                             tfrecord)
+    out = tmp_path_factory.mktemp("records")
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        lbl = rng.integers(0, C, (H, W)).astype(np.uint8)
+        ex = example.SegExample(
+            file_id=f"sample{i:02d}", height=H, width=W,
+            label=_png_bytes(lbl),
+            modalities={"image": (_png_bytes(img), "png", 3)})
+        tfrecord.write_record_file(
+            str(out / f"sample{i:02d}.tfrecord"), example.make_example(ex))
+    return out
+
+
+def _make_run_dir(tmp_path_factory, model_name):
+    """A training-run-shaped directory: checkpoint + config.json."""
+    import jax
+    from semanticsegmentationactivelearning_tpu.models import get_model
+    from semanticsegmentationactivelearning_tpu.train import (
+        checkpoint, create_train_state, optim)
+
+    log_dir = tmp_path_factory.mktemp(f"run_{model_name.lower()}")
+    model = get_model(model_name, C)
+    state = create_train_state(model, optim.make_optimizer({}),
+                               jax.random.PRNGKey(0), (H, W))
+    checkpoint.save_checkpoint(str(log_dir / "model-1.ckpt"), state)
+    (log_dir / "config.json").write_text(json.dumps({
+        "network": {"model": model_name,
+                    "input": {"height": H, "width": W}}}))
+    return log_dir
+
+
+@pytest.fixture(scope="module")
+def enet_run(tmp_path_factory):
+    return _make_run_dir(tmp_path_factory, "ENet")
+
+
+@pytest.fixture(scope="module")
+def icnet_run(tmp_path_factory):
+    return _make_run_dir(tmp_path_factory, "ICNet")
+
+
+def _run_inference(ckpt, records, out, extra=()):
+    return subprocess.run(
+        [sys.executable, "inference.py", "-c", str(ckpt), "-d",
+         str(records), "-o", str(out), "-t", "cityscapes", *extra],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=900)
+
+
+def test_enet_reverse_embedded_ids(enet_run, records, tmp_path):
+    from semanticsegmentationactivelearning_tpu import datasets
+    out = tmp_path / "pred"
+    res = _run_inference(enet_run / "model-1.ckpt", records, out)
+    assert res.returncode == 0, res.stdout + res.stderr
+    pngs = sorted(out.glob("*.png"))
+    assert [p.name for p in pngs] == [f"sample{i:02d}.png"
+                                      for i in range(3)]
+    valid_ids = set(
+        np.asarray(datasets.Cityscapes().embedding_reversed)[:C].tolist())
+    for p in pngs:
+        arr = np.asarray(Image.open(p))
+        assert arr.shape == (H, W)      # grayscale dataset-id map
+        assert set(np.unique(arr).tolist()) <= valid_ids
+
+
+def test_color_and_output_size(enet_run, records, tmp_path):
+    from semanticsegmentationactivelearning_tpu import datasets
+    out = tmp_path / "pred"
+    res = _run_inference(enet_run / "model-1.ckpt", records, out,
+                         extra=("--color", "-s", "16", "32"))
+    assert res.returncode == 0, res.stdout + res.stderr
+    cmap_rows = {tuple(row) for row in
+                 np.asarray(datasets.Cityscapes().colormap)[:C].tolist()}
+    for p in sorted(out.glob("*.png")):
+        arr = np.asarray(Image.open(p))
+        assert arr.shape == (16, 32, 3)  # resized colormap output
+        pixels = {tuple(px) for px in arr.reshape(-1, 3).tolist()}
+        assert pixels <= cmap_rows
+
+
+def test_icnet_model_resolved_from_config(icnet_run, records, tmp_path):
+    """The model family comes from config.json next to the checkpoint —
+    an ICNet checkpoint infers without any flag."""
+    out = tmp_path / "pred"
+    res = _run_inference(icnet_run / "model-1.ckpt", records, out)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "Model: ICNet" in res.stdout + res.stderr
+    pngs = sorted(out.glob("*.png"))
+    assert len(pngs) == 3
+    # 32x64 records pad to ICNet's /32 requirement and crop back
+    assert np.asarray(Image.open(pngs[0])).shape == (H, W)
+
+
+def test_explicit_model_flag_overrides(icnet_run, records, tmp_path):
+    out = tmp_path / "pred"
+    res = _run_inference(icnet_run / "model-1.ckpt", records, out,
+                         extra=("-m", "ICNet"))
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "Model: ICNet" in res.stdout + res.stderr
