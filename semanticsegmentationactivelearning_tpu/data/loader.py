@@ -94,8 +94,7 @@ class RecordLoader:
         if storage_hw is None:
             if len(self.filenames) == 0:
                 raise ValueError("Empty dataset and no storage_hw given")
-            h, w, _c = example.peek_dims(str(self.filenames[0]))
-            storage_hw = (h, w)
+            storage_hw = self._scan_max_dims()
         if min_hw is not None:
             # storage must cover the network crop window; smaller
             # records get zero/ignore padding that the crop may include
@@ -103,6 +102,22 @@ class RecordLoader:
             storage_hw = (max(storage_hw[0], min_hw[0]),
                           max(storage_hw[1], min_hw[1]))
         self.storage_hw = tuple(storage_hw)
+
+    def _scan_max_dims(self) -> Tuple[int, int]:
+        """Max (H, W) over every record's header dims.
+
+        Per-example record files may differ in size (Vistas keeps
+        native resolutions; the reference's tf.data pipeline handled
+        arbitrary per-record H x W dynamically, input.py:246-287). XLA
+        needs one static storage window, so size it to cover the
+        largest record — smaller ones are zero/ignore-padded and
+        masked, and no valid pixels are ever cropped. Header-only
+        proto scan, parallelized; no image decode."""
+        with concurrent.futures.ThreadPoolExecutor(
+                self.num_workers) as pool:
+            dims = list(pool.map(
+                lambda p: example.peek_dims(str(p))[:2], self.filenames))
+        return (max(d[0] for d in dims), max(d[1] for d in dims))
 
     @property
     def count(self) -> int:
@@ -120,6 +135,14 @@ class RecordLoader:
         has_label = np.zeros(bs, dtype=bool)
         valid = np.zeros(bs, dtype=bool)
         paths = [str(self.filenames[i]) for i in order]
+        if n == 0:
+            # all-padding batch (a host's empty slice of a partial tail
+            # chunk in global_batches); valid stays all False. Dims are
+            # the storage window so the jit crop math stays benign.
+            heights[:], widths[:] = sh, sw
+            return {"stack": stack, "heights": heights, "widths": widths,
+                    "index": np.zeros(bs, dtype=np.int32),
+                    "has_label": has_label, "valid": valid}
         if self._native is not None:
             nstack, nh, nw, nhl = self._native.load_batch(
                 paths, self.storage_hw, self.channels,
@@ -156,10 +179,46 @@ class RecordLoader:
         if order is None:
             order = np.arange(len(self.filenames))
         order = np.asarray(order)
-        num_batches = (len(order) + self.batch_size - 1) // self.batch_size
-        if num_batches == 0:
-            return
+        chunks = [order[b:b + self.batch_size]
+                  for b in range(0, len(order), self.batch_size)]
+        yield from self._batches_from_chunks(chunks)
 
+    def global_batches(self, order: np.ndarray, global_batch_size: int,
+                       process_id: int, num_processes: int
+                       ) -> Iterator[Dict[str, np.ndarray]]:
+        """Per-host view of a globally-consistent batch stream
+        (multi-host DP over DCN; the reference had no multi-host story,
+        SURVEY.md §5).
+
+        Every host iterates the SAME global ``order`` chunked by
+        ``global_batch_size``, assembling only its contiguous slice of
+        each chunk — ``parallel.make_global_batch`` then stitches the
+        local rows into one globally-sharded array. All hosts always
+        see the same number of batches (a host's slice of a partial
+        tail chunk may even be empty: it still yields an all-padding
+        batch with ``valid`` all False, keeping collectives in step).
+        This loader's ``batch_size`` must be the per-host local size,
+        ``global_batch_size / num_processes``.
+        """
+        order = np.asarray(order)
+        local_bs = self.batch_size
+        if local_bs * num_processes != global_batch_size:
+            raise ValueError(
+                f"Loader batch_size {local_bs} x {num_processes} "
+                f"processes != global batch {global_batch_size}")
+        per = local_bs
+        chunks = []
+        for b in range(0, len(order), global_batch_size):
+            chunk = order[b:b + global_batch_size]
+            lo = min(len(chunk), process_id * per)
+            hi = min(len(chunk), (process_id + 1) * per)
+            chunks.append(chunk[lo:hi])
+        yield from self._batches_from_chunks(chunks)
+
+    def _batches_from_chunks(self, chunks
+                             ) -> Iterator[Dict[str, np.ndarray]]:
+        if not chunks:
+            return
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error_holder = []
@@ -168,9 +227,7 @@ class RecordLoader:
             try:
                 with concurrent.futures.ThreadPoolExecutor(
                         self.num_workers) as pool:
-                    for b in range(num_batches):
-                        chunk = order[b * self.batch_size:
-                                      (b + 1) * self.batch_size]
+                    for chunk in chunks:
                         out_q.put(self._assemble(chunk, pool))
             except BaseException as exc:  # propagate to consumer
                 error_holder.append(exc)

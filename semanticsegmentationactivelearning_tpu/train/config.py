@@ -24,6 +24,11 @@ DEFAULTS: Dict[str, Any] = {
                     "multiscale": False},
     },
     "network": {"model": "ENet", "input": {"height": 512, "width": 1024}},
+    # colorized input/label/prediction PNG dumps per epoch (reference
+    # wrote these as TB image summaries, train.py:178-206); cadence 0
+    # disables, AL pseudo-label snapshots use pseudo_cadence
+    # (active_learning.py:367-388 wrote them every 100 epochs)
+    "image_summaries": {"cadence": 1, "count": 2, "pseudo_cadence": 100},
 }
 
 

@@ -11,6 +11,7 @@ lives in tools/).
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import logging
 import logging.config
@@ -73,6 +74,12 @@ def build_dataset_parser(prog: str, extra_optional=None,
     opt_parser.add_argument("--seed", type=int, dest="seed", default=0,
                             required=False,
                             help="PRNG seed for init/augmentation.")
+    opt_parser.add_argument("--trace", type=str, dest="trace",
+                            default=None, required=False,
+                            metavar="TRACE_DIR",
+                            help="Write a jax.profiler trace of the "
+                                 "hot loop to this directory "
+                                 "(view with tensorboard/xprof).")
     if extra_optional is not None:
         extra_optional(opt_parser)
 
@@ -166,11 +173,18 @@ class MetricsWriter:
     native equivalent of the reference's TensorBoard scalar summaries
     (train.py:154-206). tools/ can convert to CSV/TB formats."""
 
-    def __init__(self, log_dir: str, filename: str = "metrics.jsonl"):
-        os.makedirs(log_dir, exist_ok=True)
+    def __init__(self, log_dir: str, filename: str = "metrics.jsonl",
+                 enabled: bool = True):
+        # enabled=False on non-zero hosts of a multi-host run: metrics
+        # are replicated, so only process 0 writes
+        self.enabled = enabled
+        if enabled:
+            os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, filename)
 
     def write(self, record: dict) -> None:
+        if not self.enabled:
+            return
         record = dict(record)
         record.setdefault("wall_time", time.time())
         with open(self.path, "a") as fp:
@@ -189,6 +203,23 @@ def _json_default(obj):
     except ImportError:
         pass
     return str(obj)
+
+
+@contextlib.contextmanager
+def maybe_trace(trace_dir: Optional[str]):
+    """jax.profiler trace around the hot loop when ``--trace`` is given
+    (the reference only had commented-out FULL_TRACE hooks,
+    train.py:293-294, 333-342 — this is the working TPU equivalent)."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+    os.makedirs(trace_dir, exist_ok=True)
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 def progress(iterable, desc: str, enabled: bool = True, **kwargs):

@@ -171,6 +171,36 @@ class TestRecordLoader:
         got = [b["index"].tolist() for b in ld.batches(order)]
         assert got == [[3, 1], [0, 2]]
 
+    def test_mixed_size_records_no_cropping(self, tmp_path):
+        """Vistas-style per-record arbitrary H x W: the storage window
+        is sized to the max over ALL records (not the first), so no
+        valid pixels are cropped (reference handled dynamic shapes,
+        input.py:246-287)."""
+        rng = np.random.default_rng(8)
+        sizes = [(8, 10), (20, 6), (12, 24)]
+        imgs = []
+        for i, (h, w) in enumerate(sizes):
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            imgs.append(img)
+            blob = make_example(SegExample(
+                file_id=f"mix{i}", height=h, width=w,
+                label=etl.encode_png(
+                    rng.integers(0, 6, (h, w), dtype=np.uint8)),
+                modalities={"image": (etl.encode_png(img), "png", 3)}))
+            tfrecord.write_record_file(
+                str(tmp_path / f"mix{i}.tfrecord"), blob)
+        files = sorted(str(p) for p in tmp_path.glob("*.tfrecord"))
+        ld = loader.RecordLoader(files, batch_size=3)
+        assert ld.storage_hw == (20, 24)
+        (b,) = list(ld.batches())
+        for i, (h, w) in enumerate(sizes):
+            assert (b["heights"][i], b["widths"][i]) == (h, w)
+            np.testing.assert_array_equal(b["stack"][i, :h, :w, :3],
+                                          imgs[i])
+            # outside the valid window: zero image, 255 ignore label
+            assert (b["stack"][i, h:, :, 3] == 255).all()
+            assert (b["stack"][i, :, w:, :3] == 0).all()
+
     def test_decode_error_propagates(self, tmp_path):
         bad = tmp_path / "bad.tfrecord"
         bad.write_bytes(b"")
@@ -178,3 +208,39 @@ class TestRecordLoader:
                                  storage_hw=(4, 4))
         with pytest.raises(ValueError):
             list(ld.batches())
+
+
+class TestDevicePrefetch:
+    def test_prefetch_preserves_order_and_contents(self):
+        from semanticsegmentationactivelearning_tpu.data import \
+            device_prefetch
+        batches = [{"stack": np.full((2, 4, 4, 4), i, np.uint8),
+                    "index": np.array([2 * i, 2 * i + 1])}
+                   for i in range(5)]
+        out = list(device_prefetch.device_prefetch(iter(batches)))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            # large key transferred to device, metadata left as numpy
+            assert hasattr(b["stack"], "devices")
+            assert isinstance(b["index"], np.ndarray)
+            np.testing.assert_array_equal(np.asarray(b["stack"]),
+                                          batches[i]["stack"])
+
+    def test_empty_iterator(self):
+        from semanticsegmentationactivelearning_tpu.data import \
+            device_prefetch
+        assert list(device_prefetch.device_prefetch(iter([]))) == []
+
+    def test_sharded_prefetch(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from semanticsegmentationactivelearning_tpu.data import \
+            device_prefetch
+        from semanticsegmentationactivelearning_tpu.parallel import \
+            make_mesh
+        mesh = make_mesh(8)
+        sh = NamedSharding(mesh, P("data"))
+        batches = [{"stack": np.zeros((8, 4, 4, 4), np.uint8)}]
+        out = list(device_prefetch.device_prefetch(iter(batches),
+                                                   sharding=sh))
+        assert len(out[0]["stack"].sharding.device_set) == 8

@@ -100,6 +100,11 @@ def test_train_cli_end_to_end(records, tiny_conf, tmp_path):
     # the task is trivially learnable: loss must drop epoch 1 -> 2
     train_lines = [l for l in lines if l["split"] == "train"]
     assert train_lines[1]["loss"] < train_lines[0]["loss"]
+    # per-epoch colorized image summaries (reference train.py:178-206)
+    image_names = sorted(p.name for p in (log_dir / "images").glob("*"))
+    assert "val-00001-0-pred.png" in image_names
+    assert "val-00002-0-label.png" in image_names
+    assert "val-00001-0-input.png" in image_names
 
     # resume: epochs already done -> immediately final-validates
     res2 = subprocess.run(

@@ -20,22 +20,25 @@ import sys
 
 import numpy as np
 
-from semanticsegmentationactivelearning_tpu.data import loader, pipeline
+from semanticsegmentationactivelearning_tpu.data import (device_prefetch,
+                                                         loader, pipeline)
 from semanticsegmentationactivelearning_tpu.models import get_model
 from semanticsegmentationactivelearning_tpu.ops import metrics as xmetrics
 from semanticsegmentationactivelearning_tpu.train import (
     checkpoint as ckpt, config as conf, create_train_state, make_eval_step,
-    make_train_step, optim)
-from semanticsegmentationactivelearning_tpu.utils import cli
+    make_predict_step, make_train_step, optim)
+from semanticsegmentationactivelearning_tpu.utils import cli, images
 
 logger = logging.getLogger(__name__)
 
 
 def run_eval_epoch(eval_step, state, val_loader, crop_hw, num_classes,
-                   desc="val", show_progress=True):
+                   desc="val", show_progress=True, sharding=None):
     acc = xmetrics.ConfusionAccumulator(num_classes)
-    batches = cli.progress(val_loader.batches(), desc, show_progress,
-                           total=val_loader.num_batches())
+    batches = cli.progress(
+        device_prefetch.device_prefetch(val_loader.batches(),
+                                        sharding=sharding),
+        desc, show_progress, total=val_loader.num_batches())
     for b in batches:
         image, label, mask = pipeline.eval_batch(
             b["stack"], b["heights"], b["widths"], crop_hw=crop_hw)
@@ -121,19 +124,46 @@ def main(args):
     train_step = make_train_step(model, optimizer, dataset.num_classes,
                                  hparams, mesh=mesh)
     eval_step = make_eval_step(model, dataset.num_classes, mesh=mesh)
+    # double-buffered H2D upload of the uint8 stacks (pre-sharded over
+    # the mesh) so transfer overlaps the in-flight step's compute
+    stack_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        stack_sharding = NamedSharding(mesh, P("data"))
+    # colorized input/label/prediction dumps (reference train.py:178-206)
+    img_cfg = params.get("image_summaries") or {}
+    img_cadence = int(img_cfg.get("cadence", 1))
+    img_count = int(img_cfg.get("count", 2))
+    predict_step = make_predict_step(model, mesh=mesh) \
+        if img_cadence > 0 else None
+
+    def dump_image_summaries(epoch):
+        src, tag = (val_loader, "val") if val_loader is not None \
+            else (train_loader, "train")
+        b = next(iter(src.batches()))
+        image, label, _mask = pipeline.eval_batch(
+            b["stack"], b["heights"], b["widths"], crop_hw=in_hw)
+        preds = np.asarray(predict_step(state, image))
+        images.dump_summaries(
+            args.log_dir, tag, epoch, np.asarray(image),
+            np.asarray(label), preds, colormap=dataset.colormap,
+            count=img_count)
 
     aug_rng = np.random.default_rng(args.seed)
     order_rng = np.random.default_rng(args.seed + 1)
     start_epoch = int(state.epoch)
     logger.info("Starting training loop at epoch %d...", start_epoch + 1)
 
+    trace = cli.maybe_trace(getattr(args, "trace", None))
+    trace.__enter__()
     for epoch in range(start_epoch + 1, params["epochs"] + 1):
         # --- train epoch ---
         acc = xmetrics.ConfusionAccumulator(dataset.num_classes)
         losses, costs = [], []
         order = order_rng.permutation(len(train_files))
         batches = cli.progress(
-            train_loader.batches(order),
+            device_prefetch.device_prefetch(train_loader.batches(order),
+                                            sharding=stack_sharding),
             "train[%3d/%3d]" % (epoch, params["epochs"]),
             total=train_batches)
         for b in batches:
@@ -163,7 +193,8 @@ def main(args):
         if val_loader is not None:
             vacc = run_eval_epoch(eval_step, state, val_loader, in_hw,
                                   dataset.num_classes,
-                                  desc="val[%3d]" % epoch)
+                                  desc="val[%3d]" % epoch,
+                                  sharding=stack_sharding)
             vm = vacc.metrics()
             writer.write({
                 "split": "val", "epoch": epoch, "step": int(state.step),
@@ -174,12 +205,17 @@ def main(args):
             logger.info("epoch %d: val mIoU %.4f pixel-acc %.4f", epoch,
                         vm["MeanIoU"], vm["PixelAccuracy"])
 
+        if predict_step is not None and epoch % img_cadence == 0:
+            dump_image_summaries(epoch)
+
         manager.save("model", state)
+    trace.__exit__(None, None, None)
 
     # Final standalone validation (train.py:354-374)
     if val_loader is not None:
         vacc = run_eval_epoch(eval_step, state, val_loader, in_hw,
-                              dataset.num_classes, desc="final-val")
+                              dataset.num_classes, desc="final-val",
+                              sharding=stack_sharding)
         vm = vacc.metrics()
         writer.write({
             "split": "final_val", "epoch": params["epochs"],
