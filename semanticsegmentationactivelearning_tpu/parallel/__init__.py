@@ -1,8 +1,12 @@
-"""Device-mesh parallelism: DP sharding now, spatial partitioning for
-full-resolution inference in ``spatial.py``."""
+"""Device-mesh parallelism: DP sharding + multi-host (DCN) plumbing in
+``mesh.py``, spatial partitioning for full-resolution inference in
+``spatial.py``."""
 
-from .mesh import (check_batch_divisible, data_sharded, make_mesh,
-                   replicated)
+from .mesh import (check_batch_divisible, data_sharded,
+                   estimate_score_hbm, initialize_distributed,
+                   make_global_batch, make_mesh, make_mesh_auto,
+                   process_shard, replicated)
 
-__all__ = ["make_mesh", "replicated", "data_sharded",
-           "check_batch_divisible"]
+__all__ = ["make_mesh", "make_mesh_auto", "replicated", "data_sharded",
+           "check_batch_divisible", "initialize_distributed",
+           "process_shard", "make_global_batch", "estimate_score_hbm"]

@@ -1,0 +1,151 @@
+"""True multi-process DP test — the DCN path (SURVEY.md §5 comm
+inventory): two CPU processes with 2 devices each form one 4-device
+global mesh via ``parallel.initialize_distributed``; each host loads
+only its rows (``process_shard`` + ``make_global_batch``) and runs the
+SAME jitted train step. Loss and updated params must match a
+single-process 4-device run exactly (no dropout)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+
+sys.path.insert(0, os.environ["SSAL_REPO"])
+from semanticsegmentationactivelearning_tpu import parallel
+
+# our helper reads JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
+parallel.initialize_distributed()
+assert jax.device_count() == 4, jax.device_count()
+assert jax.local_device_count() == 2
+
+import jax.numpy as jnp
+from semanticsegmentationactivelearning_tpu.models import ENet
+from semanticsegmentationactivelearning_tpu.train import (
+    create_train_state, make_train_step, optim)
+
+HW, C, BATCH = (32, 48), 4, 8
+HPARAMS = {
+    "dropout_rates": [0.0] * 5,
+    "learning_rate": 1e-3, "learning_rate_decay": 0.0,
+    "optimizer": {"type": "Adam", "kwargs": {"beta1": 0.9, "beta2": 0.99}},
+    "weight_reg": {"L2": 2e-4, "L1": 0.0, "glorot_scaling": False},
+    "softmax": {"label_smoothing": 0.0, "loginverse_scaling": 0.0,
+                "multiscale": False},
+}
+
+rng = np.random.default_rng(0)
+full = {
+    "image": rng.uniform(size=(BATCH, *HW, 3)).astype(np.float32),
+    "label": rng.integers(0, C, (BATCH, *HW)).astype(np.int32),
+    "mask": np.ones((BATCH, *HW), np.float32),
+    "valid": np.ones((BATCH,), np.float32),
+}
+
+mesh = parallel.make_mesh(4)
+sl = parallel.process_shard(BATCH)
+local = {k: v[sl] for k, v in full.items()}
+gbatch = parallel.make_global_batch(mesh, local, batch_keys=tuple(full))
+
+model = ENet(num_classes=C, drop_rates=(0.0,) * 5)
+optimizer = optim.make_optimizer(HPARAMS)
+state = create_train_state(model, optimizer, jax.random.PRNGKey(0), HW)
+step = make_train_step(model, optimizer, C, HPARAMS, mesh=mesh)
+state, m = step(state, gbatch, jax.random.PRNGKey(5))
+
+loss = float(np.asarray(m["loss"].addressable_data(0)))
+digest = sum(float(jnp.sum(jnp.abs(l.addressable_data(0))))
+             for l in jax.tree.leaves(state.params))
+conf = int(np.asarray(m["confusion"].addressable_data(0)).sum())
+print(f"RESULT {loss:.8f} {digest:.6f} {conf}", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = []
+    for pid in range(2):
+        env = dict(base_env,
+                   SSAL_REPO=REPO,
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2",
+                   JAX_PROCESS_ID=str(pid),
+                   JAX_COMPILATION_CACHE_DIR="/tmp/ssal_test_jax_cache")
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=840)
+        assert p.returncode == 0, out + err
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        _, loss, digest, conf = line.split()
+        results.append((float(loss), float(digest), int(conf)))
+
+    # both hosts observe the identical replicated outcome
+    assert results[0] == results[1]
+
+    # single-process 4-device reference
+    import jax
+    import jax.numpy as jnp
+    from semanticsegmentationactivelearning_tpu import parallel
+    from semanticsegmentationactivelearning_tpu.models import ENet
+    from semanticsegmentationactivelearning_tpu.train import (
+        create_train_state, make_train_step, optim)
+
+    HW, C, BATCH = (32, 48), 4, 8
+    hparams = {
+        "dropout_rates": [0.0] * 5,
+        "learning_rate": 1e-3, "learning_rate_decay": 0.0,
+        "optimizer": {"type": "Adam",
+                      "kwargs": {"beta1": 0.9, "beta2": 0.99}},
+        "weight_reg": {"L2": 2e-4, "L1": 0.0, "glorot_scaling": False},
+        "softmax": {"label_smoothing": 0.0, "loginverse_scaling": 0.0,
+                    "multiscale": False},
+    }
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.uniform(size=(BATCH, *HW, 3)).astype(np.float32),
+        "label": rng.integers(0, C, (BATCH, *HW)).astype(np.int32),
+        "mask": np.ones((BATCH, *HW), np.float32),
+        "valid": np.ones((BATCH,), np.float32),
+    }
+    mesh = parallel.make_mesh(4)
+    model = ENet(num_classes=C, drop_rates=(0.0,) * 5)
+    optimizer = optim.make_optimizer(hparams)
+    state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
+                               HW)
+    step = make_train_step(model, optimizer, C, hparams, mesh=mesh)
+    state, m = step(state, batch, jax.random.PRNGKey(5))
+    loss = float(m["loss"])
+    digest = sum(float(jnp.sum(jnp.abs(l)))
+                 for l in jax.tree.leaves(state.params))
+    conf = int(np.asarray(m["confusion"]).sum())
+
+    got_loss, got_digest, got_conf = results[0]
+    assert got_conf == conf
+    np.testing.assert_allclose(got_loss, loss, rtol=1e-6)
+    np.testing.assert_allclose(got_digest, digest, rtol=1e-6)
