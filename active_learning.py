@@ -31,14 +31,15 @@ import sys
 
 import numpy as np
 
-from semanticsegmentationactivelearning_tpu.data import (loader, pipeline,
+from semanticsegmentationactivelearning_tpu.data import (device_prefetch,
+                                                         loader, pipeline,
                                                          sampler)
 from semanticsegmentationactivelearning_tpu.models import get_model
 from semanticsegmentationactivelearning_tpu.ops import metrics as xmetrics
 from semanticsegmentationactivelearning_tpu.train import (
     checkpoint as ckpt, config as conf, create_train_state, make_eval_step,
     make_pool_score_step, make_score_step, make_train_step, optim)
-from semanticsegmentationactivelearning_tpu.utils import cli
+from semanticsegmentationactivelearning_tpu.utils import cli, images
 
 logger = logging.getLogger(__name__)
 
@@ -106,6 +107,8 @@ def poll_human_annotations(to_annotate_indices, train_examples, logger):
     """Block until the user supplies annotated record files for the
     selected truly-unlabelled examples (active_learning.py:796-823).
     Uses a tkinter file dialog when available, else stdin paths."""
+    # Guard against fixed-width unicode arrays truncating new paths.
+    train_examples = np.asarray(train_examples, dtype=object)
     try:
         import tkinter
         import tkinter.filedialog
@@ -159,7 +162,11 @@ def main(args, logger):
     init_rng = np.random.default_rng(args.seed)
     state = init_or_load_state(state_filename, args, alparams, init_rng)
 
-    train_examples = np.array(state["dataset"]["train"]["filenames"])
+    # dtype=object: fixed-width unicode arrays silently truncate longer
+    # paths assigned later by poll_human_annotations, corrupting
+    # state.json durably
+    train_examples = np.array(state["dataset"]["train"]["filenames"],
+                              dtype=object)
     val_examples = np.array(state["dataset"]["val"]["filenames"])
     test_examples = np.array(state["dataset"]["test"]["filenames"])
     labelled = np.array(state["dataset"]["train"]["labelled"],
@@ -232,27 +239,84 @@ def main(args, logger):
                                  hparams, pseudo_cfg=pseudo_cfg,
                                  mesh=mesh)
     eval_step = make_eval_step(model, dataset.num_classes, mesh=mesh)
+    # Scoring may engage a ("data","space") mesh when the per-chip HBM
+    # estimate says full-width activations won't fit (GSPMD inserts the
+    # per-conv halo exchanges; parallel.make_mesh_auto).
+    score_mesh = mesh
+    if mesh is not None:
+        from semanticsegmentationactivelearning_tpu.parallel import \
+            make_mesh_auto
+        dtype_bytes = 2 if "dtype" in model_kwargs else 4
+        auto = make_mesh_auto(batch_size, in_hw, dtype_bytes=dtype_bytes)
+        if "space" in auto.axis_names:
+            score_mesh = auto
+            logger.info("Spatially-sharded scoring engaged: mesh %s",
+                        dict(auto.shape))
     score_step = make_score_step(model, dataset.num_classes,
-                                 alparams["measure"], mesh=mesh)
-    # single-chip pool scoring groups several loader batches into one
-    # dispatch (lax.map) to amortize fixed per-call overhead
-    score_group = 4
-    pool_score_step = None
-    if mesh is None:
-        pool_score_step = make_pool_score_step(
-            model, dataset.num_classes, alparams["measure"],
-            micro_batch=batch_size)
+                                 alparams["measure"], mesh=score_mesh)
+    # Pool scoring groups several loader batches into one dispatch
+    # (lax.map) to amortize fixed per-call overhead (~26ms through the
+    # TPU relay); under a mesh each micro-batch stays data-sharded.
+    # (Disabled when spatial sharding engaged: grouping multiplies the
+    # live activation footprint the spatial mesh exists to bound.)
+    score_group = int(alparams.get("score_group", 4))
+    pool_score_step = make_pool_score_step(
+        model, dataset.num_classes, alparams["measure"],
+        micro_batch=batch_size, mesh=mesh) \
+        if score_group > 1 and score_mesh is mesh else None
 
     ckpt_manager = ckpt.CheckpointManager(args.log_dir)
     writer = cli.MetricsWriter(args.log_dir)
     aug_rng = np.random.default_rng(args.seed + 2)
+    # double-buffered H2D upload of the uint8 stacks (pre-sharded over
+    # the mesh) so transfer overlaps the in-flight step's compute
+    stack_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        stack_sharding = NamedSharding(mesh, P("data"))
+
+    def _prefetched(batches):
+        return device_prefetch.device_prefetch(batches,
+                                               sharding=stack_sharding)
+
+    # Pseudo-label image snapshots (reference wrote them as TB image
+    # summaries every 100 epochs, active_learning.py:367-388).
+    img_cfg = params.get("image_summaries") or {}
+    pseudo_cadence = int(img_cfg.get("pseudo_cadence", 100))
+    img_count = int(img_cfg.get("count", 2))
+
+    def dump_pseudo_snapshot(tstate, epoch):
+        from semanticsegmentationactivelearning_tpu.ops import acquisition
+        order = train_sampler.epoch_order()[:batch_size]
+        b = next(iter(train_loader.batches(order)))
+        raw, _img, _lbl, _msk = pipeline.augment_batch(
+            b["stack"], b["heights"], b["widths"], jax.random.PRNGKey(0),
+            crop_hw=in_hw)
+
+        @jax.jit
+        def _pseudo(tstate, image):
+            logits = model.apply(
+                {"params": tstate.params,
+                 "batch_stats": tstate.batch_stats}, image,
+                training=False)
+            lbl, msk, _conf = acquisition.pseudo_annotate(
+                logits, alparams["measure"], dataset.num_classes,
+                alparams["threshold"])
+            return lbl, msk
+        lbl, msk = _pseudo(tstate, raw)
+        images.dump_summaries(
+            args.log_dir, "pseudo-iter%d" % state["iteration"], epoch,
+            np.asarray(raw), preds=np.asarray(lbl),
+            masks=np.asarray(msk), colormap=dataset.colormap,
+            count=img_count)
 
     def run_train_epoch(tstate, epoch_desc):
         """One training epoch over the sampler's current set."""
         order = train_sampler.epoch_order()
         acc = xmetrics.ConfusionAccumulator(dataset.num_classes)
         losses = []
-        batches = cli.progress(train_loader.batches(order), epoch_desc,
+        batches = cli.progress(_prefetched(train_loader.batches(order)),
+                               epoch_desc,
                                total=train_loader.num_batches(len(order)))
         for b in batches:
             seed = int(aug_rng.integers(0, 2 ** 31 - 1))
@@ -273,7 +337,7 @@ def main(args, logger):
 
     def run_eval(tstate, data_loader, desc):
         acc = xmetrics.ConfusionAccumulator(dataset.num_classes)
-        batches = cli.progress(data_loader.batches(), desc,
+        batches = cli.progress(_prefetched(data_loader.batches()), desc,
                                total=data_loader.num_batches())
         for b in batches:
             image, label, mask = pipeline.eval_batch(
@@ -308,15 +372,25 @@ def main(args, logger):
                 "val_mean_iou": val_miou,
                 "labelled": int(len(labelled)),
                 "no_improvement": no_improvement})
+            if (pseudo_cadence > 0 and state["iteration"] > 0
+                    and epoch % pseudo_cadence == 0):
+                dump_pseudo_snapshot(tstate, epoch)
             ckpt_manager.cache(tstate)
-            if val_miou > best_mean_iou:
-                best_mean_iou = val_miou
+            improved = val_miou > best_mean_iou
+            if improved or val_loader is None:
+                # With no validation set every epoch commits, so a best
+                # checkpoint always exists and the post-round restore
+                # keeps (rather than discards) the round's training.
+                best_mean_iou = max(best_mean_iou, val_miou)
                 committed = ckpt_manager.commit(
                     os.path.join(log_subdir, "model"))
                 if committed != "":
                     best_ckpt_path = committed
+            if improved:
                 no_improvement = 0
             else:
+                # Without a val signal this still terminates the round
+                # after `epochs` post-warm-up epochs.
                 no_improvement += 1
                 if no_improvement >= params["epochs"] and grace < 0:
                     break
@@ -344,7 +418,7 @@ def main(args, logger):
         num_examples = len(train_examples)
         confidence = np.zeros(num_examples, dtype=np.float32)
         order = np.arange(num_examples)
-        batches = cli.progress(train_loader.batches(order),
+        batches = cli.progress(_prefetched(train_loader.batches(order)),
                                "ranking[%d]" % len(labelled),
                                total=train_loader.num_batches())
         import jax.numpy as jnp

@@ -11,8 +11,8 @@ from semanticsegmentationactivelearning_tpu.models import ENet
 from semanticsegmentationactivelearning_tpu.parallel import (
     check_batch_divisible, make_mesh)
 from semanticsegmentationactivelearning_tpu.train import (
-    create_train_state, make_eval_step, make_score_step, make_train_step,
-    optim)
+    create_train_state, make_eval_step, make_pool_score_step,
+    make_score_step, make_train_step, optim)
 
 HPARAMS = {
     "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
@@ -63,9 +63,50 @@ class TestDataParallelSteps:
                                    jax.random.PRNGKey(0), HW)
         return model, optimizer, state
 
-    def test_dp_matches_single_device(self, setup):
-        """One DP step over 8 devices == one single-device step (same
-        batch, same key) within float tolerance."""
+    def test_dp_matches_single_device_exactly(self):
+        """With dropout disabled the DP step over 8 devices must match
+        the single-device step to float-reduction tolerance — a real
+        gradient-reduction bug cannot hide behind dropout noise.
+
+        Plain SGD, not Adam: Adam's step-1 update is ~±lr for every
+        parameter regardless of gradient magnitude, so fp32 noise
+        flipping a near-zero gradient's sign would flip the whole
+        update. Under SGD the param delta IS the (scaled) gradient, so
+        this directly asserts the psum'd gradient."""
+        nodrop = dict(HPARAMS, dropout_rates=[0.0] * 5)
+        model = ENet(num_classes=C, drop_rates=(0.0,) * 5)
+        import optax
+        optimizer = optax.sgd(1e-3)
+        state0 = create_train_state(model, optimizer,
+                                    jax.random.PRNGKey(0), HW)
+        batch = _batch(8)
+        key = jax.random.PRNGKey(5)
+
+        single = make_train_step(model, optimizer, C, nodrop)
+        s1, m1 = single(jax.tree.map(jnp.copy, state0), dict(batch), key)
+
+        mesh = make_mesh(8)
+        dp = make_train_step(model, optimizer, C, nodrop, mesh=mesh)
+        s8, m8 = dp(jax.tree.map(jnp.copy, state0), dict(batch), key)
+
+        # tolerance: fp32 reduction-order noise between the sharded
+        # (psum-tree) and unsharded lowerings is ~1e-5 relative; a
+        # missing gradient reduction is orders of magnitude larger
+        np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                                   rtol=1e-4)
+        # argmax near-ties under a freshly-initialized net can flip
+        # between lowerings; assert the mask-weighted total only
+        assert np.asarray(m8["confusion"]).sum() == \
+            np.asarray(m1["confusion"]).sum()
+        l1 = jax.tree.leaves(s1.params)
+        l8 = jax.tree.leaves(s8.params)
+        worst = max(float(np.max(np.abs(a - b))) for a, b in zip(l1, l8))
+        assert worst < 1e-4, worst
+
+    def test_dp_matches_single_device_with_dropout(self, setup):
+        """With dropout on, sharded/unsharded lowerings may draw
+        different noise; assert the deterministic pieces and that one
+        optimizer step lands close."""
         model, optimizer, state0 = setup
         batch = _batch(8)
         key = jax.random.PRNGKey(5)
@@ -77,9 +118,6 @@ class TestDataParallelSteps:
         dp = make_train_step(model, optimizer, C, HPARAMS, mesh=mesh)
         s8, m8 = dp(jax.tree.map(jnp.copy, state0), dict(batch), key)
 
-        # dropout noise can differ between sharded/unsharded lowerings,
-        # so assert the deterministic pieces (confusion totals) and that
-        # one optimizer step lands numerically close.
         assert np.isfinite(float(m8["loss"]))
         assert np.asarray(m8["confusion"]).sum() == \
             np.asarray(m1["confusion"]).sum()
@@ -103,6 +141,66 @@ class TestDataParallelSteps:
         single_sc = make_score_step(model, C, "entropy")
         want = np.asarray(single_sc(state, {"image": _batch(8)["image"]}))
         np.testing.assert_allclose(np.asarray(scores), want, atol=1e-5)
+
+    def test_pool_score_sharded_matches_single(self, setup):
+        """Grouped (lax.map) pool scoring under a mesh == per-batch
+        single-device scoring: multi-chip AL ranking keeps the
+        dispatch-amortized path."""
+        model, _opt, state = setup
+        mesh = make_mesh(8)
+        images = np.concatenate(
+            [_batch(8, seed=s)["image"] for s in (1, 2, 3)], axis=0)
+        pooled = make_pool_score_step(model, C, "entropy",
+                                      micro_batch=8, mesh=mesh)
+        got = np.asarray(pooled(state, images))
+        assert got.shape == (24,)
+        single_sc = make_score_step(model, C, "entropy")
+        want = np.concatenate([
+            np.asarray(single_sc(state, {"image": images[i:i + 8]}))
+            for i in range(0, 24, 8)])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestSpatialScoreStep:
+    """Full spatially-sharded scoring: on a ("data","space") mesh the
+    whole ENet forward runs width-sharded (GSPMD inserts per-conv halo
+    exchanges); scores must equal the unsharded result."""
+
+    def test_spatial_score_matches_single(self):
+        model = ENet(num_classes=C, drop_rates=(0.0,) * 5)
+        optimizer = optim.make_optimizer(HPARAMS)
+        # W must divide (space degree x 8): use 64 wide
+        hw = (32, 64)
+        state = create_train_state(model, optimizer,
+                                   jax.random.PRNGKey(0), hw)
+        rng = np.random.default_rng(9)
+        image = rng.uniform(size=(4, *hw, 3)).astype(np.float32)
+
+        mesh2d = make_mesh(8, ("data", "space"), shape=(2, 4))
+        sc = make_score_step(model, C, "entropy", mesh=mesh2d)
+        got = np.asarray(sc(state, {"image": image}))
+
+        single = make_score_step(model, C, "entropy")
+        want = np.asarray(single(state, {"image": image}))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_make_mesh_auto(self):
+        from semanticsegmentationactivelearning_tpu.parallel import \
+            make_mesh_auto
+        # tiny inputs: pure DP
+        m = make_mesh_auto(8, (64, 128), dtype_bytes=2, num_devices=8)
+        assert m.axis_names == ("data",) and m.shape["data"] == 8
+        # spatial pays off when the batch can't spread over every chip:
+        # batch 2 on 8 devices, one fp32 2048x4096 image (~14G) exceeds
+        # a chip — DP alone leaves 1 img/chip, space splits it further
+        m2 = make_mesh_auto(2, (2048, 4096), dtype_bytes=4,
+                            num_devices=8)
+        assert m2.axis_names == ("data", "space")
+        assert m2.shape["data"] == 2 and m2.shape["space"] == 4
+        from semanticsegmentationactivelearning_tpu.parallel import \
+            estimate_score_hbm
+        per = estimate_score_hbm(1, (2048, 4096), 4)
+        assert per / m2.shape["space"] <= 0.8 * 15.75e9 < per
 
 
 class TestGraftEntry:
