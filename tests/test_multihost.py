@@ -72,6 +72,88 @@ print(f"RESULT {loss:.8f} {digest:.6f} {conf}", flush=True)
 """
 
 
+def test_two_process_train_cli(tmp_path):
+    """The train CLI end-to-end across two processes: same synthetic
+    dataset, global batch split per host, only process 0 writing
+    metrics/checkpoints."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "freiburg"
+    rng = np.random.default_rng(0)
+    colors = np.array([(170, 170, 170), (0, 255, 0), (102, 102, 51),
+                       (0, 120, 255), (0, 0, 0)], dtype=np.uint8)
+    img_colors = np.array([(200, 40, 40), (40, 200, 40), (40, 40, 200),
+                           (200, 200, 40), (40, 200, 200)],
+                          dtype=np.uint8)
+    for split, n in [("train", 26), ("test", 2)]:
+        (root / split / "GT_color").mkdir(parents=True)
+        (root / split / "rgb").mkdir(parents=True)
+        for i in range(n):
+            idx = rng.integers(0, len(colors), (4, 6))
+            big = np.kron(idx, np.ones((8, 8), np.int64))
+            Image.fromarray(colors[big]).save(
+                root / split / "GT_color" / f"{split[0]}{i:03d}_mask.png")
+            Image.fromarray(img_colors[big]).save(
+                root / split / "rgb" / f"{split[0]}{i:03d}.png")
+    records = tmp_path / "records"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, "generate_dataset.py", "-d", str(root),
+         "-t", "freiburg", "-o", str(records)], cwd=REPO, env=env,
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+
+    conf = {
+        "batch_size": 4, "epochs": 1,
+        "hyperparams": {
+            "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
+            "learning_rate": 1e-3, "learning_rate_decay": 0.0,
+            "optimizer": {"type": "Adam",
+                          "kwargs": {"beta1": 0.9, "beta2": 0.99}},
+            "weight_reg": {"L2": 2e-4, "L1": 0.0,
+                           "glorot_scaling": False},
+            "softmax": {"label_smoothing": 0.0,
+                        "loginverse_scaling": 0.0, "multiscale": False},
+        },
+        "network": {"model": "ENet",
+                    "input": {"height": 32, "width": 48}},
+        "image_summaries": {"cadence": 0},
+    }
+    conf_path = tmp_path / "conf.json"
+    conf_path.write_text(json.dumps(conf))
+
+    port = _free_port()
+    log_dir = tmp_path / "log"
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = []
+    for pid in range(2):
+        env = dict(base_env, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=2",
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+                   JAX_COMPILATION_CACHE_DIR="/tmp/ssal_test_jax_cache")
+        procs.append(subprocess.Popen(
+            [sys.executable, "train.py", "freiburg", "-d", str(records),
+             "-l", str(log_dir), "-p", str(conf_path)],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        out, err = p.communicate(timeout=840)
+        assert p.returncode == 0, out + err
+
+    lines = [json.loads(l) for l in
+             (log_dir / "metrics.jsonl").read_text().splitlines()]
+    splits = [l["split"] for l in lines]
+    # exactly one host wrote: one train line, one val, one final_val
+    assert splits.count("train") == 1
+    assert splits.count("final_val") == 1
+    assert len(list(log_dir.glob("model-*.ckpt"))) == 1
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))

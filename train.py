@@ -32,13 +32,33 @@ from semanticsegmentationactivelearning_tpu.utils import cli, images
 logger = logging.getLogger(__name__)
 
 
+def _batch_stream(loader_, order, global_bs, mesh, sharding):
+    """Per-host batch iterator: single-process -> double-buffered
+    device_put; multi-host -> each host's slice of every global chunk
+    assembled into one globally-sharded array."""
+    import jax
+    if jax.process_count() > 1:
+        from semanticsegmentationactivelearning_tpu import parallel
+        src = loader_.global_batches(order, global_bs,
+                                     jax.process_index(),
+                                     jax.process_count())
+        return (parallel.make_global_batch(
+            mesh, b, batch_keys=("stack", "heights", "widths", "valid"))
+            for b in src)
+    return device_prefetch.device_prefetch(loader_.batches(order),
+                                           sharding=sharding)
+
+
 def run_eval_epoch(eval_step, state, val_loader, crop_hw, num_classes,
-                   desc="val", show_progress=True, sharding=None):
+                   desc="val", show_progress=True, sharding=None,
+                   mesh=None, global_bs=None):
+    import numpy as _np
     acc = xmetrics.ConfusionAccumulator(num_classes)
+    order = _np.arange(val_loader.count)
+    gbs = global_bs if global_bs is not None else val_loader.batch_size
     batches = cli.progress(
-        device_prefetch.device_prefetch(val_loader.batches(),
-                                        sharding=sharding),
-        desc, show_progress, total=val_loader.num_batches())
+        _batch_stream(val_loader, order, gbs, mesh, sharding),
+        desc, show_progress, total=-(-val_loader.count // gbs))
     for b in batches:
         image, label, mask = pipeline.eval_batch(
             b["stack"], b["heights"], b["widths"], crop_hw=crop_hw)
@@ -53,12 +73,25 @@ def main(args):
     import jax
 
     cli.enable_compilation_cache(args.log_dir)
+    # Multi-host (DCN): join the other processes before any jax op;
+    # meshes below then span every host's devices.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from semanticsegmentationactivelearning_tpu import parallel
+        parallel.initialize_distributed()
+    nproc = jax.process_count()
+    is_main = jax.process_index() == 0
+
     dataset = cli.make_dataset(args)
     params = args.params
     hparams = params["hyperparams"]
     in_hw = (params["network"]["input"]["height"],
              params["network"]["input"]["width"])
     batch_size = params["batch_size"]
+    if batch_size % nproc:
+        logger.error("batch_size %d not divisible by %d processes",
+                     batch_size, nproc)
+        return 1
+    local_bs = batch_size // nproc  # rows this host decodes per batch
 
     train_files = sorted(glob.glob(
         os.path.join(args.data_dir, "train", "*.tfrecord")))
@@ -67,12 +100,12 @@ def main(args):
     if not train_files:
         logger.error("No training records under %s", args.data_dir)
         return 1
-    train_loader = loader.RecordLoader(train_files, batch_size,
+    train_loader = loader.RecordLoader(train_files, local_bs,
                                        min_hw=in_hw)
-    val_loader = loader.RecordLoader(val_files, batch_size,
+    val_loader = loader.RecordLoader(val_files, local_bs,
                                      min_hw=in_hw) \
         if val_files else None
-    train_batches = train_loader.num_batches()
+    train_batches = -(-len(train_files) // batch_size)
     logger.info("%d train / %d val examples", len(train_files),
                 len(val_files))
 
@@ -108,11 +141,13 @@ def main(args):
         logger.info("Resuming from checkpoint \"%s\"", restore_from)
         state = ckpt.restore_checkpoint(restore_from, state)
 
-    if not os.path.exists(os.path.join(args.log_dir, "config.json")):
+    if is_main and not os.path.exists(
+            os.path.join(args.log_dir, "config.json")):
         conf.dump_params(params, args.log_dir)
 
     manager = ckpt.CheckpointManager(args.log_dir)
-    writer = cli.MetricsWriter(args.log_dir)
+    # metrics/checkpoints are replicated across hosts: only 0 writes
+    writer = cli.MetricsWriter(args.log_dir, enabled=is_main)
     # SPMD data parallelism over all local devices when the batch
     # divides evenly (the reference had no DP at all; SURVEY.md)
     mesh = None
@@ -120,7 +155,12 @@ def main(args):
         from semanticsegmentationactivelearning_tpu.parallel import \
             make_mesh
         mesh = make_mesh()
-        logger.info("Data-parallel over %d devices", jax.device_count())
+        logger.info("Data-parallel over %d devices (%d host(s))",
+                    jax.device_count(), nproc)
+    if nproc > 1 and mesh is None:
+        logger.error("Multi-host run needs batch_size divisible by the "
+                     "global device count %d", jax.device_count())
+        return 1
     train_step = make_train_step(model, optimizer, dataset.num_classes,
                                  hparams, mesh=mesh)
     eval_step = make_eval_step(model, dataset.num_classes, mesh=mesh)
@@ -134,8 +174,10 @@ def main(args):
     img_cfg = params.get("image_summaries") or {}
     img_cadence = int(img_cfg.get("cadence", 1))
     img_count = int(img_cfg.get("count", 2))
+    # (single-host only: under multi-host the dump batch is host-local,
+    # and a process-0-only collective would wedge the other hosts)
     predict_step = make_predict_step(model, mesh=mesh) \
-        if img_cadence > 0 else None
+        if img_cadence > 0 and nproc == 1 else None
 
     def dump_image_summaries(epoch):
         src, tag = (val_loader, "val") if val_loader is not None \
@@ -162,8 +204,8 @@ def main(args):
         losses, costs = [], []
         order = order_rng.permutation(len(train_files))
         batches = cli.progress(
-            device_prefetch.device_prefetch(train_loader.batches(order),
-                                            sharding=stack_sharding),
+            _batch_stream(train_loader, order, batch_size, mesh,
+                          stack_sharding),
             "train[%3d/%3d]" % (epoch, params["epochs"]),
             total=train_batches)
         for b in batches:
@@ -194,7 +236,8 @@ def main(args):
             vacc = run_eval_epoch(eval_step, state, val_loader, in_hw,
                                   dataset.num_classes,
                                   desc="val[%3d]" % epoch,
-                                  sharding=stack_sharding)
+                                  sharding=stack_sharding, mesh=mesh,
+                                  global_bs=batch_size)
             vm = vacc.metrics()
             writer.write({
                 "split": "val", "epoch": epoch, "step": int(state.step),
@@ -205,17 +248,20 @@ def main(args):
             logger.info("epoch %d: val mIoU %.4f pixel-acc %.4f", epoch,
                         vm["MeanIoU"], vm["PixelAccuracy"])
 
-        if predict_step is not None and epoch % img_cadence == 0:
+        if is_main and predict_step is not None \
+                and epoch % img_cadence == 0:
             dump_image_summaries(epoch)
 
-        manager.save("model", state)
+        if is_main:
+            manager.save("model", state)
     trace.__exit__(None, None, None)
 
     # Final standalone validation (train.py:354-374)
     if val_loader is not None:
         vacc = run_eval_epoch(eval_step, state, val_loader, in_hw,
                               dataset.num_classes, desc="final-val",
-                              sharding=stack_sharding)
+                              sharding=stack_sharding, mesh=mesh,
+                              global_bs=batch_size)
         vm = vacc.metrics()
         writer.write({
             "split": "final_val", "epoch": params["epochs"],
