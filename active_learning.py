@@ -423,20 +423,22 @@ def main(args, logger):
                                total=train_loader.num_batches())
         import jax.numpy as jnp
         buf_raw, buf_idx, buf_valid = [], [], []
+        # results stay on device until the very end: fetching a score
+        # array syncs the relay, so resolving lazily lets every grouped
+        # dispatch queue back-to-back
+        pending = []
 
         def flush():
             if not buf_raw:
                 return
             if pool_score_step is not None and len(buf_raw) > 1:
-                scores = np.asarray(pool_score_step(
-                    tstate, jnp.concatenate(buf_raw, axis=0)))
+                scores = pool_score_step(
+                    tstate, jnp.concatenate(buf_raw, axis=0))
             else:
-                scores = np.concatenate([
-                    np.asarray(score_step(tstate, {"image": r}))
-                    for r in buf_raw])
-            idx = np.concatenate(buf_idx)
-            val = np.concatenate(buf_valid)
-            confidence[idx[val]] = scores[val]
+                scores = jnp.concatenate([
+                    score_step(tstate, {"image": r}) for r in buf_raw])
+            pending.append((scores, np.concatenate(buf_idx),
+                            np.concatenate(buf_valid)))
             buf_raw.clear()
             buf_idx.clear()
             buf_valid.clear()
@@ -452,6 +454,9 @@ def main(args, logger):
             if len(buf_raw) == score_group:
                 flush()
         flush()
+        for scores, idx, val in pending:
+            scores = np.asarray(scores)
+            confidence[idx[val]] = scores[val]
 
         unlabelled_conf = confidence[unlabelled]
         if len(unlabelled_conf) == 0:

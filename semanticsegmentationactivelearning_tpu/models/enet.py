@@ -155,8 +155,9 @@ class ENet(nn.Module):
                               return_pre_logits=True)
         kernel = variables["params"]["Final"]["deconv"]["kernel"]
         if use_pallas and measure == "entropy":
+            # features stay in compute dtype (bf16 on TPU): the kernel
+            # upcasts per-tile in VMEM, halving its HBM input traffic
             return pallas_kernels.fused_deconv_entropy_score(
-                features.astype(jnp.float32),
-                kernel.astype(jnp.float32), self.num_classes)
+                features, kernel.astype(jnp.float32), self.num_classes)
         return acquisition.chunked_deconv_mean_confidence(
             features, kernel, measure, self.num_classes)

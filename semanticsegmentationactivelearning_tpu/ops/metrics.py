@@ -114,18 +114,38 @@ def derive_metrics(confusion: np.ndarray) -> Dict[str, np.ndarray]:
 
 class ConfusionAccumulator:
     """Host-side streaming accumulator (replaces the reference's
-    assign_add variable + reset initializer, metrics.py:12-77)."""
+    assign_add variable + reset initializer, metrics.py:12-77).
+
+    ``update`` is LAZY: device arrays are buffered and only fetched
+    when a result is read. Fetching a jit output forces a device sync,
+    so an eager per-step ``np.asarray`` would serialize the hot loop —
+    uploads of the next batch could never overlap the in-flight step
+    (measured ~2x step-time through the TPU relay). Buffered [C,C]
+    int32 matrices are ~1.4KB each; an epoch of thousands of steps
+    holds a few MB at most."""
 
     def __init__(self, num_classes: int):
         self.num_classes = num_classes
         self.reset()
 
     def reset(self) -> None:
-        self.matrix = np.zeros((self.num_classes, self.num_classes),
-                               dtype=np.int64)
+        self._matrix = np.zeros((self.num_classes, self.num_classes),
+                                dtype=np.int64)
+        self._pending = []
 
     def update(self, batch_confusion) -> None:
-        self.matrix += np.asarray(batch_confusion, dtype=np.int64)
+        self._pending.append(batch_confusion)
+
+    def _drain(self) -> None:
+        if self._pending:
+            pending, self._pending = self._pending, []
+            for m in pending:
+                self._matrix += np.asarray(m, dtype=np.int64)
+
+    @property
+    def matrix(self) -> np.ndarray:
+        self._drain()
+        return self._matrix
 
     def metrics(self) -> Dict[str, np.ndarray]:
         return derive_metrics(self.matrix)
