@@ -103,7 +103,8 @@ class ENet(nn.Module):
 
     def __call__(self, x, training: bool = False,
                  multiscale: bool = False,
-                 return_pre_logits: bool = False):
+                 return_pre_logits: bool = False,
+                 return_stage4: bool = False):
         h = self.Initial_(x, training)
 
         h, switches1 = self.Bottleneck1_0(h, training)
@@ -121,6 +122,12 @@ class ENet(nn.Module):
         for block in self.stage4:
             h = block(h, training)
         b4_2 = h
+
+        if return_stage4:
+            # Stage-4 features + stage-1 pool switches: everything the
+            # fused decoder scoring kernel needs (Bottleneck5_0/5_1 +
+            # Final + entropy run inside ops/pallas_kernels).
+            return b4_2, switches1
 
         h = self.Bottleneck5_0(h, switches1, training)
         b5_1 = self.Bottleneck5_1(h, training)
@@ -144,13 +151,25 @@ class ENet(nn.Module):
         return logits, (logits, *ms_logits)
 
     def fused_score(self, variables, image, measure: str,
-                    use_pallas: bool = False):
-        """Acquisition scoring without materializing full-res logits:
-        stop at pre-Final features, then run the Final transpose conv +
-        softmax + confidence + mean chunked (or as one Pallas kernel).
+                    use_pallas: bool = False, fuse_decoder: bool = True):
+        """Acquisition scoring without materializing full-res logits.
         The AL pool-ranking hot loop (reference
-        active_learning.py:229-263)."""
+        active_learning.py:229-263).
+
+        With ``use_pallas`` and the entropy measure the default path
+        stops at the stage-4 features and runs the ENTIRE decoder
+        (Bottleneck5_0/5_1 + Final + entropy) as one Pallas kernel —
+        none of the decoder's lane-padded half/full-res tensors exist in
+        HBM (``fuse_decoder=False`` keeps the older Final-only kernel
+        for comparison). Other measures use the chunked XLA tail."""
         from ..ops import acquisition, pallas_kernels
+        if use_pallas and measure == "entropy" and fuse_decoder:
+            f4, switches1 = self.apply(variables, image, training=False,
+                                       return_stage4=True)
+            packed = pallas_kernels.pack_enet_decoder(
+                variables, self.num_classes)
+            return pallas_kernels.fused_decoder_entropy_score(
+                f4, switches1, packed, self.num_classes)
         features = self.apply(variables, image, training=False,
                               return_pre_logits=True)
         kernel = variables["params"]["Final"]["deconv"]["kernel"]

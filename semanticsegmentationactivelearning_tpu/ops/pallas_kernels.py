@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -264,3 +266,358 @@ def fused_deconv_entropy_score(features: jnp.ndarray, kernel: jnp.ndarray,
     )(features, features, kx, kxu, kxl, kxul, seg)
 
     return jnp.sum(partial_sums, axis=1) / jnp.float32(4 * h2 * w2)
+
+
+# ---------------------------------------------------------------------------
+# Fused ENet decoder: Bottleneck5_0 + Bottleneck5_1 + Final + entropy
+# ---------------------------------------------------------------------------
+#
+# The ENet decoder's half-resolution tensors have 4/8/16 channels; on TPU
+# their minor dim pads to 128 lanes, so stage 5 + the Final tail were the
+# two dominant HBM-traffic items of the scoring forward (measured: ~47 ms
+# + ~44 ms of a ~200 ms batch-16 forward at 1024x2048). This kernel keeps
+# the ENTIRE decoder below stage 4 in VMEM by computing in a
+# space-to-depth ("phase-packed") domain over the quarter-resolution
+# grid: a half-res tensor [H2, W2, C] is represented as
+# [Hq, Wq, 4*C] with channel p*C + c holding half pixel
+# (2i + p//2, 2j + p%2); full-res logits become [Hq, Wq, 16*C]. Every
+# convolution is then a small set of shifted MXU matmuls against packed
+# block-structured kernels (built in pack_enet_decoder), and no half- or
+# full-resolution buffer ever exists in HBM.
+#
+# Reference semantics reproduced (inference mode, BN folded to affine):
+#   Bottleneck5_0 (enet_modules.py:940-1292 / models/blocks.py:169-214):
+#     proj 1x1 64->16 +BN+PReLU; deconv 3x3/s2 16->8 +BN+PReLU;
+#     exp 1x1 8->16 +BN; residual = unpool(res_conv 1x1 64->16, switches);
+#     PReLU(exp + residual).
+#   Bottleneck5_1 (blocks.py:66-120): proj 1x1 16->4, conv 3x3 4->4,
+#     exp 1x1 4->16 (+BN/PReLU as above), PReLU(exp + input).
+#   Final (blocks.py:217-232): deconv 3x3/s2 16->C.
+#   Entropy confidence mean (active_learning.py:240-263).
+#
+# Phase conventions (must stay consistent everywhere):
+#   half-over-quarter phase p = 2a + b places at (2i+a, 2j+b) — the same
+#   row-major order as ops/nn.py pooling switches;
+#   full-over-quarter phase pf = (2a+u)*4 + (2b+v) where (a, b) is the
+#   half-res phase and (u, v) the Final deconv polyphase.
+#
+# Transpose-conv polyphase taps (same decomposition as _score_kernel,
+# verified against lax.conv_transpose):
+#   out[2i  ,2j  ] = K[2,2]x[i,j] + K[0,2]x[i-1,j]
+#                  + K[2,0]x[i,j-1] + K[0,0]x[i-1,j-1]
+#   out[2i  ,2j+1] = K[2,1]x[i,j] + K[0,1]x[i-1,j]
+#   out[2i+1,2j  ] = K[1,2]x[i,j] + K[1,0]x[i,j-1]
+#   out[2i+1,2j+1] = K[1,1]x[i,j]
+
+
+def _fold_bn(kernel, bn_params, bn_stats, eps=1e-3):
+    """Fold inference BatchNorm (momentum-tracked stats, eps 1e-3 like
+    blocks._batch_norm) into the preceding conv: returns (kernel*s, t)
+    with s = gamma/sqrt(var+eps), t = beta - mean*s."""
+    s = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+    return kernel * s, bn_params["bias"] - bn_stats["mean"] * s
+
+
+def pack_enet_decoder(variables, num_classes: int):
+    """Fold BN and build the phase-packed matmul kernels for
+    :func:`fused_decoder_entropy_score` from an ENet variables pytree.
+
+    All outputs are float32; shapes for ENet's fixed decoder widths
+    (64 -> 16 -> 8 -> 16 -> 4 -> 16 -> C)."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    b50, s50 = p["Bottleneck5_0"], bs["Bottleneck5_0"]
+    b51, s51 = p["Bottleneck5_1"], bs["Bottleneck5_1"]
+
+    f32 = lambda a: a.astype(jnp.float32)
+
+    # --- Bottleneck5_0 ---
+    wp, bp = _fold_bn(f32(b50["proj_conv"]["kernel"][0, 0]),
+                      b50["proj_bn"], s50["proj_bn"])      # [64,16],[16]
+    ap = f32(b50["proj_prelu"]["alpha"])
+    kd, bd8 = _fold_bn(f32(b50["deconv"]["kernel"]),
+                       b50["conv_bn"], s50["conv_bn"])     # [3,3,16,8]
+    ad8 = f32(b50["conv_prelu"]["alpha"])
+    we8, be16 = _fold_bn(f32(b50["exp_conv"]["kernel"][0, 0]),
+                         b50["exp_bn"], s50["exp_bn"])     # [8,16],[16]
+    wr = f32(b50["res_conv"]["kernel"][0, 0])              # [64,16]
+    ar16 = f32(b50["res_prelu"]["alpha"])
+
+    zero8 = jnp.zeros_like(kd[0, 0])
+    # packed deconv kernels, phase order (0,0),(0,1),(1,0),(1,1);
+    # stack order: [x, x_up, x_left, x_upleft]
+    kd_stack = jnp.stack([
+        jnp.concatenate([kd[2, 2], kd[2, 1], kd[1, 2], kd[1, 1]], -1),
+        jnp.concatenate([kd[0, 2], kd[0, 1], zero8, zero8], -1),
+        jnp.concatenate([kd[2, 0], zero8, kd[1, 0], zero8], -1),
+        jnp.concatenate([kd[0, 0], zero8, zero8, zero8], -1)])
+    tile4 = lambda v: jnp.concatenate([v] * 4)
+    eye4 = np.eye(4, dtype=np.float32)
+    blkdiag4 = lambda w: jnp.kron(eye4, w)
+
+    # --- Bottleneck5_1 ---
+    wq1, bq1_4 = _fold_bn(f32(b51["proj_conv"]["kernel"][0, 0]),
+                          b51["proj_bn"], s51["proj_bn"])  # [16,4],[4]
+    aq1_4 = f32(b51["proj_prelu"]["alpha"])
+    w1, bc1_4 = _fold_bn(f32(b51["conv"]["kernel"]),
+                         b51["conv_bn"], s51["conv_bn"])   # [3,3,4,4]
+    ac1_4 = f32(b51["conv_prelu"]["alpha"])
+    we1_4, be1_16 = _fold_bn(f32(b51["exp_conv"]["kernel"][0, 0]),
+                             b51["exp_bn"], s51["exp_bn"])  # [4,16],[16]
+    a51_16 = f32(b51["res_prelu"]["alpha"])
+
+    # 5_1 conv 3x3 at half-res as 9 quarter-shift packed kernels: output
+    # phase (a,b) at quarter (i,j) draws input phase (pa,pb) at quarter
+    # (i+di, j+dj) with tap W[1+dy,1+dx] iff dy = 2di+pa-a in {-1,0,1}
+    # (and likewise dx).
+    m_stack = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            m = jnp.zeros((16, 16), jnp.float32)
+            for a in (0, 1):
+                for pa in (0, 1):
+                    dy = 2 * di + pa - a
+                    if dy not in (-1, 0, 1):
+                        continue
+                    for b in (0, 1):
+                        for pb in (0, 1):
+                            dx = 2 * dj + pb - b
+                            if dx not in (-1, 0, 1):
+                                continue
+                            sel = np.zeros((4, 4), np.float32)
+                            sel[2 * pa + pb, 2 * a + b] = 1.0
+                            m = m + jnp.kron(sel, w1[1 + dy, 1 + dx])
+            m_stack.append(m)
+    m_stack = jnp.stack(m_stack)                           # [9,16,16]
+
+    # --- Final: half->full deconv into 16 full phases ---
+    kf = f32(p["Final"]["deconv"]["kernel"])               # [3,3,16,C]
+    c = num_classes
+
+    def row_taps(u, a, di, pa):
+        """Kernel row indices tapped by full row phase (a,u) from input
+        half phase-row pa at quarter shift di (empty if none)."""
+        taps = []
+        if u == 0:
+            if di == 0 and pa == a:
+                taps.append(2)                   # h[y] tap K[2,*]
+            if (a == 0 and di == -1 and pa == 1) or \
+               (a == 1 and di == 0 and pa == 0):
+                taps.append(0)                   # h[y-1] tap K[0,*]
+        else:
+            if di == 0 and pa == a:
+                taps.append(1)                   # h[y] tap K[1,*]
+        return taps
+
+    f_stack = []
+    for di in (0, -1):
+        for dj in (0, -1):
+            fm = jnp.zeros((64, 16 * c), jnp.float32)
+            for a in (0, 1):
+                for u in (0, 1):
+                    for pa in (0, 1):
+                        rks = row_taps(u, a, di, pa)
+                        for b in (0, 1):
+                            for v in (0, 1):
+                                for pb in (0, 1):
+                                    cks = row_taps(v, b, dj, pb)
+                                    for rk in rks:
+                                        for ck in cks:
+                                            sel = np.zeros((4, 16),
+                                                           np.float32)
+                                            pf = (2 * a + u) * 4 \
+                                                + (2 * b + v)
+                                            sel[2 * pa + pb, pf] = 1.0
+                                            fm = fm + jnp.kron(
+                                                sel, kf[rk, ck])
+            f_stack.append(fm)
+    f_stack = jnp.stack(f_stack)                 # [4,64,16C] [x,l,u,ul]
+    seg = jnp.kron(jnp.eye(16, dtype=jnp.float32),
+                   jnp.ones((c, 1), jnp.float32))          # [16C,16]
+
+    row = lambda v: v[None, :]
+    return dict(
+        wp=wp, bp=row(bp), ap=row(ap),
+        kd=kd_stack, bd=row(tile4(bd8)), ad=row(tile4(ad8)),
+        we=blkdiag4(we8), be=row(tile4(be16)),
+        wr=wr, ar=row(tile4(ar16)),
+        wq1=blkdiag4(wq1), bq1=row(tile4(bq1_4)), aq1=row(tile4(aq1_4)),
+        m=m_stack, bc1=row(tile4(bc1_4)), ac1=row(tile4(ac1_4)),
+        we1=blkdiag4(we1_4), be1=row(tile4(be1_16)), a51=row(tile4(a51_16)),
+        f=f_stack, seg=seg)
+
+
+def _decoder_kernel(f_ref, fu2_ref, fu1_ref, fd1_ref,
+                    m_ref, mu1_ref, md1_ref,
+                    wp_ref, bp_ref, ap_ref, kd_ref, bd_ref, ad_ref,
+                    we_ref, be_ref, wr_ref, ar_ref,
+                    wq1_ref, bq1_ref, aq1_ref, m9_ref, bc1_ref, ac1_ref,
+                    we1_ref, be1_ref, a51_ref, f4_ref, seg_ref,
+                    out_ref, *, num_classes: int, tile_q: int, hq: int):
+    """See module comment above for the math; all compute is fp32 in
+    VMEM on phase-packed tensors over the quarter grid."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    f32 = jnp.float32
+    i0 = j * tile_q
+
+    def prelu(x, a_ref):
+        a = a_ref[...].astype(f32)
+        return jnp.where(x >= 0, x, a * x)
+
+    def mm(a2d, w):
+        return jnp.dot(a2d, w.astype(f32),
+                       preferred_element_type=f32)
+
+    # quarter rows [i0-2 .. i1+1]; halo refs carry clamped row indices,
+    # out-of-range rows are re-zeroed by validity masks below
+    f = jnp.concatenate([fu2_ref[0], fu1_ref[0], f_ref[0], fd1_ref[0]],
+                        axis=0).astype(f32)          # [TQ+3, Wq, 64]
+    tq3, wq, _ = f.shape
+    flat = lambda a: a.reshape(a.shape[0] * wq, a.shape[2])
+    unflat = lambda a, r: a.reshape(r, wq, a.shape[-1])
+
+    def valid_rows(x3d, first_q):
+        rows = jax.lax.broadcasted_iota(jnp.int32,
+                                        (x3d.shape[0], 1, 1), 0) + \
+            (i0 + first_q)
+        return jnp.where((rows >= 0) & (rows < hq), x3d, 0.0)
+
+    def shift_l(a):  # value at col j-1, zeros shifted in
+        return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]],
+                               axis=1)
+
+    def shift_r(a):  # value at col j+1
+        return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])],
+                               axis=1)
+
+    # Bottleneck5_0 proj (the deconv's SAME padding drops taps whose
+    # input row is out of range == zeroing proj at invalid rows)
+    p_all = prelu(mm(flat(f), wp_ref[...]) + bp_ref[...], ap_ref)
+    p_all = valid_rows(unflat(p_all, tq3), -2)       # [TQ+3, Wq, 16]
+
+    # deconv -> phase-packed half-res, rows [i0-1 .. i1+1]
+    x, xu = p_all[1:], p_all[:-1]
+    kd = kd_ref
+    d = (mm(flat(x), kd[0]) + mm(flat(xu), kd[1])
+         + mm(flat(shift_l(x)), kd[2]) + mm(flat(shift_l(xu)), kd[3]))
+    d = prelu(d + bd_ref[...], ad_ref)               # [R0*Wq, 32]
+    e = mm(d, we_ref[...]) + be_ref[...]             # [R0*Wq, 64]
+
+    # unpool residual: res_conv broadcast over phases * one-hot switches
+    r4 = mm(flat(f[1:]), wr_ref[...])                # [R0*Wq, 16]
+    msk = jnp.concatenate([mu1_ref[0], m_ref[0], md1_ref[0]],
+                          axis=0).astype(f32)        # [R0, Wq, 64]
+    r = jnp.concatenate([r4] * 4, axis=-1) * flat(msk)
+    r0 = tq3 - 1
+    h50 = prelu(e + r, ar_ref)
+    h50 = valid_rows(unflat(h50, r0), -1)            # [R0, Wq, 64]
+
+    # Bottleneck5_1: proj, then 3x3-at-half-res as 9 packed matmuls over
+    # quarter shifts; output rows [i0-1 .. i1]
+    q1 = prelu(mm(flat(h50), wq1_ref[...]) + bq1_ref[...], aq1_ref)
+    q1 = valid_rows(unflat(q1, r0), -1)
+    q1x = q1[:-1]                                    # rows i0-1 .. i1
+    q1u = jnp.concatenate([jnp.zeros_like(q1[:1]), q1[:-2]], axis=0)
+    q1d = q1[1:]
+    m9 = m9_ref
+    acc = None
+    for ri, rv in enumerate((q1u, q1x, q1d)):        # di = -1, 0, +1
+        for ci, cv in enumerate((shift_l(rv), rv, shift_r(rv))):
+            t = mm(flat(cv), m9[ri * 3 + ci])
+            acc = t if acc is None else acc + t
+    cmid = prelu(acc + bc1_ref[...], ac1_ref)        # [R1*Wq, 16]
+    e1 = mm(cmid, we1_ref[...]) + be1_ref[...]       # [R1*Wq, 64]
+    h51 = prelu(e1 + flat(h50[:-1]), a51_ref)
+    h51 = valid_rows(unflat(h51, r0 - 1), -1)        # [R1, Wq, 64]
+
+    # Final deconv into 16 full phases + entropy; output quarter rows
+    # [i0 .. i1]. Packed f4_ref order: [x, left, up, upleft].
+    hx, hu = h51[1:], h51[:-1]
+    f4k = f4_ref
+    lp = (mm(flat(hx), f4k[0]) + mm(flat(shift_l(hx)), f4k[1])
+          + mm(flat(hu), f4k[2]) + mm(flat(shift_l(hu)), f4k[3]))
+
+    mrow = jnp.max(lp, axis=-1, keepdims=True)
+    lshift = lp - mrow
+    ex = jnp.exp(lshift)
+    seg = seg_ref[...].astype(f32)
+    z = jnp.dot(ex, seg, preferred_element_type=f32)
+    s = jnp.dot(ex * lshift, seg, preferred_element_type=f32)
+    neg_entropy_sum = jnp.sum(s / z - jnp.log(z))
+
+    log_c = jnp.log(jnp.float32(num_classes))
+    pixels = jnp.float32(16 * tile_q * wq)
+    out_ref[i, j] = pixels + neg_entropy_sum / log_c
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "tile_q", "interpret"))
+def fused_decoder_entropy_score(f4: jnp.ndarray, switches: jnp.ndarray,
+                                packed: dict, num_classes: int,
+                                tile_q: int = 4,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Per-image mean entropy-confidence from stage-4 features: the whole
+    ENet decoder (Bottleneck5_0 + 5_1 + Final) fused with the entropy
+    reduction in one Pallas kernel (see module comment).
+
+    :param f4:       ``[N, Hq, Wq, 64]`` stage-4 output (quarter res)
+    :param switches: ``[N, Hq, Wq*C2]`` int8 pool switches from
+                     Bottleneck1_0 (ops/nn.py storage layout)
+    :param packed:   :func:`pack_enet_decoder` output
+    :returns: ``[N]`` float32 — same math as running Bottleneck5_0/5_1 +
+              Final then ``acquisition.mean_confidence(..., "entropy")``
+    """
+    n, hq, wq, _cin = f4.shape
+    c2 = switches.shape[-1] // wq
+    if tile_q < 2 or hq % tile_q != 0:
+        tile_q = hq
+    grid_h = hq // tile_q
+
+    # one-hot switches in phase-packed layout [N,Hq,Wq,4*C2]
+    sw = switches.reshape(n, hq, wq, c2)
+    msk = jax.nn.one_hot(sw, 4, axis=3, dtype=f4.dtype)
+    msk = msk.reshape(n, hq, wq, 4 * c2)
+
+    tile_spec = pl.BlockSpec((1, tile_q, wq, f4.shape[-1]),
+                             lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def row_spec(ch, offs):
+        return pl.BlockSpec(
+            (1, 1, wq, ch),
+            lambda i, j, offs=offs: (
+                i, jnp.clip(j * tile_q + offs, 0, hq - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    msk_tile_spec = pl.BlockSpec((1, tile_q, wq, 4 * c2),
+                                 lambda i, j: (i, j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    consts = [packed[k] for k in
+              ("wp", "bp", "ap", "kd", "bd", "ad", "we", "be", "wr",
+               "ar", "wq1", "bq1", "aq1", "m", "bc1", "ac1", "we1",
+               "be1", "a51", "f", "seg")]
+
+    partial_sums = pl.pallas_call(
+        functools.partial(_decoder_kernel, num_classes=num_classes,
+                          tile_q=tile_q, hq=hq),
+        grid=(n, grid_h),
+        in_specs=[
+            tile_spec,
+            row_spec(f4.shape[-1], -2), row_spec(f4.shape[-1], -1),
+            row_spec(f4.shape[-1], tile_q),
+            msk_tile_spec,
+            row_spec(4 * c2, -1), row_spec(4 * c2, tile_q),
+        ] + [const_spec(a) for a in consts],
+        out_specs=pl.BlockSpec((n, grid_h), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n, grid_h), jnp.float32),
+        interpret=interpret,
+    )(f4, f4, f4, f4, msk, msk, msk, *consts)
+
+    return jnp.sum(partial_sums, axis=1) / jnp.float32(16 * hq * wq)

@@ -57,3 +57,69 @@ class TestFusedDeconvEntropyScore:
         got = np.asarray(pallas_kernels.fused_deconv_entropy_score(
             features, kernel, 6, tile_h=4, interpret=True))
         np.testing.assert_allclose(got, 0.0, atol=1e-5)
+
+
+class TestFusedDecoderEntropyScore:
+    """The whole-decoder kernel (Bottleneck5_0 + 5_1 + Final + entropy)
+    must reproduce the plain flax forward + acquisition math exactly
+    (BN folded to affine == inference-mode BN)."""
+
+    @pytest.fixture(scope="class")
+    def model_and_inputs(self):
+        from semanticsegmentationactivelearning_tpu.models import ENet
+        rng = np.random.default_rng(1)
+        model = ENet(num_classes=5)
+        x = jnp.asarray(rng.uniform(size=(2, 32, 48, 3))
+                        .astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x, training=False)
+        # non-trivial BN statistics so the affine fold is exercised
+        stats = variables["batch_stats"]
+        noised = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(
+                np.abs(rng.normal(size=a.shape, scale=0.3))
+                .astype(np.float32)), stats)
+        variables = {**variables, "batch_stats": noised}
+        return model, variables, x
+
+    def _want(self, model, variables, x):
+        logits = model.apply(variables, x, training=False)
+        from semanticsegmentationactivelearning_tpu.ops import acquisition
+        return np.asarray(acquisition.mean_confidence(
+            logits, "entropy", model.num_classes))
+
+    @pytest.mark.parametrize("tile_q", [2, 4, 8])
+    def test_matches_flax_forward(self, model_and_inputs, tile_q):
+        model, variables, x = model_and_inputs
+        f4, sw1 = model.apply(variables, x, training=False,
+                              return_stage4=True)
+        packed = pallas_kernels.pack_enet_decoder(variables,
+                                                  model.num_classes)
+        got = np.asarray(pallas_kernels.fused_decoder_entropy_score(
+            f4, sw1, packed, model.num_classes, tile_q=tile_q,
+            interpret=True))
+        want = self._want(model, variables, x)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_fused_score_entrypoint(self, model_and_inputs):
+        model, variables, x = model_and_inputs
+        # the model-level entry point used by bench.py / active_learning
+        with jax.disable_jit():
+            pass  # keep compile cost down; interpret only in direct test
+        f4, sw1 = model.apply(variables, x, training=False,
+                              return_stage4=True)
+        assert f4.shape == (2, 8, 12, 64)
+        assert sw1.shape == (2, 8, 12 * 16)
+
+    def test_single_tile_fallback(self, model_and_inputs):
+        model, variables, x = model_and_inputs
+        f4, sw1 = model.apply(variables, x, training=False,
+                              return_stage4=True)
+        packed = pallas_kernels.pack_enet_decoder(variables,
+                                                  model.num_classes)
+        got = np.asarray(pallas_kernels.fused_decoder_entropy_score(
+            f4, sw1, packed, model.num_classes, tile_q=3,  # 8 % 3 != 0
+            interpret=True))
+        want = self._want(model, variables, x)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
