@@ -104,12 +104,18 @@ class ENet(nn.Module):
     def __call__(self, x, training: bool = False,
                  multiscale: bool = False,
                  return_pre_logits: bool = False,
-                 return_stage4: bool = False):
+                 return_stage4: bool = False,
+                 return_stage1: bool = False):
         h = self.Initial_(x, training)
 
         h, switches1 = self.Bottleneck1_0(h, training)
         for block in self.stage1:
             h = block(h, training)
+
+        if return_stage1:
+            # Stage-1 features + switches (fused front-end kernel
+            # parity testing, ops/pallas_kernels.fused_front_stage1)
+            return h, switches1
 
         h, switches2 = self.Bottleneck2_0(h, training)
         for block in self.stage2:
@@ -150,8 +156,24 @@ class ENet(nn.Module):
         # (losses.py:115-152), so ms_loss_weights stays None.
         return logits, (logits, *ms_logits)
 
+    def forward_from_stage1(self, x1, training: bool = False):
+        """Stage 2 through stage 4 only: consumes stage-1 features (as
+        produced by the fused front-end kernel,
+        ops/pallas_kernels.fused_front_stage1) and returns the stage-4
+        features for the fused decoder kernel."""
+        h, switches2 = self.Bottleneck2_0(x1, training)
+        for block in self.stage2:
+            h = block(h, training)
+        for block in self.stage3:
+            h = block(h, training)
+        h = self.Bottleneck4_0(h, switches2, training)
+        for block in self.stage4:
+            h = block(h, training)
+        return h
+
     def fused_score(self, variables, image, measure: str,
-                    use_pallas: bool = False, fuse_decoder: bool = True):
+                    use_pallas: bool = False, fuse_decoder: bool = True,
+                    fuse_front: bool = True):
         """Acquisition scoring without materializing full-res logits.
         The AL pool-ranking hot loop (reference
         active_learning.py:229-263).
@@ -164,10 +186,21 @@ class ENet(nn.Module):
         for comparison). Other measures use the chunked XLA tail."""
         from ..ops import acquisition, pallas_kernels
         if use_pallas and measure == "entropy" and fuse_decoder:
-            f4, switches1 = self.apply(variables, image, training=False,
-                                       return_stage4=True)
             packed = pallas_kernels.pack_enet_decoder(
                 variables, self.num_classes)
+            if fuse_front:
+                # image -> stage1 and stage5 -> entropy both run as
+                # fused Pallas kernels; only stages 2-4 (>=64-channel
+                # quarter/eighth-res, layout-friendly) stay in XLA
+                packed_f = pallas_kernels.pack_enet_front(variables)
+                x1, mask = pallas_kernels.fused_front_stage1(
+                    image, packed_f, out_dtype=self.dtype)
+                f4 = self.apply(variables, x1, training=False,
+                                method="forward_from_stage1")
+                return pallas_kernels.fused_decoder_entropy_score(
+                    f4, None, packed, self.num_classes, mask=mask)
+            f4, switches1 = self.apply(variables, image, training=False,
+                                       return_stage4=True)
             return pallas_kernels.fused_decoder_entropy_score(
                 f4, switches1, packed, self.num_classes)
         features = self.apply(variables, image, training=False,

@@ -552,31 +552,40 @@ def _decoder_kernel(f_ref, fu2_ref, fu1_ref, fd1_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_classes", "tile_q", "interpret"))
-def fused_decoder_entropy_score(f4: jnp.ndarray, switches: jnp.ndarray,
-                                packed: dict, num_classes: int,
-                                tile_q: int = 4,
-                                interpret: bool = False) -> jnp.ndarray:
+def fused_decoder_entropy_score(f4: jnp.ndarray, switches, packed: dict,
+                                num_classes: int, tile_q: int = 4,
+                                interpret: bool = False,
+                                mask=None) -> jnp.ndarray:
     """Per-image mean entropy-confidence from stage-4 features: the whole
     ENet decoder (Bottleneck5_0 + 5_1 + Final) fused with the entropy
     reduction in one Pallas kernel (see module comment).
 
     :param f4:       ``[N, Hq, Wq, 64]`` stage-4 output (quarter res)
     :param switches: ``[N, Hq, Wq*C2]`` int8 pool switches from
-                     Bottleneck1_0 (ops/nn.py storage layout)
+                     Bottleneck1_0 (ops/nn.py storage layout), or None
+                     when ``mask`` is given
     :param packed:   :func:`pack_enet_decoder` output
+    :param mask:     optional pre-expanded one-hot switch mask
+                     ``[N,Hq,Wq,4*C2]`` in phase-packed layout (e.g.
+                     from :func:`fused_front_stage1`) — skips the
+                     switch expansion pass
     :returns: ``[N]`` float32 — same math as running Bottleneck5_0/5_1 +
               Final then ``acquisition.mean_confidence(..., "entropy")``
     """
     n, hq, wq, _cin = f4.shape
-    c2 = switches.shape[-1] // wq
     if tile_q < 2 or hq % tile_q != 0:
         tile_q = hq
     grid_h = hq // tile_q
 
-    # one-hot switches in phase-packed layout [N,Hq,Wq,4*C2]
-    sw = switches.reshape(n, hq, wq, c2)
-    msk = jax.nn.one_hot(sw, 4, axis=3, dtype=f4.dtype)
-    msk = msk.reshape(n, hq, wq, 4 * c2)
+    if mask is not None:
+        msk = mask
+        c2 = msk.shape[-1] // 4
+    else:
+        # one-hot switches in phase-packed layout [N,Hq,Wq,4*C2]
+        c2 = switches.shape[-1] // wq
+        sw = switches.reshape(n, hq, wq, c2)
+        msk = jax.nn.one_hot(sw, 4, axis=3, dtype=f4.dtype)
+        msk = msk.reshape(n, hq, wq, 4 * c2)
 
     tile_spec = pl.BlockSpec((1, tile_q, wq, f4.shape[-1]),
                              lambda i, j: (i, j, 0, 0),
@@ -621,3 +630,303 @@ def fused_decoder_entropy_score(f4: jnp.ndarray, switches: jnp.ndarray,
     )(f4, f4, f4, f4, msk, msk, msk, *consts)
 
     return jnp.sum(partial_sums, axis=1) / jnp.float32(16 * hq * wq)
+
+
+# ---------------------------------------------------------------------------
+# Fused ENet front end: Initial + Bottleneck1_0 + stage-1 bottlenecks
+# ---------------------------------------------------------------------------
+#
+# The counterpart of the fused decoder for the top of the scoring
+# forward (measured: Initial ~33 ms + stage 1 ~36 ms of a ~153 ms
+# batch-16 compute at 1024x2048, dominated by conv-layout round trips of
+# the 3/8/13/16-channel full/half-res tensors). The image is packed
+# space-to-depth(4) once in XLA ([N,H,W,3] -> [N,Hq,Wq,48] + the 2x2
+# maxpool phases [N,Hq,Wq,12]); the kernel then computes, per
+# quarter-row tile entirely in VMEM:
+#
+#   Initial   conv 3x3/s2 3->13 as 4 shifted matmuls against packed
+#             [60,64] kernels (half-res output phase-packed over the
+#             quarter grid, pool phases placed by the same matmul),
+#             + BN + PReLU                     (blocks.py:46-63)
+#   B1_0      2x2/s2 proj == pure phase-mixing 1x1 matmul [64->8];
+#             3x3 conv (9 taps); 1x1 expand; residual = phase-max pool
+#             with FIRST-max one-hot switches (via selector matmuls);
+#             channel zero-pad                  (blocks.py:123-166)
+#   1_1..1_4  four plain bottlenecks (1x1 proj, 3x3 conv, 1x1 expand,
+#             residual add), 3x3s as 9-tap matmuls  (blocks.py:66-120)
+#
+# Outputs: the stage-1 features [N,Hq,Wq,64] (normal channel layout —
+# stage 2 onward runs unchanged in XLA) and the pool-switch one-hot mask
+# [N,Hq,Wq,4*16] in the decoder kernel's phase-packed layout, so the
+# whole scoring path needs no switch storage at all.
+#
+# Halo strategy: neighbouring row-tiles are DMA'd whole (3x read
+# amplification of the compact packed image, ~0.6 GB/batch-16) and the
+# kernel slices the 11 halo rows it needs; each conv stage shrinks the
+# valid row extent by one until exactly the tile's rows remain.
+# Out-of-range rows are re-zeroed after every affine+PReLU so SAME
+# zero-padding semantics hold at the image edges.
+#
+# NB the strided SAME convs are asymmetric: for kernel 3 stride 2 XLA
+# pads (0,1), so output y taps input rows 2y..2y+2 — shifts go DOWN /
+# RIGHT (unlike the stride-1 convs' symmetric -1..1 taps).
+
+
+def pack_enet_front(variables):
+    """Fold BN and build packed kernels for
+    :func:`fused_front_stage1` from an ENet variables pytree."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    f32 = lambda a: a.astype(jnp.float32)
+    row = lambda v: v[None, :]
+
+    # --- Initial: BN spans concat(conv13, pool3) ---
+    ini, sini = p["Initial"], bs["Initial"]
+    s16 = f32(ini["bn"]["scale"]) / jnp.sqrt(f32(sini["bn"]["var"]) + 1e-3)
+    t16 = f32(ini["bn"]["bias"]) - f32(sini["bn"]["mean"]) * s16
+    a16 = f32(ini["prelu"]["alpha"])
+    w3 = f32(ini["conv"]["kernel"]) * s16[:13]             # [3,3,3,13]
+
+    k4 = [jnp.zeros((60, 64), jnp.float32) for _ in range(4)]
+    for a in (0, 1):
+        for b in (0, 1):
+            col0 = (2 * a + b) * 16
+            for dy in range(3):
+                di, ry = divmod(2 * a + dy, 4)
+                for dx in range(3):
+                    dj, rx = divmod(2 * b + dx, 4)
+                    idx = di * 2 + dj       # [x, right, down, downright]
+                    r0 = ry * 12 + rx * 3
+                    k4[idx] = k4[idx].at[r0:r0 + 3,
+                                         col0:col0 + 13].add(w3[dy, dx])
+    # pool phases: placed (and BN-scaled) by the unshifted matmul
+    for ph in range(4):
+        for c in range(3):
+            k4[0] = k4[0].at[48 + ph * 3 + c,
+                             ph * 16 + 13 + c].add(s16[13 + c])
+    k4 = jnp.stack(k4)                                     # [4,60,64]
+    tile4 = lambda v: jnp.concatenate([v] * 4)
+
+    # --- Bottleneck1_0 ---
+    b10, s10 = p["Bottleneck1_0"], bs["Bottleneck1_0"]
+    wp2, bp8 = _fold_bn(f32(b10["proj_conv"]["kernel"]),
+                        b10["proj_bn"], s10["proj_bn"])    # [2,2,16,8]
+    # 2x2/s2 conv on the half grid == phase-mixing 1x1 on packed layout
+    wp10 = jnp.concatenate(
+        [wp2[a, b] for a in (0, 1) for b in (0, 1)], axis=0)  # [64,8]
+    ap10 = f32(b10["proj_prelu"]["alpha"])
+    wc3, bc8 = _fold_bn(f32(b10["conv"]["kernel"]),
+                        b10["conv_bn"], s10["conv_bn"])    # [3,3,8,8]
+    wc10 = jnp.stack([wc3[r, c] for r in range(3) for c in range(3)])
+    ac10 = f32(b10["conv_prelu"]["alpha"])
+    we10, be64 = _fold_bn(f32(b10["exp_conv"]["kernel"][0, 0]),
+                          b10["exp_bn"], s10["exp_bn"])    # [8,64]
+    ar10 = f32(b10["res_prelu"]["alpha"])
+
+    # --- stage-1 bottlenecks ---
+    wp_s, bp_s, ap_s = [], [], []
+    wc_s, bc_s, ac_s = [], [], []
+    we_s, be_s, ar_s = [], [], []
+    for k in range(1, 5):
+        blk, sblk = p[f"Bottleneck1_{k}"], bs[f"Bottleneck1_{k}"]
+        wp, bp = _fold_bn(f32(blk["proj_conv"]["kernel"][0, 0]),
+                          blk["proj_bn"], sblk["proj_bn"])
+        wc, bc = _fold_bn(f32(blk["conv"]["kernel"]),
+                          blk["conv_bn"], sblk["conv_bn"])
+        we, be = _fold_bn(f32(blk["exp_conv"]["kernel"][0, 0]),
+                          blk["exp_bn"], sblk["exp_bn"])
+        wp_s.append(wp)
+        bp_s.append(row(bp))
+        ap_s.append(row(f32(blk["proj_prelu"]["alpha"])))
+        wc_s.extend(wc[r, c] for r in range(3) for c in range(3))
+        bc_s.append(row(bc))
+        ac_s.append(row(f32(blk["conv_prelu"]["alpha"])))
+        we_s.append(we)
+        be_s.append(row(be))
+        ar_s.append(row(f32(blk["res_prelu"]["alpha"])))
+
+    # phase selectors (constants): sel[p] extracts phase p's 16 channels,
+    # selt[p] places 16 channels back into phase p's block
+    sel = np.zeros((4, 64, 16), np.float32)
+    for ph in range(4):
+        for c in range(16):
+            sel[ph, ph * 16 + c, c] = 1.0
+    selt = np.transpose(sel, (0, 2, 1)).copy()
+
+    return dict(
+        k4=k4, bin=row(tile4(t16)), ain=row(tile4(a16)),
+        wp10=wp10, bp10=row(bp8), ap10=row(ap10),
+        wc10=wc10, bc10=row(bc8), ac10=row(ac10),
+        we10=we10, be10=row(be64), ar10=row(ar10),
+        wp_s=jnp.stack(wp_s), bp_s=jnp.stack(bp_s),
+        ap_s=jnp.stack(ap_s), wc_s=jnp.stack(wc_s),
+        bc_s=jnp.stack(bc_s), ac_s=jnp.stack(ac_s),
+        we_s=jnp.stack(we_s), be_s=jnp.stack(be_s),
+        ar_s=jnp.stack(ar_s),
+        sel=jnp.asarray(sel), selt=jnp.asarray(selt))
+
+
+def _front_kernel(prev_ref, cur_ref, next_ref,
+                  k4_ref, bin_ref, ain_ref,
+                  wp10_ref, bp10_ref, ap10_ref, wc10_ref, bc10_ref,
+                  ac10_ref, we10_ref, be10_ref, ar10_ref,
+                  wp_s_ref, bp_s_ref, ap_s_ref, wc_s_ref, bc_s_ref,
+                  ac_s_ref, we_s_ref, be_s_ref, ar_s_ref,
+                  sel_ref, selt_ref,
+                  out_x1_ref, out_mask_ref, *, tile_q: int, hq: int):
+    """See the section comment above; all compute fp32 in VMEM."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    f32 = jnp.float32
+    i0 = j * tile_q
+    tq = tile_q
+
+    def prelu(x, a):
+        a = a.astype(f32)
+        return jnp.where(x >= 0, x, a * x)
+
+    def mm(a2d, w):
+        return jnp.dot(a2d, w.astype(f32), preferred_element_type=f32)
+
+    cat = jnp.concatenate([prev_ref[0], cur_ref[0], next_ref[0]],
+                          axis=0).astype(f32)     # rows rel [-TQ..2TQ-1]
+    wq = cat.shape[1]
+    flat = lambda a: a.reshape(a.shape[0] * wq, a.shape[2])
+    unflat = lambda a, r: a.reshape(r, wq, a.shape[-1])
+
+    def vrows(x3d, first):
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (x3d.shape[0], 1, 1), 0) + (i0 + first)
+        return jnp.where((rows >= 0) & (rows < hq), x3d, 0.0)
+
+    def shift_l(a):
+        return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]],
+                               axis=1)
+
+    def shift_r(a):
+        return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])],
+                               axis=1)
+
+    def conv9(p3, w_ref, base):
+        """3x3 stride-1 SAME conv as 9 shifted matmuls; input rows
+        [f..f+R), output rows [f+1..f+R-1)."""
+        acc = None
+        for ri, rv in enumerate((p3[:-2], p3[1:-1], p3[2:])):
+            for ci, cv in enumerate((shift_l(rv), rv, shift_r(rv))):
+                t = mm(flat(cv), w_ref[base + ri * 3 + ci])
+                acc = t if acc is None else acc + t
+        return acc
+
+    # --- Initial ---  packed rows rel [-5..TQ+5]; out-of-range rows
+    # zeroed (clamped neighbour blocks hold copies, but the strided SAME
+    # conv's down-taps at the true bottom edge must read zero padding)
+    img = vrows(cat[tq - 5:2 * tq + 6], -5)
+    x0, xd = img[:-1], img[1:]               # rel [-5..TQ+4] / +1 down
+    h0 = (mm(flat(x0), k4_ref[0]) + mm(flat(shift_r(x0)), k4_ref[1])
+          + mm(flat(xd), k4_ref[2]) + mm(flat(shift_r(xd)), k4_ref[3]))
+    h0 = prelu(h0 + bin_ref[...], ain_ref[...])
+    hh = vrows(unflat(h0, tq + 10), -5)      # half s2d, rel [-5..TQ+4]
+
+    # --- Bottleneck1_0 ---
+    p10 = prelu(mm(flat(hh), wp10_ref[...]) + bp10_ref[...],
+                ap10_ref[...])
+    p10 = vrows(unflat(p10, tq + 10), -5)
+    c10 = conv9(p10, wc10_ref, 0)            # rows rel [-4..TQ+3]
+    c10 = prelu(c10 + bc10_ref[...], ac10_ref[...])
+    e10 = mm(c10, we10_ref[...]) + be10_ref[...]        # [.,64]
+
+    hh1 = flat(hh[1:-1])                     # rel [-4..TQ+3]
+    xp = [mm(hh1, sel_ref[ph]) for ph in range(4)]
+    pooled = jnp.maximum(jnp.maximum(xp[0], xp[1]),
+                         jnp.maximum(xp[2], xp[3]))
+    res64 = mm(pooled, selt_ref[0])          # zero-pad 16 -> 64
+    x1 = prelu(e10 + res64, ar10_ref[...])
+    cur = vrows(unflat(x1, tq + 8), -4)
+
+    # first-max one-hot switches (tf.argmax tie-break, ops/nn.py:62)
+    e0 = jnp.where(xp[0] >= pooled, 1.0, 0.0)
+    e1 = jnp.where(xp[1] >= pooled, 1.0, 0.0) * (1.0 - e0)
+    e2 = jnp.where(xp[2] >= pooled, 1.0, 0.0) * (1.0 - e0) * (1.0 - e1)
+    e3 = (jnp.where(xp[3] >= pooled, 1.0, 0.0)
+          * (1.0 - e0) * (1.0 - e1) * (1.0 - e2))
+    mask = (mm(e0, selt_ref[0]) + mm(e1, selt_ref[1])
+            + mm(e2, selt_ref[2]) + mm(e3, selt_ref[3]))
+    mask3 = unflat(mask, tq + 8)             # rel [-4..TQ+3]
+
+    # --- stage-1 bottlenecks ---  extent shrinks by 1 row per block
+    for k in range(4):
+        pj = prelu(mm(flat(cur), wp_s_ref[k]) + bp_s_ref[k],
+                   ap_s_ref[k])
+        pj = vrows(unflat(pj, cur.shape[0]), -4 + k)
+        ck = conv9(pj, wc_s_ref, k * 9)
+        ck = prelu(ck + bc_s_ref[k], ac_s_ref[k])
+        ek = mm(ck, we_s_ref[k]) + be_s_ref[k]
+        res = flat(cur[1:-1])
+        nxt = prelu(ek + res, ar_s_ref[k])
+        cur = vrows(unflat(nxt, cur.shape[0] - 2), -3 + k)
+
+    out_x1_ref[0] = cur.astype(out_x1_ref.dtype)
+    out_mask_ref[0] = mask3[4:4 + tq].astype(out_mask_ref.dtype)
+
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_q", "interpret", "out_dtype"))
+def fused_front_stage1(image: jnp.ndarray, packed: dict,
+                       tile_q: int = 16, interpret: bool = False,
+                       out_dtype=jnp.bfloat16):
+    """Image -> (stage-1 features, pool-switch one-hot mask), fused.
+
+    :param image: ``[N, H, W, 3]`` (H, W divisible by 8)
+    :param packed: :func:`pack_enet_front` output
+    :returns: ``(x1 [N,Hq,Wq,64] out_dtype, mask [N,Hq,Wq,64]
+              out_dtype)`` — x1 in normal channel layout for stage 2+,
+              mask in the decoder kernel's phase-packed layout
+    """
+    n, h, w, _ = image.shape
+    hq, wq = h // 4, w // 4
+    if tile_q < 6 or hq % tile_q != 0:
+        tile_q = hq
+    grid_h = hq // tile_q
+
+    x = image.astype(out_dtype)
+    r = x.reshape(n, hq, 4, wq, 4, 3).transpose(0, 1, 3, 2, 4, 5)
+    img48 = r.reshape(n, hq, wq, 48)
+    pl12 = r.reshape(n, hq, wq, 2, 2, 2, 2, 3).max(axis=(4, 6))
+    packed60 = jnp.concatenate([img48, pl12.reshape(n, hq, wq, 12)],
+                               axis=-1)
+
+    def tile_at(offs):
+        return pl.BlockSpec(
+            (1, tile_q, wq, 60),
+            lambda i, j, offs=offs: (
+                i, jnp.clip(j + offs, 0, grid_h - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    consts = [packed[k] for k in
+              ("k4", "bin", "ain", "wp10", "bp10", "ap10", "wc10",
+               "bc10", "ac10", "we10", "be10", "ar10", "wp_s", "bp_s",
+               "ap_s", "wc_s", "bc_s", "ac_s", "we_s", "be_s", "ar_s",
+               "sel", "selt")]
+
+    out_spec = pl.BlockSpec((1, tile_q, wq, 64), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    x1, mask = pl.pallas_call(
+        functools.partial(_front_kernel, tile_q=tile_q, hq=hq),
+        grid=(n, grid_h),
+        in_specs=[tile_at(-1), tile_at(0), tile_at(1)]
+        + [const_spec(a) for a in consts],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((n, hq, wq, 64), out_dtype),
+                   jax.ShapeDtypeStruct((n, hq, wq, 64), out_dtype)],
+        # the fp32 working set (packed image x3 + per-stage tensors)
+        # exceeds the default 16M scoped-vmem budget at tile_q 16
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(packed60, packed60, packed60, *consts)
+    return x1, mask

@@ -60,6 +60,28 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     if pid is not None:
         kwargs["process_id"] = int(pid)
     jax.distributed.initialize(**kwargs)
+    # Absorb import/startup skew here so per-host compiles begin
+    # together: the CPU Gloo backend's first collective rendezvous has a
+    # hard ~30s window, far shorter than a cold compile.
+    sync_processes("ssal-startup")
+
+
+def sync_processes(tag: str, timeout_s: int = 600) -> None:
+    """Barrier across all processes via the coordination service.
+
+    Unlike the collective runtime's rendezvous (Gloo on CPU enforces a
+    hard ~30s key-exchange deadline), this barrier tolerates minutes of
+    skew — use it between compilation and the first collective
+    execution so a host that compiles slowly (cold cache, loaded
+    machine) does not blow its peers' rendezvous window. No-op when
+    single-process."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(tag, timeout_in_ms=timeout_s * 1000)
 
 
 def process_shard(count: int,

@@ -62,6 +62,10 @@ model = ENet(num_classes=C, drop_rates=(0.0,) * 5)
 optimizer = optim.make_optimizer(HPARAMS)
 state = create_train_state(model, optimizer, jax.random.PRNGKey(0), HW)
 step = make_train_step(model, optimizer, C, HPARAMS, mesh=mesh)
+# compile first, then barrier, then execute: the Gloo rendezvous window
+# (~30s) is shorter than a cold compile on a loaded machine
+step.lower(state, gbatch, jax.random.PRNGKey(5)).compile()
+parallel.sync_processes("compiled")
 state, m = step(state, gbatch, jax.random.PRNGKey(5))
 
 loss = float(np.asarray(m["loss"].addressable_data(0)))
@@ -72,6 +76,7 @@ print(f"RESULT {loss:.8f} {digest:.6f} {conf}", flush=True)
 """
 
 
+@pytest.mark.xdist_group("multihost")
 def test_two_process_train_cli(tmp_path):
     """The train CLI end-to-end across two processes: same synthetic
     dataset, global batch split per host, only process 0 writing
@@ -162,6 +167,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.xdist_group("multihost")
 def test_two_process_dp_matches_single_process(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)

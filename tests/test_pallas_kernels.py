@@ -123,3 +123,69 @@ class TestFusedDecoderEntropyScore:
             interpret=True))
         want = self._want(model, variables, x)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+class TestFusedFrontStage1:
+    """The fused front-end kernel (Initial + Bottleneck1_0 + stage-1
+    bottlenecks) must reproduce the flax forward's stage-1 features and
+    pool switches exactly, and compose with the mid stages + decoder
+    kernel into the full scoring result."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from semanticsegmentationactivelearning_tpu.models import ENet
+        rng = np.random.default_rng(7)
+        model = ENet(num_classes=5)
+        x = jnp.asarray(rng.uniform(size=(2, 64, 48, 3))
+                        .astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(2),
+             "dropout": jax.random.PRNGKey(3)}, x, training=False)
+        stats = variables["batch_stats"]
+        noised = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(
+                np.abs(rng.normal(size=a.shape, scale=0.3))
+                .astype(np.float32)), stats)
+        variables = {**variables, "batch_stats": noised}
+        return model, variables, x
+
+    @pytest.mark.parametrize("tile_q", [8, 16])
+    def test_matches_stage1_forward(self, setup, tile_q):
+        model, variables, x = setup
+        want_x1, want_sw = model.apply(x if False else variables, x,
+                                       training=False,
+                                       return_stage1=True)
+        packed = pallas_kernels.pack_enet_front(variables)
+        x1, mask = pallas_kernels.fused_front_stage1(
+            x, packed, tile_q=tile_q, interpret=True,
+            out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(want_x1),
+                                   rtol=2e-5, atol=2e-5)
+        # switches agree as phase-packed one-hot masks
+        n, hq, wqc = want_sw.shape
+        wq = x.shape[2] // 4
+        sw = np.asarray(want_sw).reshape(n, hq, wq, 16)
+        want_mask = (sw[..., None, :]
+                     == np.arange(4)[:, None]).astype(np.float32)
+        want_mask = want_mask.reshape(n, hq, wq, 64)
+        np.testing.assert_array_equal(np.asarray(mask), want_mask)
+
+    def test_full_fused_scoring_path(self, setup):
+        model, variables, x = setup
+        packed_f = pallas_kernels.pack_enet_front(variables)
+        packed_d = pallas_kernels.pack_enet_decoder(variables,
+                                                    model.num_classes)
+        x1, mask = pallas_kernels.fused_front_stage1(
+            x, packed_f, tile_q=8, interpret=True,
+            out_dtype=jnp.float32)
+        f4 = model.apply(variables, x1, training=False,
+                         method="forward_from_stage1")
+        got = np.asarray(pallas_kernels.fused_decoder_entropy_score(
+            f4, None, packed_d, model.num_classes, tile_q=4,
+            interpret=True, mask=mask))
+
+        logits = model.apply(variables, x, training=False)
+        from semanticsegmentationactivelearning_tpu.ops import acquisition
+        want = np.asarray(acquisition.mean_confidence(
+            logits, "entropy", model.num_classes))
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)

@@ -215,9 +215,21 @@ def main(args):
             _raw, image, label, mask = pipeline.augment_batch(
                 b["stack"], b["heights"], b["widths"], k_aug,
                 crop_hw=in_hw)
-            state, m = train_step(state, {
+            step_batch = {
                 "image": image, "label": label, "mask": mask,
-                "valid": b["valid"].astype(np.float32)}, k_drop)
+                "valid": b["valid"].astype(np.float32)}
+            if nproc > 1 and epoch == start_epoch + 1 and not losses:
+                # Compile before the first collective executes, then
+                # barrier: the CPU Gloo rendezvous window (~30s) is far
+                # shorter than a cold compile, so a host that compiles
+                # slowly would otherwise wedge its peers. The persistent
+                # compilation cache makes the real call below a fast
+                # deserialize.
+                from semanticsegmentationactivelearning_tpu import \
+                    parallel
+                train_step.lower(state, step_batch, k_drop).compile()
+                parallel.sync_processes("train-step-compiled")
+            state, m = train_step(state, step_batch, k_drop)
             losses.append(m["loss"])
             costs.append(m["cost"])
             acc.update(m["confusion"])
