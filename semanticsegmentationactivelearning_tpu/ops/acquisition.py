@@ -100,8 +100,11 @@ def chunked_deconv_mean_confidence(features: jnp.ndarray,
         conf = confidence_map(logits, measure, num_classes)
         return acc + jnp.sum(conf, axis=(1, 2))
 
-    sums = jax.lax.fori_loop(0, num_chunks, body,
-                             jnp.zeros((n,), jnp.float32))
+    # derive the zero carry from the input so it carries the same
+    # varying manual axes under shard_map (train/steps.py score paths)
+    acc0 = jnp.sum(jnp.zeros_like(features[:, :1, 0, 0]),
+                   axis=1, dtype=jnp.float32)
+    sums = jax.lax.fori_loop(0, num_chunks, body, acc0)
     return sums / jnp.float32(h2 * 2 * w2 * 2)
 
 
@@ -143,8 +146,10 @@ def chunked_upsample_mean_confidence(logits_low: jnp.ndarray, scale: int,
         conf = confidence_map(up, measure, num_classes)
         return acc + jnp.sum(conf, axis=(1, 2))
 
-    sums = jax.lax.fori_loop(0, num_chunks, body,
-                             jnp.zeros((n,), jnp.float32))
+    # zero carry derived from the input: keeps shard_map varying axes
+    acc0 = jnp.sum(jnp.zeros_like(logits_low[:, :1, 0, 0]),
+                   axis=1, dtype=jnp.float32)
+    sums = jax.lax.fori_loop(0, num_chunks, body, acc0)
     return sums / jnp.float32(hl * scale * wf)
 
 

@@ -553,7 +553,7 @@ def _decoder_kernel(f_ref, fu2_ref, fu1_ref, fd1_ref,
 @functools.partial(jax.jit,
                    static_argnames=("num_classes", "tile_q", "interpret"))
 def fused_decoder_entropy_score(f4: jnp.ndarray, switches, packed: dict,
-                                num_classes: int, tile_q: int = 4,
+                                num_classes: int, tile_q: int = 16,
                                 interpret: bool = False,
                                 mask=None) -> jnp.ndarray:
     """Per-image mean entropy-confidence from stage-4 features: the whole
@@ -626,6 +626,10 @@ def fused_decoder_entropy_score(f4: jnp.ndarray, switches, packed: dict,
         out_specs=pl.BlockSpec((n, grid_h), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n, grid_h), jnp.float32),
+        # fp32 working set exceeds the 16M default scoped-vmem budget
+        # for tile_q > 4
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(f4, f4, f4, f4, msk, msk, msk, *consts)
 

@@ -263,15 +263,31 @@ def make_pool_score_step(model, num_classes: int, measure: str,
     if sh:
         jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
                           out_shardings=sh["data"])
-    score_impl = _make_score_impl(model, num_classes, measure, fused,
-                                  allow_pallas=mesh is None)
+    # On a pure data mesh, run the scorer under shard_map: each device
+    # scores its own rows, so the Pallas fused kernels (which have no
+    # GSPMD partitioning rule) stay enabled — per-image scores need no
+    # cross-device communication at all.
+    data_only = (mesh is not None
+                 and tuple(mesh.axis_names) == ("data",)
+                 and micro_batch % mesh.shape["data"] == 0)
+    score_impl = _make_score_impl(
+        model, num_classes, measure, fused,
+        allow_pallas=mesh is None or data_only)
 
     @functools.partial(jax.jit, **jit_kwargs)
     def pool_score(state: TrainState, images: jnp.ndarray):
+        from jax.sharding import NamedSharding, PartitionSpec as P
         k = images.shape[0] // micro_batch
         chunks = images.reshape(k, micro_batch, *images.shape[1:])
+        if data_only:
+            def local(state, chunks):
+                return jax.lax.map(lambda im: score_impl(state, im),
+                                   chunks)
+            scores = jax.shard_map(
+                local, mesh=mesh, in_specs=(P(), P(None, "data")),
+                out_specs=P(None, "data"))(state, chunks)
+            return scores.reshape(-1)
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
             chunks = jax.lax.with_sharding_constraint(
                 chunks, NamedSharding(mesh, P(None, "data")))
         scores = jax.lax.map(lambda im: score_impl(state, im), chunks)
@@ -302,11 +318,23 @@ def make_score_step(model, num_classes: int, measure: str, mesh=None,
         # scores stay batch-sharded; the host gather assembles them
         jit_kwargs = dict(in_shardings=(sh["repl"], {"image": sh["image"]}),
                           out_shardings=sh["data"])
-    score_impl = _make_score_impl(model, num_classes, measure, fused,
-                                  allow_pallas=mesh is None)
+    # pure data mesh: shard_map keeps the Pallas kernels enabled (no
+    # cross-device communication in per-image scoring); the 2-D
+    # ("data","space") mesh stays on the GSPMD path for its conv halo
+    # exchanges.
+    data_only = (mesh is not None
+                 and tuple(mesh.axis_names) == ("data",))
+    score_impl = _make_score_impl(
+        model, num_classes, measure, fused,
+        allow_pallas=mesh is None or data_only)
 
     @functools.partial(jax.jit, **jit_kwargs)
     def score_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        if data_only:
+            from jax.sharding import PartitionSpec as P
+            return jax.shard_map(
+                score_impl, mesh=mesh, in_specs=(P(), P("data")),
+                out_specs=P("data"))(state, batch["image"])
         return score_impl(state, batch["image"])
 
     return score_step
