@@ -171,9 +171,19 @@ class ENet(nn.Module):
             h = block(h, training)
         return h
 
+    def forward_stage4(self, y, switches2, training: bool = False):
+        """Stage 4 only: consumes stage-3 features + stage-2 pool
+        switches (as produced by the fused mid-section kernel,
+        ops/pallas_kernels.fused_mid_stage23) and returns the stage-4
+        features for the fused decoder kernel."""
+        h = self.Bottleneck4_0(y, switches2, training)
+        for block in self.stage4:
+            h = block(h, training)
+        return h
+
     def fused_score(self, variables, image, measure: str,
                     use_pallas: bool = False, fuse_decoder: bool = True,
-                    fuse_front: bool = True):
+                    fuse_front: bool = True, fuse_mid: bool = False):
         """Acquisition scoring without materializing full-res logits.
         The AL pool-ranking hot loop (reference
         active_learning.py:229-263).
@@ -189,14 +199,28 @@ class ENet(nn.Module):
             packed = pallas_kernels.pack_enet_decoder(
                 variables, self.num_classes)
             if fuse_front:
-                # image -> stage1 and stage5 -> entropy both run as
-                # fused Pallas kernels; only stages 2-4 (>=64-channel
-                # quarter/eighth-res, layout-friendly) stay in XLA
+                # image -> stage1 and stage5 -> entropy run as fused
+                # Pallas kernels. ``fuse_mid`` additionally runs
+                # Bottleneck2_0 + stages 2/3 as Pallas (measured ~even
+                # with XLA on the 128-channel eighth-res blocks — they
+                # are MXU-shape-bound, not layout/bandwidth-bound — so
+                # the XLA mid path stays the default).
                 packed_f = pallas_kernels.pack_enet_front(variables)
                 x1, mask = pallas_kernels.fused_front_stage1(
                     image, packed_f, out_dtype=self.dtype)
-                f4 = self.apply(variables, x1, training=False,
-                                method="forward_from_stage1")
+                if fuse_mid:
+                    packed_m, meta = pallas_kernels.pack_enet_mid(
+                        variables)
+                    y, sw2 = pallas_kernels.fused_mid_stage23(
+                        x1, packed_m, meta, out_dtype=self.dtype)
+                    n, h8, w8, _ = y.shape
+                    f4 = self.apply(variables, y,
+                                    sw2.reshape(n, h8, w8 * 64),
+                                    training=False,
+                                    method="forward_stage4")
+                else:
+                    f4 = self.apply(variables, x1, training=False,
+                                    method="forward_from_stage1")
                 return pallas_kernels.fused_decoder_entropy_score(
                     f4, None, packed, self.num_classes, mask=mask)
             f4, switches1 = self.apply(variables, image, training=False,

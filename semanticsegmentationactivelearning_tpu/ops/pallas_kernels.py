@@ -934,3 +934,338 @@ def fused_front_stage1(image: jnp.ndarray, packed: dict,
         interpret=interpret,
     )(packed60, packed60, packed60, *consts)
     return x1, mask
+
+
+# ---------------------------------------------------------------------------
+# Fused ENet mid section: Bottleneck2_0 + stages 2 and 3 (16 bottlenecks)
+# ---------------------------------------------------------------------------
+#
+# Completes the Pallas coverage of the scoring forward between the
+# front-end and decoder kernels. Stage 2/3 blocks carry dilations up to
+# 16 at eighth resolution, so row-tiling would need ~73 halo rows of a
+# 128-row feature map — instead the grid is one cell per image and the
+# ENTIRE eighth-res spatial extent lives in VMEM (bf16 working set
+# ~80 MB on v5e at 1024x2048). Every conv is shifted matmuls:
+#
+#   B2_0      2x2/s2 proj == phase-mixing matmul on the s2d(2)-packed
+#             quarter features [256->32]; 3x3 conv; 1x1 expand;
+#             residual = phase-max pool + first-max switches + channel
+#             zero-pad                       (blocks.py:123-166)
+#   2_1..3_8  1x1 proj [128->32]; 3x3 conv (dilation d via d-offset
+#             shifts) or 5x1+1x5 asymmetric pair; 1x1 expand; residual
+#             add                            (blocks.py:66-120, spec
+#             models/enet.py:91-102)
+#
+# Outputs: stage-3 features [N,H8,W8,128] and the pool switches in the
+# model's compact int8 value format (0..3) for the XLA stage-4
+# (Bottleneck4_0 consumes them via forward_stage4).
+
+
+def pack_enet_mid(variables):
+    """Fold BN and pack matmul kernels for :func:`fused_mid_stage23`.
+
+    Returns (packed dict, block metadata tuple) — the metadata is a
+    static per-block (kind, dilation, tap_offset) table baked into the
+    kernel closure."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    f32 = lambda a: a.astype(jnp.float32)
+    row = lambda v: v[None, :]
+
+    b20, s20 = p["Bottleneck2_0"], bs["Bottleneck2_0"]
+    wp2, bp32 = _fold_bn(f32(b20["proj_conv"]["kernel"]),
+                         b20["proj_bn"], s20["proj_bn"])   # [2,2,64,32]
+    wp20 = jnp.concatenate(
+        [wp2[a, b] for a in (0, 1) for b in (0, 1)], axis=0)  # [256,32]
+    ap20 = f32(b20["proj_prelu"]["alpha"])
+    wc3, bc32 = _fold_bn(f32(b20["conv"]["kernel"]),
+                         b20["conv_bn"], s20["conv_bn"])   # [3,3,32,32]
+    ac20 = f32(b20["conv_prelu"]["alpha"])
+    we20, be128 = _fold_bn(f32(b20["exp_conv"]["kernel"][0, 0]),
+                           b20["exp_bn"], s20["exp_bn"])   # [32,128]
+    ar20 = f32(b20["res_prelu"]["alpha"])
+
+    taps = [wc3[r, c] for r in range(3) for c in range(3)]
+
+    spec = [(1, False), (2, False), (1, True), (4, False),
+            (1, False), (8, False), (1, True), (16, False)]
+    meta = [("b20", 1, 0)]
+    wp_s, bp_s, ap_s = [], [], []
+    bc_s, ac_s = [], []
+    we_s, be_s, ar_s = [], [], []
+    for stage in (2, 3):
+        for idx, (dil, asym) in enumerate(spec, start=1):
+            blk = p[f"Bottleneck{stage}_{idx}"]
+            sblk = bs[f"Bottleneck{stage}_{idx}"]
+            wp, bp = _fold_bn(f32(blk["proj_conv"]["kernel"][0, 0]),
+                              blk["proj_bn"], sblk["proj_bn"])
+            off = len(taps)
+            if asym:
+                # (k,1) col conv (no BN) then (1,k) row conv (BN folded
+                # into the second, matching the single conv_bn after the
+                # pair, blocks.py:95-109)
+                wcol = f32(blk["conv_col"]["kernel"])      # [5,1,32,32]
+                wrow, bc = _fold_bn(f32(blk["conv_row"]["kernel"]),
+                                    blk["conv_bn"], sblk["conv_bn"])
+                taps.extend(wcol[r, 0] for r in range(5))
+                taps.extend(wrow[0, c] for c in range(5))
+                meta.append(("asym", 1, off))
+            else:
+                wc, bc = _fold_bn(f32(blk["conv"]["kernel"]),
+                                  blk["conv_bn"], sblk["conv_bn"])
+                taps.extend(wc[r, c] for r in range(3) for c in range(3))
+                meta.append(("conv", dil, off))
+            we, be = _fold_bn(f32(blk["exp_conv"]["kernel"][0, 0]),
+                              blk["exp_bn"], sblk["exp_bn"])
+            wp_s.append(wp)
+            bp_s.append(row(bp))
+            ap_s.append(row(f32(blk["proj_prelu"]["alpha"])))
+            bc_s.append(row(bc))
+            ac_s.append(row(f32(blk["conv_prelu"]["alpha"])))
+            we_s.append(we)
+            be_s.append(row(be))
+            ar_s.append(row(f32(blk["res_prelu"]["alpha"])))
+
+    sel8 = np.zeros((4, 256, 64), np.float32)
+    for ph in range(4):
+        for c in range(64):
+            sel8[ph, ph * 64 + c, c] = 1.0
+    pad128 = np.zeros((64, 128), np.float32)
+    for c in range(64):
+        pad128[c, c] = 1.0
+
+    packed = dict(
+        wp20=wp20, bp20=row(bp32), ap20=row(ap20),
+        bc20=row(bc32), ac20=row(ac20),
+        we20=we20, be20=row(be128), ar20=row(ar20),
+        taps=jnp.stack(taps),                      # [157,32,32]
+        wp_s=jnp.stack(wp_s), bp_s=jnp.stack(bp_s),
+        ap_s=jnp.stack(ap_s), bc_s=jnp.stack(bc_s),
+        ac_s=jnp.stack(ac_s), we_s=jnp.stack(we_s),
+        be_s=jnp.stack(be_s), ar_s=jnp.stack(ar_s),
+        sel8=jnp.asarray(sel8), pad128=jnp.asarray(pad128))
+    return packed, tuple(meta)
+
+
+def _make_mid_ops(h8, w8, taps_ref):
+    """Shared row-chunked building blocks for the mid-section kernels.
+    All compute walks row chunks so vector-register pressure stays
+    bounded (full-plane jnp values live in vregs and spilled ~124M);
+    projections are recomputed over each chunk's conv halo."""
+    f32 = jnp.float32
+
+    def flat(a):
+        return a.reshape(a.shape[0] * w8, a.shape[-1])
+
+    def unflat(a, r):
+        return a.reshape(r, w8, a.shape[-1])
+
+    def mm(a2d, w):
+        return jnp.dot(a2d, w.astype(a2d.dtype),
+                       preferred_element_type=f32)
+
+    def prelu(v, a):
+        # max/min form: exact, no compare (no bf16 vector compare on
+        # v5e), no fp32 temporaries of the operand
+        zero = jnp.zeros((), v.dtype)
+        return (jnp.maximum(v, zero)
+                + a.astype(v.dtype) * jnp.minimum(v, zero))
+
+    def sh_col(a, d):
+        if d == 0:
+            return a
+        z = jnp.zeros_like(a[:, :abs(d)])
+        return (jnp.concatenate([a[:, d:], z], axis=1) if d > 0
+                else jnp.concatenate([z, a[:, :d]], axis=1))
+
+    def proj_halo(read, r0, r1, d, w_arr, b_arr, a_arr):
+        """Project rows [r0-d, r1+d) with SAME zero padding: compute on
+        the valid rows only, concat zero rows at the edges."""
+        lo, hi = max(r0 - d, 0), min(r1 + d, h8)
+        seg = read(lo, hi)
+        pj = prelu(mm(flat(seg), w_arr) + b_arr.astype(f32), a_arr)
+        pj = unflat(pj, hi - lo)
+        parts = []
+        if lo - (r0 - d):
+            parts.append(jnp.zeros((lo - (r0 - d), w8, pj.shape[-1]),
+                                   pj.dtype))
+        parts.append(pj)
+        if (r1 + d) - hi:
+            parts.append(jnp.zeros(((r1 + d) - hi, w8, pj.shape[-1]),
+                                   pj.dtype))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else pj
+
+    def conv9(pj, off, dil, rows):
+        acc = None
+        for ri, dy in enumerate((-dil, 0, dil)):
+            rv = pj[dil + dy:dil + dy + rows]
+            for ci, dx in enumerate((-dil, 0, dil)):
+                t = mm(flat(sh_col(rv, dx)), taps_ref[off + ri * 3 + ci])
+                acc = t if acc is None else acc + t
+        return acc
+
+    def conv_asym(pj, off, rows):
+        acc = None
+        for i, dy in enumerate((-2, -1, 0, 1, 2)):
+            t = mm(flat(pj[2 + dy:2 + dy + rows]), taps_ref[off + i])
+            acc = t if acc is None else acc + t
+        t3 = unflat(acc.astype(pj.dtype), rows)
+        acc = None
+        for i, dx in enumerate((-2, -1, 0, 1, 2)):
+            t = mm(flat(sh_col(t3, dx)), taps_ref[off + 5 + i])
+            acc = t if acc is None else acc + t
+        return acc
+
+    return flat, unflat, mm, prelu, proj_halo, conv9, conv_asym
+
+
+def _mid_b20_kernel(x_ref, wp20_ref, bp20_ref, ap20_ref, bc20_ref,
+                    ac20_ref, we20_ref, be20_ref, ar20_ref, taps_ref,
+                    sel8_ref, pad128_ref, y_ref, sw_ref, *, rc: int):
+    """Bottleneck2_0, one image per cell, row-chunked."""
+    f32 = jnp.float32
+    _, h8, w8, _ = x_ref.shape
+    dt = y_ref.dtype
+    (flat, unflat, mm, prelu, proj_halo, conv9,
+     _conv_asym) = _make_mid_ops(h8, w8, taps_ref)
+    read_x = lambda lo, hi: x_ref[0, lo:hi]
+
+    for r0 in range(0, h8, rc):
+        r1 = min(r0 + rc, h8)
+        rows = r1 - r0
+        pj = proj_halo(read_x, r0, r1, 1, wp20_ref[...], bp20_ref[...],
+                       ap20_ref[...])
+        c = prelu(conv9(pj, 0, 1, rows) + bc20_ref[...].astype(f32),
+                  ac20_ref[...]).astype(dt)
+        e = mm(c, we20_ref[...]) + be20_ref[...].astype(f32)
+
+        # incremental phase max + first-max switch values (strictly-
+        # greater update == tf.argmax first-max tie-breaking)
+        xf = flat(x_ref[0, r0:r1])
+        pooled = mm(xf, sel8_ref[0])
+        swf = jnp.zeros_like(pooled)
+        for ph in range(1, 4):
+            xpp = mm(xf, sel8_ref[ph])
+            swf = jnp.where(xpp > pooled, jnp.float32(ph), swf)
+            pooled = jnp.maximum(xpp, pooled)
+        res = mm(pooled.astype(dt), pad128_ref[...])
+        out = prelu(e + res, ar20_ref[...])
+        y_ref[0, r0:r1] = unflat(out.astype(dt), rows)
+        sw_ref[0, r0:r1] = unflat(swf, rows).astype(jnp.int8)
+
+
+def _mid_blocks_kernel(x_ref, taps_ref, wp_s_ref, bp_s_ref, ap_s_ref,
+                       bc_s_ref, ac_s_ref, we_s_ref, be_s_ref,
+                       ar_s_ref, y_ref, scr_a, scr_b,
+                       *, metas, rc: int):
+    """A chunk of stage-2/3 bottlenecks, row-chunked, ping-ponging two
+    VMEM scratch planes; the last block writes the output window."""
+    f32 = jnp.float32
+    _, h8, w8, _ = x_ref.shape
+    dt = scr_a.dtype
+    (flat, unflat, mm, prelu, proj_halo, conv9,
+     conv_asym) = _make_mid_ops(h8, w8, taps_ref)
+
+    n_blocks = len(metas)
+    src = None
+    for k, (kind, dil, off) in enumerate(metas):
+        if src is None:
+            read_s = lambda lo, hi: x_ref[0, lo:hi]
+            res_of = lambda r0, r1: x_ref[0, r0:r1]
+        else:
+            read_s = lambda lo, hi, src=src: src[lo:hi]
+            res_of = lambda r0, r1, src=src: src[r0:r1]
+        dst = y_ref if k == n_blocks - 1 else             (scr_a if src is not scr_a else scr_b)
+        d = 2 if kind == "asym" else dil
+        for r0 in range(0, h8, rc):
+            r1 = min(r0 + rc, h8)
+            rows = r1 - r0
+            pj = proj_halo(read_s, r0, r1, d, wp_s_ref[k], bp_s_ref[k],
+                           ap_s_ref[k])
+            cv = conv_asym(pj, off, rows) if kind == "asym" \
+                else conv9(pj, off, dil, rows)
+            c = prelu(cv + bc_s_ref[k].astype(f32),
+                      ac_s_ref[k]).astype(dt)
+            e = (mm(c, we_s_ref[k]) + be_s_ref[k].astype(f32)).astype(dt)
+            out = prelu(flat(res_of(r0, r1)).astype(dt) + e,
+                        ar_s_ref[k])
+            if dst is y_ref:
+                y_ref[0, r0:r1] = unflat(out.astype(y_ref.dtype), rows)
+            else:
+                dst[r0:r1] = unflat(out.astype(dt), rows)
+        src = dst if dst is not y_ref else src
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("meta", "chunk", "rc", "interpret",
+                                    "out_dtype"))
+def fused_mid_stage23(x1: jnp.ndarray, packed: dict, meta,
+                      chunk: int = 4, rc: int = 32,
+                      interpret: bool = False,
+                      out_dtype=jnp.bfloat16):
+    """Stage-1 features -> (stage-3 features, stage-2 pool switches).
+
+    :param x1:   ``[N, Hq, Wq, 64]`` stage-1 output
+    :param packed, meta: :func:`pack_enet_mid` output
+    :param chunk: bottlenecks per pallas_call (Mosaic compile-size knob)
+    :param rc:    rows per in-kernel chunk (vreg-pressure knob)
+    :returns: ``(y [N,H8,W8,128] out_dtype,
+              switches2 int8 [N,H8,W8,64])`` — switch values 0..3;
+              reshape to the model's ``[N,H8,W8*64]`` for
+              ``forward_stage4``
+    """
+    n, hq, wq, _ = x1.shape
+    h8, w8 = hq // 2, wq // 2
+    rc = min(rc, h8)
+    x = x1.astype(out_dtype)
+    x_s2d = (x.reshape(n, h8, 2, w8, 2, 64)
+             .transpose(0, 1, 3, 2, 4, 5).reshape(n, h8, w8, 256))
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def block_spec(ch):
+        return pl.BlockSpec((1, h8, w8, ch), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    b20_consts = [packed[k] for k in
+                  ("wp20", "bp20", "ap20", "bc20", "ac20", "we20",
+                   "be20", "ar20")] + [packed["taps"][:9],
+                                       packed["sel8"], packed["pad128"]]
+    cur, sw = pl.pallas_call(
+        functools.partial(_mid_b20_kernel, rc=rc),
+        grid=(n,),
+        in_specs=[block_spec(256)] + [const_spec(a) for a in b20_consts],
+        out_specs=[block_spec(128), block_spec(64)],
+        out_shape=[jax.ShapeDtypeStruct((n, h8, w8, 128), out_dtype),
+                   jax.ShapeDtypeStruct((n, h8, w8, 64), jnp.int8)],
+        compiler_params=params, interpret=interpret,
+    )(x_s2d, *b20_consts)
+
+    blocks = list(meta[1:])
+    n_taps = lambda m: 10 if m[0] == "asym" else 9
+    for k0 in range(0, len(blocks), chunk):
+        ms = blocks[k0:k0 + chunk]
+        base = ms[0][2]
+        endt = ms[-1][2] + n_taps(ms[-1])
+        rel = tuple((kind, dil, off - base) for kind, dil, off in ms)
+        k1 = k0 + len(ms)
+        consts = ([packed["taps"][base:endt]]
+                  + [packed[k][k0:k1] for k in
+                     ("wp_s", "bp_s", "ap_s", "bc_s", "ac_s", "we_s",
+                      "be_s", "ar_s")])
+        cur = pl.pallas_call(
+            functools.partial(_mid_blocks_kernel, metas=rel, rc=rc),
+            grid=(n,),
+            in_specs=[block_spec(128)] + [const_spec(a) for a in consts],
+            out_specs=block_spec(128),
+            out_shape=jax.ShapeDtypeStruct((n, h8, w8, 128), out_dtype),
+            scratch_shapes=[pltpu.VMEM((h8, w8, 128), out_dtype),
+                            pltpu.VMEM((h8, w8, 128), out_dtype)],
+            compiler_params=params, interpret=interpret,
+        )(cur, *consts)
+    return cur, sw

@@ -189,3 +189,76 @@ class TestFusedFrontStage1:
         want = np.asarray(acquisition.mean_confidence(
             logits, "entropy", model.num_classes))
         np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+class TestFusedMidStage23:
+    """The fused mid-section kernel (Bottleneck2_0 + stages 2 and 3)
+    must match the flax forward's stage-3 features and stage-2 pool
+    switches, and the full front+mid+stage4+decoder pipeline must
+    reproduce the reference scoring math."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from semanticsegmentationactivelearning_tpu.models import ENet
+        rng = np.random.default_rng(11)
+        model = ENet(num_classes=5)
+        x = jnp.asarray(rng.uniform(size=(2, 64, 48, 3))
+                        .astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(4),
+             "dropout": jax.random.PRNGKey(5)}, x, training=False)
+        stats = variables["batch_stats"]
+        noised = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(
+                np.abs(rng.normal(size=a.shape, scale=0.3))
+                .astype(np.float32)), stats)
+        variables = {**variables, "batch_stats": noised}
+        return model, variables, x
+
+    def test_matches_stage23_forward(self, setup):
+        model, variables, x = setup
+        x1, _ = model.apply(variables, x, training=False,
+                            return_stage1=True)
+
+        def m_mid(m, x1):
+            h, sw2 = m.Bottleneck2_0(x1, False)
+            for b in m.stage2:
+                h = b(h, False)
+            for b in m.stage3:
+                h = b(h, False)
+            return h, sw2
+
+        want_y, want_sw2 = model.apply(variables, x1, method=m_mid)
+        packed, meta = pallas_kernels.pack_enet_mid(variables)
+        y, sw2 = pallas_kernels.fused_mid_stage23(
+            x1, packed, meta, interpret=True, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                                   rtol=3e-5, atol=3e-5)
+        n, h8, w8, _ = y.shape
+        np.testing.assert_array_equal(
+            np.asarray(sw2),
+            np.asarray(want_sw2).reshape(n, h8, w8, 64))
+
+    def test_full_pipeline_with_stage4(self, setup):
+        model, variables, x = setup
+        packed_f = pallas_kernels.pack_enet_front(variables)
+        packed_m, meta = pallas_kernels.pack_enet_mid(variables)
+        packed_d = pallas_kernels.pack_enet_decoder(variables,
+                                                    model.num_classes)
+        x1, mask = pallas_kernels.fused_front_stage1(
+            x, packed_f, tile_q=8, interpret=True,
+            out_dtype=jnp.float32)
+        y, sw2 = pallas_kernels.fused_mid_stage23(
+            x1, packed_m, meta, interpret=True, out_dtype=jnp.float32)
+        n, h8, w8, _ = y.shape
+        f4 = model.apply(variables, y, sw2.reshape(n, h8, w8 * 64),
+                         training=False, method="forward_stage4")
+        got = np.asarray(pallas_kernels.fused_decoder_entropy_score(
+            f4, None, packed_d, model.num_classes, tile_q=4,
+            interpret=True, mask=mask))
+
+        logits = model.apply(variables, x, training=False)
+        from semanticsegmentationactivelearning_tpu.ops import acquisition
+        want = np.asarray(acquisition.mean_confidence(
+            logits, "entropy", model.num_classes))
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
