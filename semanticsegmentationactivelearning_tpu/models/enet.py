@@ -171,6 +171,17 @@ class ENet(nn.Module):
             h = block(h, training)
         return h
 
+    def forward_stage23(self, x1, training: bool = False):
+        """Stages 2 and 3 only: consumes stage-1 features and returns
+        (stage-3 features, B2_0 pool switches) for the fused tail
+        kernel (ops/pallas_kernels.fused_tail_entropy_score)."""
+        h, switches2 = self.Bottleneck2_0(x1, training)
+        for block in self.stage2:
+            h = block(h, training)
+        for block in self.stage3:
+            h = block(h, training)
+        return h, switches2
+
     def forward_stage4(self, y, switches2, training: bool = False):
         """Stage 4 only: consumes stage-3 features + stage-2 pool
         switches (as produced by the fused mid-section kernel,
@@ -183,7 +194,8 @@ class ENet(nn.Module):
 
     def fused_score(self, variables, image, measure: str,
                     use_pallas: bool = False, fuse_decoder: bool = True,
-                    fuse_front: bool = True, fuse_mid: bool = False):
+                    fuse_front: bool = True, fuse_mid: bool = False,
+                    fuse_tail: bool = False):
         """Acquisition scoring without materializing full-res logits.
         The AL pool-ranking hot loop (reference
         active_learning.py:229-263).
@@ -196,23 +208,34 @@ class ENet(nn.Module):
         for comparison). Other measures use the chunked XLA tail."""
         from ..ops import acquisition, pallas_kernels
         if use_pallas and measure == "entropy" and fuse_decoder:
-            packed = pallas_kernels.pack_enet_decoder(
-                variables, self.num_classes)
             if fuse_front:
                 # image -> stage1 and stage5 -> entropy run as fused
-                # Pallas kernels. ``fuse_mid`` additionally runs
-                # Bottleneck2_0 + stages 2/3 as Pallas (measured ~even
-                # with XLA on the 128-channel eighth-res blocks — they
-                # are MXU-shape-bound, not layout/bandwidth-bound — so
-                # the XLA mid path stays the default).
+                # Pallas kernels; stages 2-4 default to XLA. The
+                # optional ``fuse_mid`` (stages 2/3) and ``fuse_tail``
+                # (stages 4+5+Final in one eighth-grid kernel) variants
+                # measured ~even with XLA end-to-end: the >=64-channel
+                # stages are MXU-shape-bound, not layout-bound, so only
+                # the low-channel front/decoder fusions pay off.
                 packed_f = pallas_kernels.pack_enet_front(variables)
-                x1, mask = pallas_kernels.fused_front_stage1(
+                x1, mask1 = pallas_kernels.fused_front_stage1(
                     image, packed_f, out_dtype=self.dtype)
-                if fuse_mid:
-                    packed_m, meta = pallas_kernels.pack_enet_mid(
-                        variables)
-                    y, sw2 = pallas_kernels.fused_mid_stage23(
-                        x1, packed_m, meta, out_dtype=self.dtype)
+                if fuse_mid or fuse_tail:
+                    if fuse_mid:
+                        packed_m, meta = pallas_kernels.pack_enet_mid(
+                            variables)
+                        y, sw2 = pallas_kernels.fused_mid_stage23(
+                            x1, packed_m, meta, out_dtype=self.dtype)
+                    else:
+                        y, sw2m = self.apply(variables, x1,
+                                             training=False,
+                                             method="forward_stage23")
+                        n, h8, w8, _ = y.shape
+                        sw2 = sw2m.reshape(n, h8, w8, 64)
+                    if fuse_tail:
+                        packed_t = pallas_kernels.pack_enet_tail(
+                            variables, self.num_classes)
+                        return pallas_kernels.fused_tail_entropy_score(
+                            y, sw2, mask1, packed_t, self.num_classes)
                     n, h8, w8, _ = y.shape
                     f4 = self.apply(variables, y,
                                     sw2.reshape(n, h8, w8 * 64),
@@ -221,8 +244,12 @@ class ENet(nn.Module):
                 else:
                     f4 = self.apply(variables, x1, training=False,
                                     method="forward_from_stage1")
+                packed = pallas_kernels.pack_enet_decoder(
+                    variables, self.num_classes)
                 return pallas_kernels.fused_decoder_entropy_score(
-                    f4, None, packed, self.num_classes, mask=mask)
+                    f4, None, packed, self.num_classes, mask=mask1)
+            packed = pallas_kernels.pack_enet_decoder(
+                variables, self.num_classes)
             f4, switches1 = self.apply(variables, image, training=False,
                                        return_stage4=True)
             return pallas_kernels.fused_decoder_entropy_score(

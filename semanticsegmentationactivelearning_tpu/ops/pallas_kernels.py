@@ -777,30 +777,39 @@ def _front_kernel(prev_ref, cur_ref, next_ref,
                   wp_s_ref, bp_s_ref, ap_s_ref, wc_s_ref, bc_s_ref,
                   ac_s_ref, we_s_ref, be_s_ref, ar_s_ref,
                   sel_ref, selt_ref,
-                  out_x1_ref, out_mask_ref, *, tile_q: int, hq: int):
-    """See the section comment above; all compute fp32 in VMEM."""
+                  out_x1_ref, out_mask_ref, scr_h, scr_a, scr_b,
+                  *, tile_q: int, hq: int):
+    """Row-segment front-end kernel. Each stage's result round-trips
+    through a VMEM scratch plane so only ONE stage's temporaries are
+    ever live in vector registers (a value-chained fp32 formulation
+    measured ~54ms — spill-bound; see the mid-section kernels for the
+    idiom), and matmuls run in the input dtype (bf16 on TPU). Stage
+    extents shrink by one row per 3x3 conv from the initial
+    [-5 .. seg+5) packed-image halo down to exactly the segment."""
     i, j = pl.program_id(0), pl.program_id(1)
     f32 = jnp.float32
-    i0 = j * tile_q
-    tq = tile_q
+    seg = tile_q
+    i0 = j * seg
+    dt = scr_h.dtype
 
-    def prelu(x, a):
-        a = a.astype(f32)
-        return jnp.where(x >= 0, x, a * x)
+    def prelu(v, a):
+        zero = jnp.zeros((), v.dtype)
+        return (jnp.maximum(v, zero)
+                + a.astype(v.dtype) * jnp.minimum(v, zero))
 
     def mm(a2d, w):
-        return jnp.dot(a2d, w.astype(f32), preferred_element_type=f32)
+        return jnp.dot(a2d, w.astype(a2d.dtype),
+                       preferred_element_type=f32)
 
-    cat = jnp.concatenate([prev_ref[0], cur_ref[0], next_ref[0]],
-                          axis=0).astype(f32)     # rows rel [-TQ..2TQ-1]
-    wq = cat.shape[1]
+    wq = cur_ref.shape[2]
     flat = lambda a: a.reshape(a.shape[0] * wq, a.shape[2])
     unflat = lambda a, r: a.reshape(r, wq, a.shape[-1])
 
     def vrows(x3d, first):
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (x3d.shape[0], 1, 1), 0) + (i0 + first)
-        return jnp.where((rows >= 0) & (rows < hq), x3d, 0.0)
+        return jnp.where((rows >= 0) & (rows < hq), x3d,
+                         jnp.zeros((), x3d.dtype))
 
     def shift_l(a):
         return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]],
@@ -810,67 +819,78 @@ def _front_kernel(prev_ref, cur_ref, next_ref,
         return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])],
                                axis=1)
 
-    def conv9(p3, w_ref, base):
-        """3x3 stride-1 SAME conv as 9 shifted matmuls; input rows
-        [f..f+R), output rows [f+1..f+R-1)."""
-        acc = None
-        for ri, rv in enumerate((p3[:-2], p3[1:-1], p3[2:])):
-            for ci, cv in enumerate((shift_l(rv), rv, shift_r(rv))):
-                t = mm(flat(cv), w_ref[base + ri * 3 + ci])
-                acc = t if acc is None else acc + t
-        return acc
-
-    # --- Initial ---  packed rows rel [-5..TQ+5]; out-of-range rows
+    # --- Initial ---  packed rows rel [-5..seg+5]; out-of-range rows
     # zeroed (clamped neighbour blocks hold copies, but the strided SAME
     # conv's down-taps at the true bottom edge must read zero padding)
-    img = vrows(cat[tq - 5:2 * tq + 6], -5)
-    x0, xd = img[:-1], img[1:]               # rel [-5..TQ+4] / +1 down
+    cat = jnp.concatenate([prev_ref[0], cur_ref[0], next_ref[0]],
+                          axis=0)                # rows rel [-seg..2seg)
+    img = vrows(cat[seg - 5:2 * seg + 6], -5).astype(dt)
+    x0, xd = img[:-1], img[1:]               # rel [-5..seg+4] / +1 down
     h0 = (mm(flat(x0), k4_ref[0]) + mm(flat(shift_r(x0)), k4_ref[1])
           + mm(flat(xd), k4_ref[2]) + mm(flat(shift_r(xd)), k4_ref[3]))
-    h0 = prelu(h0 + bin_ref[...], ain_ref[...])
-    hh = vrows(unflat(h0, tq + 10), -5)      # half s2d, rel [-5..TQ+4]
+    h0 = prelu(h0 + bin_ref[...].astype(f32), ain_ref[...])
+    n_h = seg + 10
+    scr_h[0:n_h] = vrows(unflat(h0.astype(dt), n_h), -5)
 
-    # --- Bottleneck1_0 ---
-    p10 = prelu(mm(flat(hh), wp10_ref[...]) + bp10_ref[...],
+    # --- Bottleneck1_0 ---  output rows rel [-4..seg+3]
+    hh = scr_h[0:n_h]
+    p10 = prelu(mm(flat(hh), wp10_ref[...]) + bp10_ref[...].astype(f32),
                 ap10_ref[...])
-    p10 = vrows(unflat(p10, tq + 10), -5)
-    c10 = conv9(p10, wc10_ref, 0)            # rows rel [-4..TQ+3]
-    c10 = prelu(c10 + bc10_ref[...], ac10_ref[...])
-    e10 = mm(c10, we10_ref[...]) + be10_ref[...]        # [.,64]
+    p10 = vrows(unflat(p10.astype(dt), n_h), -5)
+    acc = None
+    for ri, rv in enumerate((p10[:-2], p10[1:-1], p10[2:])):
+        for ci, cv in enumerate((shift_l(rv), rv, shift_r(rv))):
+            t = mm(flat(cv), wc10_ref[ri * 3 + ci])
+            acc = t if acc is None else acc + t
+    c10 = prelu(acc + bc10_ref[...].astype(f32), ac10_ref[...])
+    e10 = mm(c10.astype(dt), we10_ref[...]) + be10_ref[...].astype(f32)
 
-    hh1 = flat(hh[1:-1])                     # rel [-4..TQ+3]
-    xp = [mm(hh1, sel_ref[ph]) for ph in range(4)]
-    pooled = jnp.maximum(jnp.maximum(xp[0], xp[1]),
-                         jnp.maximum(xp[2], xp[3]))
-    res64 = mm(pooled, selt_ref[0])          # zero-pad 16 -> 64
+    # phase-max pool, then first-max one-hot switches: phase ph claims
+    # a pixel iff it hits the max and no earlier phase did (tf.argmax
+    # tie-break). Selector matmuls are recomputed per pass so at most
+    # two phase planes are ever live (vreg-pressure, see mid kernels).
+    hh1 = flat(scr_h[1:n_h - 1])             # rel [-4..seg+3]
+    pooled = mm(hh1, sel_ref[0])
+    for ph in range(1, 4):
+        pooled = jnp.maximum(mm(hh1, sel_ref[ph]), pooled)
+    claimed = None
+    msk = None
+    for ph in range(4):
+        xpp = mm(hh1, sel_ref[ph])
+        eq = jnp.where(xpp >= pooled, 1.0, 0.0)
+        own = eq if claimed is None else eq * (1.0 - claimed)
+        claimed = eq if claimed is None else claimed + own
+        t = mm(own.astype(dt), selt_ref[ph])
+        msk = t if msk is None else msk + t
+    n_a = seg + 8
+    res64 = mm(pooled.astype(dt), selt_ref[0])
     x1 = prelu(e10 + res64, ar10_ref[...])
-    cur = vrows(unflat(x1, tq + 8), -4)
-
-    # first-max one-hot switches (tf.argmax tie-break, ops/nn.py:62)
-    e0 = jnp.where(xp[0] >= pooled, 1.0, 0.0)
-    e1 = jnp.where(xp[1] >= pooled, 1.0, 0.0) * (1.0 - e0)
-    e2 = jnp.where(xp[2] >= pooled, 1.0, 0.0) * (1.0 - e0) * (1.0 - e1)
-    e3 = (jnp.where(xp[3] >= pooled, 1.0, 0.0)
-          * (1.0 - e0) * (1.0 - e1) * (1.0 - e2))
-    mask = (mm(e0, selt_ref[0]) + mm(e1, selt_ref[1])
-            + mm(e2, selt_ref[2]) + mm(e3, selt_ref[3]))
-    mask3 = unflat(mask, tq + 8)             # rel [-4..TQ+3]
+    scr_a[0:n_a] = vrows(unflat(x1.astype(dt), n_a), -4)
+    out_mask_ref[0] = unflat(msk.astype(dt), n_a)[4:4 + seg] \
+        .astype(out_mask_ref.dtype)
 
     # --- stage-1 bottlenecks ---  extent shrinks by 1 row per block
+    src, other = scr_a, scr_b
     for k in range(4):
-        pj = prelu(mm(flat(cur), wp_s_ref[k]) + bp_s_ref[k],
-                   ap_s_ref[k])
-        pj = vrows(unflat(pj, cur.shape[0]), -4 + k)
-        ck = conv9(pj, wc_s_ref, k * 9)
-        ck = prelu(ck + bc_s_ref[k], ac_s_ref[k])
-        ek = mm(ck, we_s_ref[k]) + be_s_ref[k]
-        res = flat(cur[1:-1])
-        nxt = prelu(ek + res, ar_s_ref[k])
-        cur = vrows(unflat(nxt, cur.shape[0] - 2), -3 + k)
-
-    out_x1_ref[0] = cur.astype(out_x1_ref.dtype)
-    out_mask_ref[0] = mask3[4:4 + tq].astype(out_mask_ref.dtype)
-
+        n_in = n_a - 2 * k
+        cur = src[0:n_in]
+        pj = prelu(mm(flat(cur), wp_s_ref[k])
+                   + bp_s_ref[k].astype(f32), ap_s_ref[k])
+        pj = vrows(unflat(pj.astype(dt), n_in), -4 + k)
+        acc = None
+        for ri, rv in enumerate((pj[:-2], pj[1:-1], pj[2:])):
+            for ci, cv in enumerate((shift_l(rv), rv, shift_r(rv))):
+                t = mm(flat(cv), wc_s_ref[k * 9 + ri * 3 + ci])
+                acc = t if acc is None else acc + t
+        ck = prelu(acc + bc_s_ref[k].astype(f32), ac_s_ref[k])
+        ek = mm(ck.astype(dt), we_s_ref[k]) + be_s_ref[k].astype(f32)
+        nxt = prelu(flat(cur[1:-1]).astype(f32) + ek, ar_s_ref[k])
+        nxt = vrows(unflat(nxt.astype(dt), n_in - 2), -3 + k)
+        if k == 3:
+            out_x1_ref[0] = nxt.astype(out_x1_ref.dtype)
+        else:
+            other[0:n_in - 2] = nxt
+            src, other = other, src
 
 
 @functools.partial(jax.jit,
@@ -882,6 +902,7 @@ def fused_front_stage1(image: jnp.ndarray, packed: dict,
 
     :param image: ``[N, H, W, 3]`` (H, W divisible by 8)
     :param packed: :func:`pack_enet_front` output
+    :param tile_q: quarter-res rows per grid segment
     :returns: ``(x1 [N,Hq,Wq,64] out_dtype, mask [N,Hq,Wq,64]
               out_dtype)`` — x1 in normal channel layout for stage 2+,
               mask in the decoder kernel's phase-packed layout
@@ -927,8 +948,9 @@ def fused_front_stage1(image: jnp.ndarray, packed: dict,
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((n, hq, wq, 64), out_dtype),
                    jax.ShapeDtypeStruct((n, hq, wq, 64), out_dtype)],
-        # the fp32 working set (packed image x3 + per-stage tensors)
-        # exceeds the default 16M scoped-vmem budget at tile_q 16
+        scratch_shapes=[pltpu.VMEM((tile_q + 11, wq, 64), out_dtype),
+                        pltpu.VMEM((tile_q + 8, wq, 64), out_dtype),
+                        pltpu.VMEM((tile_q + 8, wq, 64), out_dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
@@ -1269,3 +1291,435 @@ def fused_mid_stage23(x1: jnp.ndarray, packed: dict, meta,
             compiler_params=params, interpret=interpret,
         )(cur, *consts)
     return cur, sw
+
+
+# ---------------------------------------------------------------------------
+# Fused ENet tail: stage 4 + stage 5 + Final + entropy (eighth-res grid)
+# ---------------------------------------------------------------------------
+#
+# Extends the decoder kernel upward to absorb stage 4 (measured ~23ms
+# in XLA): everything below stage 3 runs in ONE Pallas kernel over the
+# eighth-resolution grid. Representations (channel layout
+# (row_phase * P + col_phase) * C + c, matching s2d reshapes):
+#
+#   eighth tensors     plain [., W8, C]
+#   quarter tensors    s2d(2)  [., W8, 4C]
+#   half tensors       s2d(4)  [., W8, 16C]
+#   full-res logits    s2d(8)  [., W8, 64C]   (never leave VMEM)
+#
+# Every conv/deconv is shifted MXU matmuls against packed matrices
+# built by the generic phase-map builders below; the same polyphase
+# decompositions as the decoder kernel, one s2d level deeper.
+# Consumes: stage-3 features, B2_0's pool switches (one-hot, for
+# B4_0's unpool), and the front kernel's stage-1 switch mask re-packed
+# to s2d(4) (for B5_0's unpool).
+
+
+def _deconv_rowmap(p):
+    """Row phase map of a kernel-3 stride-2 transpose conv whose input
+    rows sit at s2d level ``p`` over the base grid (out level 2p):
+    {cell shift di: [(in_phase, out_phase, kernel_row)]}. Decomposition
+    (verified against lax.conv_transpose): out[2y] = K2 h[y] + K0
+    h[y-1]; out[2y+1] = K1 h[y]."""
+    rm = {}
+    for alpha in range(2 * p):
+        u, y_rel = alpha & 1, alpha >> 1
+        taps = [(2, y_rel), (0, y_rel - 1)] if u == 0 else [(1, y_rel)]
+        for kr, yr in taps:
+            di, pa = divmod(yr, p)
+            rm.setdefault(di, []).append((pa, alpha, kr))
+    return rm
+
+
+def _conv_rowmap(p, ks=3):
+    """Row phase map of a stride-1 SAME conv (kernel ``ks``, odd) at
+    s2d level ``p``: {di: [(in_phase, out_phase, kernel_row)]}."""
+    rm = {}
+    half = ks // 2
+    for a in range(p):
+        for t, dy in enumerate(range(-half, half + 1)):
+            di, pa = divmod(a + dy, p)
+            rm.setdefault(di, []).append((pa, a, t))
+    return rm
+
+
+def _phase_pack(kernel, rowmap, colmap, p_in, q_out):
+    """Packed matrices {(di, dj): [p_in^2*cin, q_out^2*cout]} from a
+    spatial ``kernel[kr, kc, cin, cout]`` and row/col phase maps."""
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    out = {}
+    for di, rlist in rowmap.items():
+        for dj, clist in colmap.items():
+            m = jnp.zeros((p_in * p_in * cin, q_out * q_out * cout),
+                          jnp.float32)
+            for pa, a, kr in rlist:
+                for pb, b, kc in clist:
+                    sel = np.zeros((p_in * p_in, q_out * q_out),
+                                   np.float32)
+                    sel[pa * p_in + pb, a * q_out + b] = 1.0
+                    m = m + jnp.kron(sel, kernel[kr, kc])
+            out[(di, dj)] = m
+    return out
+
+
+def _blockdiag_p(w, p):
+    """1x1 conv at s2d level p: block-diagonal [p*p*cin, p*p*cout]."""
+    return jnp.kron(np.eye(p * p, dtype=np.float32), w)
+
+
+def _tile_p(v, p):
+    """Per-channel vector tiled across p*p phases."""
+    return jnp.concatenate([v] * (p * p))
+
+
+def _unpool_expand_s2d():
+    """[64, 256] placement: quarter-s2d2 channel (2a+b)*16+c into each
+    of its four half-s2d4 phase blocks ((2a+u)*4 + (2b+v))*16+c — the
+    broadcast half of the B5_0 unpool (the mask multiply selects the
+    switch position)."""
+    x = np.zeros((64, 256), np.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            for u in (0, 1):
+                for v in (0, 1):
+                    for c in range(16):
+                        x[(a * 2 + b) * 16 + c,
+                          ((2 * a + u) * 4 + (2 * b + v)) * 16 + c] = 1.0
+    return jnp.asarray(x)
+
+
+def pack_enet_tail(variables, num_classes: int):
+    """Fold BN and build the packed kernels for
+    :func:`fused_tail_entropy_score` (stage4 + stage5 + Final)."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    f32 = lambda a: a.astype(jnp.float32)
+    row = lambda v: v[None, :]
+
+    def fold(name):
+        blk, sblk = p[name], bs[name]
+        return blk, sblk
+
+    def stack_shifts(packed, shifts):
+        return jnp.stack([packed[sh] for sh in shifts])
+
+    D2 = tuple((di, dj) for di in (0, -1) for dj in (0, -1))
+    C3 = tuple((di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1))
+
+    # --- Bottleneck4_0 (128 -> 64, eighth -> quarter) ---
+    b40, s40 = fold("Bottleneck4_0")
+    wp4, bp4 = _fold_bn(f32(b40["proj_conv"]["kernel"][0, 0]),
+                        b40["proj_bn"], s40["proj_bn"])    # [128,32]
+    ap4 = f32(b40["proj_prelu"]["alpha"])
+    kd4, bd4 = _fold_bn(f32(b40["deconv"]["kernel"]),
+                        b40["conv_bn"], s40["conv_bn"])    # [3,3,32,16]
+    ad4 = f32(b40["conv_prelu"]["alpha"])
+    we4, be4 = _fold_bn(f32(b40["exp_conv"]["kernel"][0, 0]),
+                        b40["exp_bn"], s40["exp_bn"])      # [16,64]
+    wr4 = f32(b40["res_conv"]["kernel"][0, 0])             # [128,64]
+    ar4 = f32(b40["res_prelu"]["alpha"])
+
+    rm = _deconv_rowmap(1)
+    kd4_p = _phase_pack(kd4, rm, rm, 1, 2)                 # [32, 4*16]
+    kd4_s = stack_shifts(kd4_p, D2)
+
+    # --- Bottleneck4_1 / 4_2 (quarter, 64ch, s2d2) ---
+    def pack_plain(name):
+        blk, sblk = fold(name)
+        wp, bp = _fold_bn(f32(blk["proj_conv"]["kernel"][0, 0]),
+                          blk["proj_bn"], sblk["proj_bn"])
+        wc, bc = _fold_bn(f32(blk["conv"]["kernel"]),
+                          blk["conv_bn"], sblk["conv_bn"])
+        we, be = _fold_bn(f32(blk["exp_conv"]["kernel"][0, 0]),
+                          blk["exp_bn"], sblk["exp_bn"])
+        return (wp, bp, f32(blk["proj_prelu"]["alpha"]), wc, bc,
+                f32(blk["conv_prelu"]["alpha"]), we, be,
+                f32(blk["res_prelu"]["alpha"]))
+
+    cm2 = _conv_rowmap(2)
+    blocks4 = []
+    for name in ("Bottleneck4_1", "Bottleneck4_2"):
+        wp, bp, ap, wc, bc, ac, we, be, ar = pack_plain(name)
+        cv = _phase_pack(wc, cm2, cm2, 2, 2)               # 9x[64,64]
+        blocks4.append(dict(
+            wp=_blockdiag_p(wp, 2), bp=row(_tile_p(bp, 2)),
+            ap=row(_tile_p(ap, 2)),
+            cv=stack_shifts(cv, C3),
+            bc=row(_tile_p(bc, 2)), ac=row(_tile_p(ac, 2)),
+            we=_blockdiag_p(we, 2), be=row(_tile_p(be, 2)),
+            ar=row(_tile_p(ar, 2))))
+
+    # --- Bottleneck5_0 (64 -> 16, quarter -> half) ---
+    b50, s50 = fold("Bottleneck5_0")
+    wp5, bp5 = _fold_bn(f32(b50["proj_conv"]["kernel"][0, 0]),
+                        b50["proj_bn"], s50["proj_bn"])    # [64,16]
+    ap5 = f32(b50["proj_prelu"]["alpha"])
+    kd5, bd5 = _fold_bn(f32(b50["deconv"]["kernel"]),
+                        b50["conv_bn"], s50["conv_bn"])    # [3,3,16,8]
+    ad5 = f32(b50["conv_prelu"]["alpha"])
+    we5, be5 = _fold_bn(f32(b50["exp_conv"]["kernel"][0, 0]),
+                        b50["exp_bn"], s50["exp_bn"])      # [8,16]
+    wr5 = f32(b50["res_conv"]["kernel"][0, 0])             # [64,16]
+    ar5 = f32(b50["res_prelu"]["alpha"])
+
+    rm5 = _deconv_rowmap(2)
+    kd5_s = stack_shifts(_phase_pack(kd5, rm5, rm5, 2, 4), D2)
+
+    # --- Bottleneck5_1 (half, 16ch, s2d4) ---
+    wp51, bp51, ap51, wc51, bc51, ac51, we51, be51, ar51 = \
+        pack_plain("Bottleneck5_1")
+    cm4 = _conv_rowmap(4)
+    cv51 = stack_shifts(_phase_pack(wc51, cm4, cm4, 4, 4), C3)
+
+    # --- Final (16 -> C, half -> full) ---
+    kf = f32(p["Final"]["deconv"]["kernel"])               # [3,3,16,C]
+    rmf = _deconv_rowmap(4)
+    kf_s = stack_shifts(_phase_pack(kf, rmf, rmf, 4, 8), D2)
+    c = num_classes
+    seg = jnp.kron(jnp.eye(64, dtype=jnp.float32),
+                   jnp.ones((c, 1), jnp.float32))          # [64C, 64]
+
+    return dict(
+        wp4=wp4, bp4=row(bp4), ap4=row(ap4),
+        kd4=kd4_s, bd4=row(_tile_p(bd4, 2)), ad4=row(_tile_p(ad4, 2)),
+        we4=_blockdiag_p(we4, 2), be4=row(_tile_p(be4, 2)),
+        wr4=wr4, ar4=row(_tile_p(ar4, 2)),
+        b41=blocks4[0], b42=blocks4[1],
+        wp5=_blockdiag_p(wp5, 2), bp5=row(_tile_p(bp5, 2)),
+        ap5=row(_tile_p(ap5, 2)),
+        kd5=kd5_s, bd5=row(_tile_p(bd5, 4)), ad5=row(_tile_p(ad5, 4)),
+        we5=_blockdiag_p(we5, 4), be5=row(_tile_p(be5, 4)),
+        wr5=_blockdiag_p(wr5, 2), x5=_unpool_expand_s2d(),
+        ar5=row(_tile_p(ar5, 4)),
+        wp51=_blockdiag_p(wp51, 4), bp51=row(_tile_p(bp51, 4)),
+        ap51=row(_tile_p(ap51, 4)),
+        cv51=cv51, bc51=row(_tile_p(bc51, 4)),
+        ac51=row(_tile_p(ac51, 4)),
+        we51=_blockdiag_p(we51, 4), be51=row(_tile_p(be51, 4)),
+        ar51=row(_tile_p(ar51, 4)),
+        kf=kf_s, seg=seg)
+
+
+def _tail_kernel(yp_ref, yc_ref, yn_ref, m2p_ref, m2c_ref, m2n_ref,
+                 m1p_ref, m1c_ref, m1n_ref,
+                 wp4_ref, bp4_ref, ap4_ref, kd4_ref, bd4_ref, ad4_ref,
+                 we4_ref, be4_ref, wr4_ref, ar4_ref,
+                 wpq_ref, bpq_ref, apq_ref, cvq_ref, bcq_ref, acq_ref,
+                 weq_ref, beq_ref, arq_ref,
+                 wp5_ref, bp5_ref, ap5_ref, kd5_ref, bd5_ref, ad5_ref,
+                 we5_ref, be5_ref, wr5_ref, x5_ref, ar5_ref,
+                 wp51_ref, bp51_ref, ap51_ref, cv51_ref, bc51_ref,
+                 ac51_ref, we51_ref, be51_ref, ar51_ref,
+                 kf_ref, seg_ref, out_ref, scr_a, scr_b,
+                 *, num_classes: int, te: int, h8: int):
+    """See the section comment; eighth-grid row segments, per-stage
+    scratch round-trips, input-dtype matmuls."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    f32 = jnp.float32
+    e0 = j * te
+    dt = scr_a.dtype
+    w8 = yc_ref.shape[2]
+
+    def prelu(v, a):
+        zero = jnp.zeros((), v.dtype)
+        return (jnp.maximum(v, zero)
+                + a.astype(v.dtype) * jnp.minimum(v, zero))
+
+    def mm(a2d, w):
+        return jnp.dot(a2d, w.astype(a2d.dtype),
+                       preferred_element_type=f32)
+
+    flat = lambda a: a.reshape(a.shape[0] * w8, a.shape[2])
+    unflat = lambda a, r: a.reshape(r, w8, a.shape[-1])
+
+    def vrows(x3d, first):
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (x3d.shape[0], 1, 1), 0) + (e0 + first)
+        return jnp.where((rows >= 0) & (rows < h8), x3d,
+                         jnp.zeros((), x3d.dtype))
+
+    def shift_l(a):
+        return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]],
+                               axis=1)
+
+    def shift_r(a):
+        return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])],
+                               axis=1)
+
+    def cat3(p, c, n, lo, hi):
+        """rows rel [lo..hi) of the 3-tile window, validity-zeroed."""
+        cat = jnp.concatenate([p[0], c[0], n[0]], axis=0)
+        return vrows(cat[te + lo:te + hi], lo).astype(dt)
+
+    def deconv4(x3d, k_ref, first):
+        """4-shift packed transpose conv: input rows [first..], output
+        rows [first+1..] (one fewer row at the top)."""
+        x, xu = x3d[1:], x3d[:-1]
+        return (mm(flat(x), k_ref[0]) + mm(flat(shift_l(x)), k_ref[1])
+                + mm(flat(xu), k_ref[2])
+                + mm(flat(shift_l(xu)), k_ref[3]))
+
+    def conv9(p3, k_ref, base, rows):
+        acc = None
+        for ri in range(3):                      # di = -1, 0, 1
+            rv = p3[ri:ri + rows]
+            for ci, cv in enumerate((shift_l(rv), rv, shift_r(rv))):
+                t = mm(flat(cv), k_ref[base + ri * 3 + ci])
+                acc = t if acc is None else acc + t
+        return acc
+
+    # --- Bottleneck4_0 ---  y rows rel [-6..TE+2]
+    ys = cat3(yp_ref, yc_ref, yn_ref, -6, te + 3)
+    p4 = prelu(mm(flat(ys), wp4_ref[...]) + bp4_ref[...].astype(f32),
+               ap4_ref[...])
+    p4 = vrows(unflat(p4.astype(dt), te + 9), -6)
+    d4 = deconv4(p4, kd4_ref, -6)                # cells [-5..TE+2]
+    d4 = prelu(d4 + bd4_ref[...].astype(f32), ad4_ref[...]).astype(dt)
+    e4 = mm(d4, we4_ref[...]) + be4_ref[...].astype(f32)
+    r4 = mm(flat(ys[1:]), wr4_ref[...]).astype(dt)
+    m2 = cat3(m2p_ref, m2c_ref, m2n_ref, -5, te + 3)
+    h40 = prelu(e4 + jnp.concatenate([r4] * 4, axis=-1).astype(f32)
+                * flat(m2).astype(f32), ar4_ref[...])
+    n40 = te + 8
+    scr_a[0:n40] = vrows(unflat(h40.astype(dt), n40), -5)
+
+    # --- Bottleneck4_1 / 4_2 ---
+    src, other = scr_a, scr_b
+    for k in range(2):
+        n_in = n40 - 2 * k
+        first = -5 + k
+        cur = src[0:n_in]
+        pj = prelu(mm(flat(cur), wpq_ref[k]) + bpq_ref[k].astype(f32),
+                   apq_ref[k])
+        pj = vrows(unflat(pj.astype(dt), n_in), first)
+        acc = conv9(pj, cvq_ref, k * 9, n_in - 2)
+        c = prelu(acc + bcq_ref[k].astype(f32), acq_ref[k]).astype(dt)
+        e = mm(c, weq_ref[k]) + beq_ref[k].astype(f32)
+        out = prelu(e + flat(cur[1:-1]).astype(f32), arq_ref[k])
+        other[0:n_in - 2] = vrows(unflat(out.astype(dt), n_in - 2),
+                                  first + 1)
+        src, other = other, src
+
+    # --- Bottleneck5_0 ---  h42 in src, cells [-3..TE], extent TE+4
+    n42 = te + 4
+    h42 = src[0:n42]
+    p5 = prelu(mm(flat(h42), wp5_ref[...]) + bp5_ref[...].astype(f32),
+               ap5_ref[...])
+    p5 = vrows(unflat(p5.astype(dt), n42), -3)
+    d5 = deconv4(p5, kd5_ref, -3)                # cells [-2..TE]
+    d5 = prelu(d5 + bd5_ref[...].astype(f32), ad5_ref[...]).astype(dt)
+    e5 = mm(d5, we5_ref[...]) + be5_ref[...].astype(f32)
+    r5q = mm(flat(h42[1:]), wr5_ref[...]).astype(dt)
+    r5h = mm(r5q, x5_ref[...])
+    m1 = cat3(m1p_ref, m1c_ref, m1n_ref, -2, te + 1)
+    h50 = prelu(e5 + r5h * flat(m1).astype(f32), ar5_ref[...])
+    n50 = te + 3
+    other[0:n50] = vrows(unflat(h50.astype(dt), n50), -2)
+    h50s = other[0:n50]
+
+    # --- Bottleneck5_1 ---  output cells [-1..TE-1]
+    q1 = prelu(mm(flat(h50s), wp51_ref[...])
+               + bp51_ref[...].astype(f32), ap51_ref[...])
+    q1 = vrows(unflat(q1.astype(dt), n50), -2)
+    acc = conv9(q1, cv51_ref, 0, n50 - 2)
+    c = prelu(acc + bc51_ref[...].astype(f32),
+              ac51_ref[...]).astype(dt)
+    e = mm(c, we51_ref[...]) + be51_ref[...].astype(f32)
+    h51 = prelu(e + flat(h50s[1:-1]).astype(f32), ar51_ref[...])
+    h51 = vrows(unflat(h51.astype(dt), n50 - 2), -1)
+
+    # --- Final + entropy ---  output cells [0..TE)
+    lp = deconv4(h51, kf_ref, -1)                # [TE*W8, 64*C]
+    mrow = jnp.max(lp, axis=-1, keepdims=True)
+    lshift = lp - mrow
+    ex = jnp.exp(lshift)
+    seg = seg_ref[...].astype(f32)
+    z = jnp.dot(ex, seg, preferred_element_type=f32)
+    sm = jnp.dot(ex * lshift, seg, preferred_element_type=f32)
+    neg_entropy_sum = jnp.sum(sm / z - jnp.log(z))
+
+    log_c = jnp.log(jnp.float32(num_classes))
+    pixels = jnp.float32(64 * te * w8)
+    out_ref[i, j] = pixels + neg_entropy_sum / log_c
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "te", "interpret"))
+def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
+                             mask1: jnp.ndarray, packed: dict,
+                             num_classes: int, te: int = 8,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Per-image mean entropy-confidence from stage-3 features: stages
+    4 and 5, the Final deconv, and the entropy reduction in one Pallas
+    kernel over the eighth-res grid.
+
+    :param y:         ``[N, H8, W8, 128]`` stage-3 output
+    :param switches2: int8 ``[N, H8, W8, 64]`` B2_0 pool switch VALUES
+                      (0..3; reshape of the model's compact storage)
+    :param mask1:     ``[N, Hq, Wq, 64]`` B1_0 switch one-hot mask in
+                      the front kernel's quarter-grid layout
+    :returns: ``[N]`` float32 — same math as forward_stage4 + the
+              decoder + ``acquisition.mean_confidence(..., "entropy")``
+    """
+    n, h8, w8, _ = y.shape
+    if te < 6 or h8 % te != 0:
+        te = h8
+    grid_h = h8 // te
+
+    m2 = jax.nn.one_hot(switches2, 4, axis=3, dtype=y.dtype)
+    m2 = m2.reshape(n, h8, w8, 256)
+    # quarter-grid phase-packed mask -> s2d(4)-over-eighth layout
+    hq, wq = 2 * h8, 2 * w8
+    m1 = (mask1.reshape(n, h8, 2, w8, 2, 2, 2, 16)
+          .transpose(0, 1, 3, 2, 5, 4, 6, 7)
+          .reshape(n, h8, w8, 256).astype(y.dtype))
+
+    def tile_at(arr_ch, offs):
+        return pl.BlockSpec(
+            (1, te, w8, arr_ch),
+            lambda i, j, offs=offs: (
+                i, jnp.clip(j + offs, 0, grid_h - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    b41, b42 = packed["b41"], packed["b42"]
+    stk = lambda key: jnp.stack([b41[key], b42[key]])
+    consts = [packed["wp4"], packed["bp4"], packed["ap4"],
+              packed["kd4"], packed["bd4"], packed["ad4"],
+              packed["we4"], packed["be4"], packed["wr4"],
+              packed["ar4"],
+              stk("wp"), stk("bp"), stk("ap"),
+              jnp.concatenate([b41["cv"], b42["cv"]], axis=0),
+              stk("bc"), stk("ac"), stk("we"), stk("be"), stk("ar"),
+              packed["wp5"], packed["bp5"], packed["ap5"],
+              packed["kd5"], packed["bd5"], packed["ad5"],
+              packed["we5"], packed["be5"], packed["wr5"],
+              packed["x5"], packed["ar5"],
+              packed["wp51"], packed["bp51"], packed["ap51"],
+              packed["cv51"], packed["bc51"], packed["ac51"],
+              packed["we51"], packed["be51"], packed["ar51"],
+              packed["kf"], packed["seg"]]
+
+    partial_sums = pl.pallas_call(
+        functools.partial(_tail_kernel, num_classes=num_classes, te=te,
+                          h8=h8),
+        grid=(n, grid_h),
+        in_specs=[tile_at(128, -1), tile_at(128, 0), tile_at(128, 1),
+                  tile_at(256, -1), tile_at(256, 0), tile_at(256, 1),
+                  tile_at(256, -1), tile_at(256, 0), tile_at(256, 1)]
+        + [const_spec(a) for a in consts],
+        out_specs=pl.BlockSpec((n, grid_h), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n, grid_h), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((te + 9, w8, 256), y.dtype),
+                        pltpu.VMEM((te + 9, w8, 256), y.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(y, y, y, m2, m2, m2, m1, m1, m1, *consts)
+
+    return jnp.sum(partial_sums, axis=1) / jnp.float32(64 * h8 * w8)

@@ -262,3 +262,49 @@ class TestFusedMidStage23:
         want = np.asarray(acquisition.mean_confidence(
             logits, "entropy", model.num_classes))
         np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+
+class TestFusedTailEntropyScore:
+    """Stage4 + stage5 + Final + entropy as one eighth-grid kernel: the
+    full front -> XLA stage2/3 -> tail pipeline must reproduce the
+    plain forward + acquisition math."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from semanticsegmentationactivelearning_tpu.models import ENet
+        rng = np.random.default_rng(13)
+        model = ENet(num_classes=5)
+        x = jnp.asarray(rng.uniform(size=(2, 64, 48, 3))
+                        .astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(6),
+             "dropout": jax.random.PRNGKey(7)}, x, training=False)
+        stats = variables["batch_stats"]
+        noised = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(
+                np.abs(rng.normal(size=a.shape, scale=0.3))
+                .astype(np.float32)), stats)
+        variables = {**variables, "batch_stats": noised}
+        return model, variables, x
+
+    @pytest.mark.parametrize("te", [8, 16])
+    def test_full_pipeline(self, setup, te):
+        model, variables, x = setup
+        from semanticsegmentationactivelearning_tpu.ops import acquisition
+        packed_f = pallas_kernels.pack_enet_front(variables)
+        x1, mask1 = pallas_kernels.fused_front_stage1(
+            x, packed_f, tile_q=8, interpret=True,
+            out_dtype=jnp.float32)
+        y, sw2m = model.apply(variables, x1, training=False,
+                              method="forward_stage23")
+        n, h8, w8, _ = y.shape
+        sw2 = sw2m.reshape(n, h8, w8, 64)
+        packed_t = pallas_kernels.pack_enet_tail(variables,
+                                                 model.num_classes)
+        got = np.asarray(pallas_kernels.fused_tail_entropy_score(
+            y, sw2, mask1, packed_t, model.num_classes, te=te,
+            interpret=True))
+        logits = model.apply(variables, x, training=False)
+        want = np.asarray(acquisition.mean_confidence(
+            logits, "entropy", model.num_classes))
+        np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
