@@ -35,7 +35,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .acquisition import EPSILON
 
 
 def _score_kernel(x_ref, halo_ref, kx_ref, kxu_ref, kxl_ref, kxul_ref,
@@ -1669,7 +1668,6 @@ def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
     m2 = jax.nn.one_hot(switches2, 4, axis=3, dtype=y.dtype)
     m2 = m2.reshape(n, h8, w8, 256)
     # quarter-grid phase-packed mask -> s2d(4)-over-eighth layout
-    hq, wq = 2 * h8, 2 * w8
     m1 = (mask1.reshape(n, h8, 2, w8, 2, 2, 2, 16)
           .transpose(0, 1, 3, 2, 5, 4, 6, 7)
           .reshape(n, h8, w8, 256).astype(y.dtype))
