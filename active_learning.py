@@ -257,13 +257,20 @@ def main(args, logger):
     # Pool scoring groups several loader batches into one dispatch
     # (lax.map) to amortize fixed per-call overhead (~26ms through the
     # TPU relay); under a mesh each micro-batch stays data-sharded.
-    # (Disabled when spatial sharding engaged: grouping multiplies the
-    # live activation footprint the spatial mesh exists to bound.)
+    # Under the spatial mesh the per-dispatch micro-batch is HALVED so
+    # the live activation footprint the mesh exists to bound stays
+    # constant while the dispatch count still drops.
     score_group = int(alparams.get("score_group", 4))
-    pool_score_step = make_pool_score_step(
-        model, dataset.num_classes, alparams["measure"],
-        micro_batch=batch_size, mesh=mesh) \
-        if score_group > 1 and score_mesh is mesh else None
+    pool_score_step = None
+    if score_group > 1:
+        if score_mesh is mesh:
+            pool_score_step = make_pool_score_step(
+                model, dataset.num_classes, alparams["measure"],
+                micro_batch=batch_size, mesh=mesh)
+        elif batch_size % 2 == 0:
+            pool_score_step = make_pool_score_step(
+                model, dataset.num_classes, alparams["measure"],
+                micro_batch=batch_size // 2, mesh=score_mesh)
 
     ckpt_manager = ckpt.CheckpointManager(args.log_dir)
     writer = cli.MetricsWriter(args.log_dir)

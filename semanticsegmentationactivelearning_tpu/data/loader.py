@@ -29,8 +29,15 @@ logger = logging.getLogger(__name__)
 
 
 def load_stack(path: str, storage_hw: Tuple[int, int], channels: int = 3,
-               fill_label: int = 255):
+               fill_label: int = 255,
+               modalities: Sequence[str] = ()):
     """Decode one record into a padded uint8 stack.
+
+    Extra ``modalities`` (e.g. Freiburg ``nir``) are decoded from the
+    record's ``<modality>/*`` features and stacked after the image
+    channels, matching the reference decoder's channel stacking
+    (tensortools/input.py:265-269); ``channels`` is the TOTAL image +
+    modality channel count.
 
     :returns: (stack ``[Hs,Ws,channels+1]``, valid_h, valid_w, has_label)
     """
@@ -45,14 +52,36 @@ def load_stack(path: str, storage_hw: Tuple[int, int], channels: int = 3,
     img = etl.decode_image(img_bytes)
     if img.ndim == 2:
         img = img[:, :, None]
-    if img.shape[2] < channels:
-        img = np.repeat(img[:, :, :1], channels, axis=2)
+    img_ch = channels - sum(
+        (ex.modalities or {}).get(m, (None, None, 1))[2]
+        for m in modalities)
+    if img.shape[2] < img_ch:
+        img = np.repeat(img[:, :, :1], img_ch, axis=2)
     h = min(img.shape[0], sh)
     w = min(img.shape[1], sw)
     if (img.shape[0], img.shape[1]) > (sh, sw):
         logger.warning("Example %s (%dx%d) exceeds storage %dx%d; cropping",
                        ex.file_id, img.shape[0], img.shape[1], sh, sw)
-    stack[:h, :w, :channels] = img[:h, :w, :channels]
+    stack[:h, :w, :img_ch] = img[:h, :w, :img_ch]
+
+    c0 = img_ch
+    for mod in modalities:
+        if not ex.modalities or mod not in ex.modalities:
+            raise ValueError(
+                f"Record {path} has no '{mod}' modality")
+        marr = etl.decode_image(ex.modalities[mod][0])
+        if marr.ndim == 2:
+            marr = marr[:, :, None]
+        mc = marr.shape[2]
+        if c0 + mc > channels:
+            raise ValueError(
+                f"Record {path}: modality channels exceed total "
+                f"{channels}")
+        stack[:h, :w, c0:c0 + mc] = marr[:h, :w]
+        c0 += mc
+    if modalities and c0 != channels:
+        raise ValueError(
+            f"Record {path}: decoded {c0} channels, expected {channels}")
 
     has_label = ex.label is not None
     if has_label:
@@ -61,6 +90,19 @@ def load_stack(path: str, storage_hw: Tuple[int, int], channels: int = 3,
             lbl = lbl[..., 0]
         stack[:h, :w, channels] = lbl[:h, :w]
     return stack, h, w, has_label
+
+
+def probe_channels(path: str, modalities: Sequence[str] = ()) -> int:
+    """Total input channels (image + requested modalities) from one
+    record's header — no image decode."""
+    ex = example.read_example(path)
+    mods = ex.modalities or {}
+    total = mods.get("image", (None, None, 3))[2]
+    for m in modalities:
+        if m not in mods:
+            raise ValueError(f"Record {path} has no '{m}' modality")
+        total += mods[m][2]
+    return total
 
 
 class RecordLoader:
@@ -75,11 +117,17 @@ class RecordLoader:
 
     def __init__(self, filenames: Sequence[str], batch_size: int,
                  storage_hw: Optional[Tuple[int, int]] = None,
-                 channels: int = 3, num_workers: int = 8,
+                 channels: Optional[int] = None, num_workers: int = 8,
                  prefetch: int = 2, use_native: str = "auto",
-                 min_hw: Optional[Tuple[int, int]] = None):
+                 min_hw: Optional[Tuple[int, int]] = None,
+                 modalities: Sequence[str] = ()):
         self.filenames = np.asarray(filenames)
         self.batch_size = int(batch_size)
+        self.modalities = tuple(modalities)
+        if channels is None:
+            channels = (probe_channels(str(self.filenames[0]),
+                                       self.modalities)
+                        if len(self.filenames) else 3)
         self.channels = channels
         self.num_workers = num_workers
         self.prefetch = prefetch
@@ -90,6 +138,10 @@ class RecordLoader:
             from . import native
             self._native = native
         else:
+            self._native = None
+        if self.modalities and self._native is not None:
+            # the C++ fast path decodes image+label only; modality
+            # stacking takes the (equivalent) Python route
             self._native = None
         if storage_hw is None:
             if len(self.filenames) == 0:
@@ -153,7 +205,8 @@ class RecordLoader:
             valid[:n] = True
         else:
             results = list(pool.map(
-                lambda p: load_stack(p, self.storage_hw, self.channels),
+                lambda p: load_stack(p, self.storage_hw, self.channels,
+                                     modalities=self.modalities),
                 paths))
             for j, (s, h, w, hl) in enumerate(results):
                 stack[j] = s

@@ -252,7 +252,7 @@ class ICNet(nn.Module):
         return logits, (cls4, aux8, aux16)
 
     def fused_score(self, variables, image, measure: str,
-                    use_pallas: bool = False):
+                    use_pallas: bool = False, interpret: bool = False):
         """Acquisition scoring without materializing full-res logits
         (the AL pool-ranking hot loop, reference
         active_learning.py:229-263)."""
@@ -261,6 +261,7 @@ class ICNet(nn.Module):
                           return_pre_logits=True)
         if use_pallas and measure == "entropy":
             return pallas_kernels.fused_upsample_entropy_score(
-                cls4.astype(jnp.float32), 4, self.num_classes)
+                cls4.astype(jnp.float32), 4, self.num_classes,
+                interpret=interpret)
         return acquisition.chunked_upsample_mean_confidence(
             cls4, 4, measure, self.num_classes)

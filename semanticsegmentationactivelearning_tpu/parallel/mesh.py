@@ -77,8 +77,15 @@ def sync_processes(tag: str, timeout_s: int = 600) -> None:
     single-process."""
     if jax.process_count() <= 1:
         return
-    from jax._src import distributed
-    client = getattr(distributed.global_state, "client", None)
+    try:
+        # Private module: the coordination-service client has no public
+        # accessor in the pinned jax. Degrade to a no-op on a jax
+        # upgrade rather than taking down multi-host startup — the
+        # barrier is a skew-absorber, not a correctness requirement.
+        from jax._src import distributed
+        client = getattr(distributed.global_state, "client", None)
+    except (ImportError, AttributeError):
+        client = None
     if client is None:
         return
     client.wait_at_barrier(tag, timeout_in_ms=timeout_s * 1000)

@@ -257,12 +257,18 @@ def make_pool_score_step(model, num_classes: int, measure: str,
 
     With a mesh, each micro-batch is sharded over the ``data`` axis so
     every chip scores ``micro_batch / n_devices`` images per map step.
+    On a 2-D ``("data", "space")`` mesh the micro-batches are
+    additionally width-sharded (GSPMD conv halo exchanges), so grouped
+    dispatch composes with spatial scoring: the caller halves
+    ``micro_batch`` to keep the live activation footprint the spatial
+    mesh exists to bound unchanged.
     """
     sh = _mesh_shardings(mesh)
     jit_kwargs = {}
     if sh:
-        jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
+        jit_kwargs = dict(in_shardings=(sh["repl"], sh["image"]),
                           out_shardings=sh["data"])
+    spatial = mesh is not None and "space" in mesh.axis_names
     # On a pure data mesh, run the scorer under shard_map: each device
     # scores its own rows, so the Pallas fused kernels (which have no
     # GSPMD partitioning rule) stay enabled — per-image scores need no
@@ -288,8 +294,10 @@ def make_pool_score_step(model, num_classes: int, measure: str,
                 out_specs=P(None, "data"))(state, chunks)
             return scores.reshape(-1)
         if mesh is not None:
+            spec = P(None, "data", None, "space") if spatial \
+                else P(None, "data")
             chunks = jax.lax.with_sharding_constraint(
-                chunks, NamedSharding(mesh, P(None, "data")))
+                chunks, NamedSharding(mesh, spec))
         scores = jax.lax.map(lambda im: score_impl(state, im), chunks)
         return scores.reshape(-1)
 

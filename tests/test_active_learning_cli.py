@@ -49,7 +49,7 @@ def records(tmp_path_factory):
 
 
 def _conf(tmp_path, selection_size=3, measure="entropy",
-          iterations=2):
+          iterations=2, model="ENet", input_hw=(32, 48)):
     conf = {
         "batch_size": 4,
         "epochs": 1,                      # patience of 1 epoch
@@ -67,8 +67,9 @@ def _conf(tmp_path, selection_size=3, measure="entropy",
             "softmax": {"label_smoothing": 0.0,
                         "loginverse_scaling": 0.0, "multiscale": False},
         },
-        "network": {"model": "ENet",
-                    "input": {"height": 32, "width": 48}},
+        "network": {"model": model,
+                    "input": {"height": input_hw[0],
+                              "width": input_hw[1]}},
         "active_learning": {
             "iterations": iterations,
             "num_initially_labelled": 6,
@@ -161,3 +162,22 @@ class TestActiveLearningCLI:
         assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
         state = json.loads((log_dir / "state.json").read_text())
         assert len(state["dataset"]["train"]["labelled"]) == 9
+
+    def test_icnet_end_to_end(self, records, tmp_path):
+        """The second model family through the full AL loop: ICNet's
+        cascade-guidance training + 1/4-res fused-head scoring drive a
+        selection round (network.model=ICNet per BASELINE.json confs;
+        reference stub models/icnet/icnet.py:1-7). Input 32x64 (ICNet
+        needs /32 dims); the 48-wide records pad + mask."""
+        log_dir = tmp_path / "al_icnet"
+        res = _run(records, log_dir,
+                   _conf(tmp_path, iterations=1, model="ICNet",
+                         input_hw=(32, 64)), timeout=1200)
+        assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+        state = json.loads((log_dir / "state.json").read_text())
+        assert state["iteration"] == 1
+        assert len(state["dataset"]["train"]["labelled"]) == 9
+        lines = [json.loads(l) for l in
+                 (log_dir / "metrics.jsonl").read_text().splitlines()]
+        hists = [l for l in lines if l["split"] == "al_confidence"]
+        assert len(hists) == 1  # entropy scores ran over the pool

@@ -1,0 +1,120 @@
+"""Multi-modal records consumed at train time.
+
+The reference decoder stacks any ``<modality>/*`` channels present in a
+record into the network input (tensortools/input.py:265-269); its
+``--modalities`` train flag was parsed but never wired through
+(reference train.py:30,466). Here the full chain works: Freiburg-layout
+tree with an extra ``nir_gray`` modality -> generate_dataset.py ->
+4-channel RecordLoader -> train.py end to end."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=1",
+           JAX_COMPILATION_CACHE_DIR="/tmp/ssal_test_jax_cache")
+
+
+@pytest.fixture(scope="module")
+def records(tmp_path_factory):
+    """Synthetic Freiburg tree with rgb + nir_gray modalities; the NIR
+    plane carries the label signal so training exercises it."""
+    root = tmp_path_factory.mktemp("freiburg_mm")
+    rng = np.random.default_rng(5)
+    colors = np.array([(170, 170, 170), (0, 255, 0), (102, 102, 51),
+                       (0, 120, 255), (0, 0, 0)], dtype=np.uint8)
+    for split, n in [("train", 24), ("test", 4)]:
+        for sub in ("GT_color", "rgb", "nir_gray"):
+            (root / split / sub).mkdir(parents=True)
+        for i in range(n):
+            idx = rng.integers(0, len(colors), (4, 6))
+            big = np.kron(idx, np.ones((8, 8), np.int64))  # 32x48
+            Image.fromarray(colors[big]).save(
+                root / split / "GT_color" / f"{split[0]}{i:03d}_mask.png")
+            img = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+            Image.fromarray(img).save(
+                root / split / "rgb" / f"{split[0]}{i:03d}.png")
+            nir = (big * 50 + 10).astype(np.uint8)
+            Image.fromarray(nir, mode="L").save(
+                root / split / "nir_gray" / f"{split[0]}{i:03d}.png")
+    out = tmp_path_factory.mktemp("records_mm")
+    res = subprocess.run(
+        [sys.executable, "generate_dataset.py", "-d", str(root),
+         "-t", "freiburg", "-o", str(out),
+         "--modalities", "rgb", "nir_gray"],
+        cwd=REPO, capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    return out
+
+
+def test_loader_stacks_modalities(records):
+    import glob
+    import sys as _sys
+    _sys.path.insert(0, REPO)
+    from semanticsegmentationactivelearning_tpu.data import loader
+
+    files = sorted(glob.glob(str(records / "train" / "*.tfrecord")))
+    assert files
+    ld = loader.RecordLoader(files, batch_size=4,
+                             modalities=("nir_gray",))
+    assert ld.channels == 4
+    batch = next(iter(ld.batches()))
+    assert batch["stack"].shape[-1] == 5  # rgb + nir + label plane
+    # nir plane round-trips: quantized label signal (big*50+10)
+    nir = batch["stack"][0, :, :, 3]
+    assert set(np.unique(nir)) <= {10, 60, 110, 160, 210}
+    # label plane present (trainIds 0..4 after embedding)
+    assert batch["stack"][0, :, :, 4].max() <= 5
+
+
+def test_loader_missing_modality_raises(records):
+    import glob
+    from semanticsegmentationactivelearning_tpu.data import loader
+
+    files = sorted(glob.glob(str(records / "train" / "*.tfrecord")))
+    ld = loader.RecordLoader(files, batch_size=2, channels=4,
+                             modalities=("depth",))
+    with pytest.raises(ValueError, match="depth"):
+        next(iter(ld.batches()))
+
+
+def test_train_cli_four_channels(records, tmp_path):
+    conf = {
+        "batch_size": 4,
+        "epochs": 1,
+        "hyperparams": {
+            "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
+            "learning_rate": 1e-3,
+            "learning_rate_decay": 0.0,
+            "optimizer": {"type": "Adam",
+                          "kwargs": {"beta1": 0.9, "beta2": 0.99}},
+            "weight_reg": {"L2": 2e-4, "L1": 0.0,
+                           "glorot_scaling": False},
+            "softmax": {"label_smoothing": 0.0,
+                        "loginverse_scaling": 0.0, "multiscale": False},
+        },
+        "network": {"model": "ENet",
+                    "input": {"height": 32, "width": 48}},
+    }
+    conf_path = tmp_path / "conf.json"
+    conf_path.write_text(json.dumps(conf))
+    log_dir = tmp_path / "log"
+    res = subprocess.run(
+        [sys.executable, "train.py", "freiburg", "-d", str(records),
+         "-l", str(log_dir), "-p", str(conf_path),
+         "-m", "rgb", "nir_gray"],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "4 input channels" in res.stdout + res.stderr
+    lines = [json.loads(l) for l in
+             (log_dir / "metrics.jsonl").read_text().splitlines()]
+    assert any(l["split"] == "train" for l in lines)
+    assert (log_dir / "model-1.ckpt").exists()

@@ -184,6 +184,28 @@ class TestSpatialScoreStep:
         want = np.asarray(single(state, {"image": image}))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
+    def test_grouped_pool_score_on_spatial_mesh(self):
+        """Grouped (lax.map) dispatch composes with the 2-D
+        ("data","space") mesh at halved micro-batch — the AL CLI no
+        longer falls back to ungrouped scoring when spatial sharding
+        engages (active_learning.py score_group wiring)."""
+        model = ENet(num_classes=C, drop_rates=(0.0,) * 5)
+        optimizer = optim.make_optimizer(HPARAMS)
+        hw = (32, 64)
+        state = create_train_state(model, optimizer,
+                                   jax.random.PRNGKey(0), hw)
+        rng = np.random.default_rng(11)
+        images = rng.uniform(size=(8, *hw, 3)).astype(np.float32)
+
+        mesh2d = make_mesh(8, ("data", "space"), shape=(2, 4))
+        pooled = make_pool_score_step(model, C, "entropy",
+                                      micro_batch=2, mesh=mesh2d)
+        got = np.asarray(pooled(state, images))
+        assert got.shape == (8,)
+        single = make_score_step(model, C, "entropy")
+        want = np.asarray(single(state, {"image": images}))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_make_mesh_auto(self):
         from semanticsegmentationactivelearning_tpu.parallel import \
             make_mesh_auto

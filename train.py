@@ -51,7 +51,7 @@ def _batch_stream(loader_, order, global_bs, mesh, sharding):
 
 def run_eval_epoch(eval_step, state, val_loader, crop_hw, num_classes,
                    desc="val", show_progress=True, sharding=None,
-                   mesh=None, global_bs=None):
+                   mesh=None, global_bs=None, channels=3):
     import numpy as _np
     acc = xmetrics.ConfusionAccumulator(num_classes)
     order = _np.arange(val_loader.count)
@@ -61,7 +61,8 @@ def run_eval_epoch(eval_step, state, val_loader, crop_hw, num_classes,
         desc, show_progress, total=-(-val_loader.count // gbs))
     for b in batches:
         image, label, mask = pipeline.eval_batch(
-            b["stack"], b["heights"], b["widths"], crop_hw=crop_hw)
+            b["stack"], b["heights"], b["widths"], crop_hw=crop_hw,
+            channels=channels)
         conf_mat = eval_step(state, {
             "image": image, "label": label, "mask": mask,
             "valid": b["valid"].astype(np.float32)})
@@ -93,18 +94,36 @@ def main(args):
         return 1
     local_bs = batch_size // nproc  # rows this host decodes per batch
 
-    train_files = sorted(glob.glob(
-        os.path.join(args.data_dir, "train", "*.tfrecord")))
-    val_files = sorted(glob.glob(
-        os.path.join(args.data_dir, "val", "*.tfrecord")))
+    # Record dirs come from the dataset's path accessors so coarse
+    # Cityscapes training also sweeps train_extra/ (the reference added
+    # each of get_train_paths' dirs to its InputStage, train.py:53-60)
+    train_files = sorted(
+        f for d in dataset.get_train_paths(args.data_dir)
+        for f in glob.glob(os.path.join(d, "*.tfrecord")))
+    val_files = sorted(
+        f for d in (dataset.get_validation_paths(args.data_dir) or ())
+        for f in glob.glob(os.path.join(d, "*.tfrecord")))
     if not train_files:
         logger.error("No training records under %s", args.data_dir)
         return 1
+    # Extra modality channels (e.g. Freiburg NIR) stack after the RGB
+    # planes, matching the reference decoder (input.py:265-269); its
+    # --modalities train flag existed but was never wired through to
+    # the dataset in main (reference train.py:30,466)
+    modalities = tuple(m for m in (getattr(args, "modalities", None)
+                                   or ())
+                       if m not in ("rgb", "image"))
     train_loader = loader.RecordLoader(train_files, local_bs,
-                                       min_hw=in_hw)
+                                       min_hw=in_hw,
+                                       modalities=modalities)
+    in_channels = train_loader.channels
     val_loader = loader.RecordLoader(val_files, local_bs,
-                                     min_hw=in_hw) \
+                                     min_hw=in_hw,
+                                     modalities=modalities) \
         if val_files else None
+    if modalities:
+        logger.info("Stacking modalities %s -> %d input channels",
+                    list(modalities), in_channels)
     train_batches = -(-len(train_files) // batch_size)
     logger.info("%d train / %d val examples", len(train_files),
                 len(val_files))
@@ -120,6 +139,7 @@ def main(args):
     optimizer = optim.make_optimizer(hparams, train_batches)
     rng = jax.random.PRNGKey(args.seed)
     state = create_train_state(model, optimizer, rng, in_hw,
+                               channels=in_channels,
                                multiscale=multiscale)
 
     # Restore (train.py:232-257): explicit -c path wins, else latest in
@@ -184,10 +204,11 @@ def main(args):
             else (train_loader, "train")
         b = next(iter(src.batches()))
         image, label, _mask = pipeline.eval_batch(
-            b["stack"], b["heights"], b["widths"], crop_hw=in_hw)
+            b["stack"], b["heights"], b["widths"], crop_hw=in_hw,
+            channels=in_channels)
         preds = np.asarray(predict_step(state, image))
         images.dump_summaries(
-            args.log_dir, tag, epoch, np.asarray(image),
+            args.log_dir, tag, epoch, np.asarray(image)[..., :3],
             np.asarray(label), preds, colormap=dataset.colormap,
             count=img_count)
 
@@ -214,7 +235,7 @@ def main(args):
                 jax.random.PRNGKey(step_seed))
             _raw, image, label, mask = pipeline.augment_batch(
                 b["stack"], b["heights"], b["widths"], k_aug,
-                crop_hw=in_hw)
+                crop_hw=in_hw, channels=in_channels)
             step_batch = {
                 "image": image, "label": label, "mask": mask,
                 "valid": b["valid"].astype(np.float32)}
@@ -227,7 +248,14 @@ def main(args):
                 # deserialize.
                 from semanticsegmentationactivelearning_tpu import \
                     parallel
-                train_step.lower(state, step_batch, k_drop).compile()
+                # Keep the AOT executable and call IT from here on:
+                # re-invoking the jit fn would re-lower and recompile on
+                # a persistent-cache miss AFTER the barrier, re-creating
+                # the compile skew the barrier absorbs. Shapes are
+                # static (padded batches), so one executable serves the
+                # whole run.
+                train_step = train_step.lower(
+                    state, step_batch, k_drop).compile()
                 parallel.sync_processes("train-step-compiled")
             state, m = train_step(state, step_batch, k_drop)
             losses.append(m["loss"])
@@ -249,7 +277,8 @@ def main(args):
                                   dataset.num_classes,
                                   desc="val[%3d]" % epoch,
                                   sharding=stack_sharding, mesh=mesh,
-                                  global_bs=batch_size)
+                                  global_bs=batch_size,
+                                  channels=in_channels)
             vm = vacc.metrics()
             writer.write({
                 "split": "val", "epoch": epoch, "step": int(state.step),
@@ -273,7 +302,8 @@ def main(args):
         vacc = run_eval_epoch(eval_step, state, val_loader, in_hw,
                               dataset.num_classes, desc="final-val",
                               sharding=stack_sharding, mesh=mesh,
-                              global_bs=batch_size)
+                              global_bs=batch_size,
+                              channels=in_channels)
         vm = vacc.metrics()
         writer.write({
             "split": "final_val", "epoch": params["epochs"],
