@@ -1,0 +1,268 @@
+"""Whole-model numerical parity oracle.
+
+The flax ENet forward must match an independent TensorFlow re-derivation
+of the reference graph — same math, different framework — with ONE set
+of weights transplanted between them. This is the strongest obtainable
+model-equivalence evidence without real Cityscapes data: it would catch
+any silent stage-wiring, padding-alignment, BN-semantics, or
+pool/unpool discrepancy that per-op unit tests cannot.
+
+Reference graph being re-derived (cited, not copied):
+  - stage layout / call order: /root/reference/models/enet/enet.py:320-367
+  - block structure:          /root/reference/models/enet/enet_modules.py:45-1381
+  - PReLU / unpool / BN:      /root/reference/models/util/extra_ops.py:9-26,28-86,154-185
+
+Numerical framework mappings (measured in this environment):
+  - flax ``nn.Conv`` (HWIO, SAME) == ``tf.nn.conv2d`` exactly, including
+    the asymmetric (0,1) pad of stride-2 kernels;
+  - flax ``nn.ConvTranspose`` (lax.conv_transpose,
+    transpose_kernel=False) == ``tf.nn.conv2d_transpose`` with the
+    kernel spatially flipped and in/out channels swapped;
+  - ``tf.nn.max_pool_with_argmax`` on CPU returns per-batch-element
+    indices ``(y*W + x)*C + c`` (the convention the reference's
+    ``unpool_2d`` documents at extra_ops.py:64-81).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+tf = pytest.importorskip("tensorflow")
+
+from semanticsegmentationactivelearning_tpu.models import ENet  # noqa: E402
+
+_BN_EPS = 1e-3   # extra_ops.py uses tf.nn.fused_batch_norm defaults
+
+
+def _bn(x, p, s):
+    """Inference-mode fused batch norm (extra_ops.py:154-185)."""
+    return tf.nn.batch_normalization(
+        x, s["mean"], s["var"], p["bias"], p["scale"], _BN_EPS)
+
+
+def _prelu(x, alpha):
+    """relu(x) - alpha * relu(-x) (extra_ops.py:9-26)."""
+    return tf.nn.relu(x) - alpha * tf.nn.relu(-x)
+
+
+def _conv(x, k, strides=1, dilation=1):
+    return tf.nn.conv2d(x, k, strides=[1, strides, strides, 1],
+                        padding="SAME",
+                        dilations=[1, dilation, dilation, 1])
+
+
+def _deconv(x, k):
+    """flax ConvTranspose equivalent: flip spatial taps, swap channels
+    (see module docstring), stride-2 SAME."""
+    n, h, w, _ = x.shape
+    f = tf.transpose(k[::-1, ::-1], (0, 1, 3, 2))
+    out_ch = int(k.shape[-1])
+    return tf.nn.conv2d_transpose(
+        x, f, output_shape=[n, 2 * h, 2 * w, out_ch],
+        strides=[1, 2, 2, 1], padding="SAME")
+
+
+def _unpool(x, idx):
+    """Scatter the pooled values back to the argmax positions
+    (extra_ops.py:28-86; CPU index convention, batch offset added)."""
+    n, h, w, c = (int(v) for v in x.shape)
+    out_img = (2 * h) * (2 * w) * c
+    batch_off = tf.reshape(
+        tf.range(n, dtype=idx.dtype) * out_img, (n, 1, 1, 1))
+    flat_idx = tf.reshape(idx + batch_off, (-1, 1))
+    flat = tf.scatter_nd(flat_idx, tf.reshape(x, (-1,)), (n * out_img,))
+    return tf.reshape(flat, (n, 2 * h, 2 * w, c))
+
+
+def _bottleneck(x, p, s, dilation=1, asymmetric=False):
+    """Plain / dilated / asymmetric bottleneck
+    (enet_modules.py:226-599): proj 1x1 -> conv -> expand 1x1, BN+PReLU
+    between, residual add -> PReLU. Inference mode (no dropout)."""
+    h = _prelu(_bn(_conv(x, p["proj_conv"]["kernel"]),
+                   p["proj_bn"], s["proj_bn"]),
+               p["proj_prelu"]["alpha"])
+    if asymmetric:
+        h = _conv(h, p["conv_col"]["kernel"])
+        h = _conv(h, p["conv_row"]["kernel"])
+        h = _prelu(_bn(h, p["conv_bn"], s["conv_bn"]),
+                   p["conv_prelu"]["alpha"])
+    else:
+        h = _prelu(_bn(_conv(h, p["conv"]["kernel"], dilation=dilation),
+                       p["conv_bn"], s["conv_bn"]),
+                   p["conv_prelu"]["alpha"])
+    h = _bn(_conv(h, p["exp_conv"]["kernel"]), p["exp_bn"], s["exp_bn"])
+    return _prelu(h + x, p["res_prelu"]["alpha"])
+
+
+def _bottleneck_down(x, p, s):
+    """Downsampling bottleneck (enet_modules.py:601-938): 2x2/s2 proj,
+    3x3 conv, 1x1 expand; residual = argmax maxpool + channel zero-pad.
+    Returns (out, argmax)."""
+    h = _prelu(_bn(_conv(x, p["proj_conv"]["kernel"], strides=2),
+                   p["proj_bn"], s["proj_bn"]),
+               p["proj_prelu"]["alpha"])
+    h = _prelu(_bn(_conv(h, p["conv"]["kernel"]),
+                   p["conv_bn"], s["conv_bn"]),
+               p["conv_prelu"]["alpha"])
+    h = _bn(_conv(h, p["exp_conv"]["kernel"]), p["exp_bn"], s["exp_bn"])
+    res, argmax = tf.nn.max_pool_with_argmax(x, 2, 2, "SAME")
+    pad_c = int(h.shape[-1]) - int(res.shape[-1])
+    res = tf.pad(res, [[0, 0], [0, 0], [0, 0], [0, pad_c]])
+    return _prelu(h + res, p["res_prelu"]["alpha"]), argmax
+
+
+def _bottleneck_up(x, argmax, p, s):
+    """Upsampling bottleneck (enet_modules.py:940-1292): 1x1 proj,
+    3x3/s2 transpose conv, 1x1 expand; residual = 1x1 conv + unpool."""
+    h = _prelu(_bn(_conv(x, p["proj_conv"]["kernel"]),
+                   p["proj_bn"], s["proj_bn"]),
+               p["proj_prelu"]["alpha"])
+    h = _prelu(_bn(_deconv(h, p["deconv"]["kernel"]),
+                   p["conv_bn"], s["conv_bn"]),
+               p["conv_prelu"]["alpha"])
+    h = _bn(_conv(h, p["exp_conv"]["kernel"]), p["exp_bn"], s["exp_bn"])
+    res = _unpool(_conv(x, p["res_conv"]["kernel"]), argmax)
+    return _prelu(h + res, p["res_prelu"]["alpha"])
+
+
+def tf_enet_forward(variables, x):
+    """The full reference ENet inference forward in TF ops
+    (enet.py:320-367), reading transplanted flax parameters."""
+    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    params = to_np(variables["params"])
+    stats = to_np(variables["batch_stats"])
+
+    # Initial: 3x3/s2 conv (13 filters) || 2x2/s2 maxpool -> concat ->
+    # BN -> PReLU (enet_modules.py:45-224)
+    ini, sini = params["Initial"], stats["Initial"]
+    conv = _conv(x, ini["conv"]["kernel"], strides=2)
+    pool = tf.nn.max_pool2d(x, 2, 2, "SAME")
+    h = _prelu(_bn(tf.concat([conv, pool], axis=-1), ini["bn"],
+                   sini["bn"]), ini["prelu"]["alpha"])
+
+    h, am1 = _bottleneck_down(h, params["Bottleneck1_0"],
+                              stats["Bottleneck1_0"])
+    for i in range(1, 5):
+        h = _bottleneck(h, params[f"Bottleneck1_{i}"],
+                        stats[f"Bottleneck1_{i}"])
+
+    h, am2 = _bottleneck_down(h, params["Bottleneck2_0"],
+                              stats["Bottleneck2_0"])
+    # the repeated stage-2/3 pattern: plain, dilated 2, asym 5x5,
+    # dilated 4, plain, dilated 8, asym 5x5, dilated 16
+    # (enet.py:96-143, 147-210)
+    spec = [(1, False), (2, False), (1, True), (4, False),
+            (1, False), (8, False), (1, True), (16, False)]
+    for stage in (2, 3):
+        for i, (dil, asym) in enumerate(spec, start=1):
+            h = _bottleneck(h, params[f"Bottleneck{stage}_{i}"],
+                            stats[f"Bottleneck{stage}_{i}"],
+                            dilation=dil, asymmetric=asym)
+
+    h = _bottleneck_up(h, am2, params["Bottleneck4_0"],
+                       stats["Bottleneck4_0"])
+    for i in (1, 2):
+        h = _bottleneck(h, params[f"Bottleneck4_{i}"],
+                        stats[f"Bottleneck4_{i}"])
+
+    h = _bottleneck_up(h, am1, params["Bottleneck5_0"],
+                       stats["Bottleneck5_0"])
+    h = _bottleneck(h, params["Bottleneck5_1"], stats["Bottleneck5_1"])
+
+    return _deconv(h, params["Final"]["deconv"]["kernel"])
+
+
+@pytest.fixture(scope="module")
+def model_and_variables():
+    rng = np.random.default_rng(23)
+    model = ENet(num_classes=7)
+    x = jnp.asarray(rng.uniform(size=(2, 64, 96, 3))
+                    .astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x, training=False,
+        multiscale=True)   # also materialize the endpoint heads
+    # non-trivial BN statistics so the inference affine is exercised
+    stats = variables["batch_stats"]
+    noised = jax.tree_util.tree_map(
+        lambda a: a + jnp.asarray(
+            np.abs(rng.normal(size=a.shape, scale=0.3))
+            .astype(np.float32)), stats)
+    variables = {**variables, "batch_stats": noised}
+    return model, variables, x
+
+
+class TestWholeModelParity:
+    def test_logits_match_tf_rederivation(self, model_and_variables):
+        model, variables, x = model_and_variables
+        want = np.asarray(tf_enet_forward(variables, np.asarray(x)))
+        got = np.asarray(model.apply(variables, x, training=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_multiscale_heads_match(self, model_and_variables):
+        """The multiscale endpoint heads are plain 1x1 convs over
+        b5_1/b4_2/b3_8 (losses.py:122-132); verify the endpoints they
+        see via the primary logits path staying identical (heads
+        themselves are ordinary convs, transplant-checked in the main
+        test via shared trunk parity)."""
+        model, variables, x = model_and_variables
+        logits, heads = model.apply(variables, x, training=False,
+                                    multiscale=True)
+        assert len(heads) == 4
+        np.testing.assert_array_equal(np.asarray(heads[0]),
+                                      np.asarray(logits))
+        # endpoint resolutions: full, 1/2, 1/4, 1/8
+        n, h, w, c = logits.shape
+        assert heads[1].shape == (n, h // 2, w // 2, c)
+        assert heads[2].shape == (n, h // 4, w // 4, c)
+        assert heads[3].shape == (n, h // 8, w // 8, c)
+
+
+class TestBatchNormUpdateParity:
+    """Training-mode BN: normalized output and moving-average updates
+    must match ``tf.nn.fused_batch_norm`` + ``assign_moving_average``
+    semantics (extra_ops.py:154-185, decay 0.9)."""
+
+    def test_training_bn_matches_tf(self):
+        import flax.linen as nn
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(4, 8, 8, 16)).astype(np.float32) * 2 + 1.0
+        gamma = rng.uniform(0.5, 1.5, size=16).astype(np.float32)
+        beta = rng.normal(size=16).astype(np.float32)
+        mean0 = rng.normal(size=16).astype(np.float32)
+        var0 = rng.uniform(0.5, 2.0, size=16).astype(np.float32)
+
+        bn = nn.BatchNorm(use_running_average=False, momentum=0.90,
+                          epsilon=_BN_EPS)
+        variables = {
+            "params": {"scale": jnp.asarray(gamma),
+                       "bias": jnp.asarray(beta)},
+            "batch_stats": {"mean": jnp.asarray(mean0),
+                            "var": jnp.asarray(var0)}}
+        got, updated = bn.apply(variables, jnp.asarray(x),
+                                mutable=["batch_stats"])
+
+        want, bmean, bvar = tf.compat.v1.nn.fused_batch_norm(
+            x, scale=gamma, offset=beta, epsilon=_BN_EPS,
+            is_training=True)
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-5, atol=1e-5)
+        # assign_moving_average: v <- 0.9 v + 0.1 batch_stat.
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["mean"]),
+            0.9 * mean0 + 0.1 * bmean.numpy(), rtol=1e-5, atol=1e-5)
+        # MEASURED semantic delta: tf.nn.fused_batch_norm returns the
+        # UNBIASED (N/(N-1)) batch variance for the moving-average
+        # update, while flax accumulates the biased one — the exact
+        # relation below holds to float precision. Normalization uses
+        # the biased variance in both. At production pixel counts
+        # (N = B*H*W ~ 4e6) the running-var difference is ~2e-7
+        # relative: no effect on the mIoU-parity ladder.
+        n = float(np.prod(x.shape[:-1]))
+        np.testing.assert_allclose(
+            np.asarray(updated["batch_stats"]["var"]),
+            0.9 * var0 + 0.1 * bvar.numpy() * (n - 1.0) / n,
+            rtol=1e-5, atol=1e-5)
