@@ -195,7 +195,7 @@ class ENet(nn.Module):
     def fused_score(self, variables, image, measure: str,
                     use_pallas: bool = False, fuse_decoder: bool = True,
                     fuse_front: bool = True, fuse_mid: bool = False,
-                    fuse_tail: bool = False):
+                    fuse_tail: bool = False, interpret: bool = False):
         """Acquisition scoring without materializing full-res logits.
         The AL pool-ranking hot loop (reference
         active_learning.py:229-263).
@@ -216,15 +216,27 @@ class ENet(nn.Module):
                 # measured ~even with XLA end-to-end: the >=64-channel
                 # stages are MXU-shape-bound, not layout-bound, so only
                 # the low-channel front/decoder fusions pay off.
-                packed_f = pallas_kernels.pack_enet_front(variables)
-                x1, mask1 = pallas_kernels.fused_front_stage1(
-                    image, packed_f, out_dtype=self.dtype)
+                if image.shape[2] % 32 == 0:
+                    # W-packed v2 front kernel (measured 35 ms faster
+                    # than v1 at batch-16 1024x2048 bf16: lane-full VPU
+                    # planes + MXU-shaped matmuls)
+                    packed_f = pallas_kernels.pack_enet_front_w(
+                        variables)
+                    x1, mask1 = pallas_kernels.fused_front_stage1_w(
+                        image, packed_f, out_dtype=self.dtype,
+                        interpret=interpret)
+                else:
+                    packed_f = pallas_kernels.pack_enet_front(variables)
+                    x1, mask1 = pallas_kernels.fused_front_stage1(
+                        image, packed_f, out_dtype=self.dtype,
+                        interpret=interpret)
                 if fuse_mid or fuse_tail:
                     if fuse_mid:
                         packed_m, meta = pallas_kernels.pack_enet_mid(
                             variables)
                         y, sw2 = pallas_kernels.fused_mid_stage23(
-                            x1, packed_m, meta, out_dtype=self.dtype)
+                            x1, packed_m, meta, out_dtype=self.dtype,
+                            interpret=interpret)
                     else:
                         y, sw2m = self.apply(variables, x1,
                                              training=False,
@@ -235,7 +247,8 @@ class ENet(nn.Module):
                         packed_t = pallas_kernels.pack_enet_tail(
                             variables, self.num_classes)
                         return pallas_kernels.fused_tail_entropy_score(
-                            y, sw2, mask1, packed_t, self.num_classes)
+                            y, sw2, mask1, packed_t, self.num_classes,
+                            interpret=interpret)
                     n, h8, w8, _ = y.shape
                     f4 = self.apply(variables, y,
                                     sw2.reshape(n, h8, w8 * 64),
@@ -247,13 +260,15 @@ class ENet(nn.Module):
                 packed = pallas_kernels.pack_enet_decoder(
                     variables, self.num_classes)
                 return pallas_kernels.fused_decoder_entropy_score(
-                    f4, None, packed, self.num_classes, mask=mask1)
+                    f4, None, packed, self.num_classes, mask=mask1,
+                    interpret=interpret)
             packed = pallas_kernels.pack_enet_decoder(
                 variables, self.num_classes)
             f4, switches1 = self.apply(variables, image, training=False,
                                        return_stage4=True)
             return pallas_kernels.fused_decoder_entropy_score(
-                f4, switches1, packed, self.num_classes)
+                f4, switches1, packed, self.num_classes,
+                interpret=interpret)
         features = self.apply(variables, image, training=False,
                               return_pre_logits=True)
         kernel = variables["params"]["Final"]["deconv"]["kernel"]
@@ -261,6 +276,7 @@ class ENet(nn.Module):
             # features stay in compute dtype (bf16 on TPU): the kernel
             # upcasts per-tile in VMEM, halving its HBM input traffic
             return pallas_kernels.fused_deconv_entropy_score(
-                features, kernel.astype(jnp.float32), self.num_classes)
+                features, kernel.astype(jnp.float32), self.num_classes,
+                interpret=interpret)
         return acquisition.chunked_deconv_mean_confidence(
             features, kernel, measure, self.num_classes)

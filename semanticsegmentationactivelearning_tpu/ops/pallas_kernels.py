@@ -958,6 +958,416 @@ def fused_front_stage1(image: jnp.ndarray, packed: dict,
 
 
 # ---------------------------------------------------------------------------
+# W-packed ENet front end (v2): Initial + Bottleneck1_0 + stage 1
+# ---------------------------------------------------------------------------
+#
+# The v1 front kernel above is VPU-bound, not MXU- or HBM-bound
+# (measured ~53 ms of a ~79 ms batch-16 scoring step): its 8/16-channel
+# working planes occupy only 8/16 of the 128 vector lanes, so every
+# column-shift copy, PReLU, residual add and scratch round-trip pays an
+# 8x lane-padding tax, and its matmuls run at K=8..64.
+#
+# This version additionally packs WPACK (default 8) quarter-resolution
+# COLUMNS into the lane dimension — space-to-depth along W only — with
+# channel layout (col_phase, channel). Consequences:
+#   * 16-channel planes become 128-lane planes: lane-full VPU ops;
+#   * matmul K/N dims multiply by WPACK (16 -> 128): MXU-shaped;
+#   * a conv's column taps become phase-mixing INSIDE the packed
+#     matmul kernels; only the packed-column +-1 shifts remain as
+#     in-register copies (2 per conv, hoisted over the 3 row taps,
+#     on lane-full data);
+#   * because the layout is (col_phase major, channel minor), packing
+#     and unpacking are free row-major reshapes in XLA:
+#     [N,Hq,Wq,C] == [N,Hq,Wq/P,P*C].
+#
+# The tap lifting: a conv tap at column shift dx maps output packed
+# column J, phase b to input (J + dj, pb) with  b + dx = P*dj + pb, so
+# each per-shift tap matrix [cin, cout] lands in block (pb, b) of the
+# lifted kernel L_dj [P*cin, P*cout] (``_wpack_taps``).
+#
+# Stage structure, extents and pool-switch semantics are identical to
+# the v1 kernel (same reference blocks, blocks.py:46-166 and 66-120);
+# compute walks row chunks (``rc`` quarter-rows) like the mid-section
+# kernels so vector-register pressure stays bounded.
+
+
+def _wpack_taps(taps_by_dx, wpack: int):
+    """Lift per-column-shift taps ``{dx: [cin, cout]}`` to W-packed
+    matmul kernels ``{dj: [P*cin, P*cout]}`` (see section comment)."""
+    out = {}
+    for dx, w in taps_by_dx.items():
+        sels = {}
+        for b in range(wpack):
+            dj, pb = divmod(b + dx, wpack)
+            sels.setdefault(dj, np.zeros((wpack, wpack),
+                                         np.float32))[pb, b] = 1.0
+        for dj, s in sels.items():
+            t = jnp.kron(jnp.asarray(s), w)
+            out[dj] = out[dj] + t if dj in out else t
+    return out
+
+
+def _wpack_conv3(kernel, wpack: int):
+    """3x3 (stride 1, SAME) conv -> stacked lifted kernels
+    ``[9, P*cin, P*cout]`` ordered (dy, dj) row-major, dj in
+    (-1, 0, 1) reading the (shift_l, unshifted, shift_r) operand."""
+    ks = []
+    for dy in range(3):
+        lifted = _wpack_taps({-1: kernel[dy, 0], 0: kernel[dy, 1],
+                              1: kernel[dy, 2]}, wpack)
+        zero = jnp.zeros_like(lifted[0])
+        ks.extend(lifted.get(dj, zero) for dj in (-1, 0, 1))
+    return jnp.stack(ks)
+
+
+def _wpack_blkdiag(w, wpack: int):
+    """1x1 conv lifted to the packed layout: block-diagonal."""
+    return jnp.kron(np.eye(wpack, dtype=np.float32), w)
+
+
+def _wpack_tile(v, wpack: int):
+    """Per-channel bias/alpha vector tiled across the column phases."""
+    return jnp.concatenate([v] * wpack)
+
+
+def pack_enet_front_w(variables, wpack: int = 8):
+    """Fold BN and build the W-packed matmul kernels for
+    :func:`fused_front_stage1_w` from an ENet variables pytree."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    f32 = lambda a: a.astype(jnp.float32)
+    P = wpack
+    row = lambda v: v[None, :]
+    tile = lambda v: row(_wpack_tile(v, P))
+
+    # --- Initial: identical base taps to pack_enet_front, then lifted.
+    # BN spans concat(conv13, pool3) (blocks.py:46-63). ---
+    ini, sini = p["Initial"], bs["Initial"]
+    s16 = f32(ini["bn"]["scale"]) / jnp.sqrt(f32(sini["bn"]["var"])
+                                             + 1e-3)
+    t16 = f32(ini["bn"]["bias"]) - f32(sini["bn"]["mean"]) * s16
+    a16 = f32(ini["prelu"]["alpha"])
+    w3 = f32(ini["conv"]["kernel"]) * s16[:13]             # [3,3,3,13]
+
+    k4 = [jnp.zeros((60, 64), jnp.float32) for _ in range(4)]
+    for a in (0, 1):
+        for b in (0, 1):
+            col0 = (2 * a + b) * 16
+            for dy in range(3):
+                di, ry = divmod(2 * a + dy, 4)
+                for dx in range(3):
+                    dj, rx = divmod(2 * b + dx, 4)
+                    idx = di * 2 + dj       # [x, right, down, downright]
+                    r0 = ry * 12 + rx * 3
+                    k4[idx] = k4[idx].at[r0:r0 + 3,
+                                         col0:col0 + 13].add(w3[dy, dx])
+    for ph in range(4):
+        for c in range(3):
+            k4[0] = k4[0].at[48 + ph * 3 + c,
+                             ph * 16 + 13 + c].add(s16[13 + c])
+    # lift the quarter-grid shifts (dx, dy in {0, 1}) to packed columns
+    zero60 = jnp.zeros((P * 60, P * 64), jnp.float32)
+    kini = []
+    for base_x, base_r in ((k4[0], k4[1]), (k4[2], k4[3])):
+        lifted = _wpack_taps({0: base_x, 1: base_r}, P)
+        kini.extend(lifted.get(dj, zero60) for dj in (0, 1))
+    kini = jnp.stack(kini)          # [4, P*60, P*64]: (dy, dj) order
+
+    # --- Bottleneck1_0 (blocks.py:123-166) ---
+    b10, s10 = p["Bottleneck1_0"], bs["Bottleneck1_0"]
+    wp2, bp8 = _fold_bn(f32(b10["proj_conv"]["kernel"]),
+                        b10["proj_bn"], s10["proj_bn"])    # [2,2,16,8]
+    # 2x2/s2 conv on the half grid == phase-mixing 1x1 on the
+    # (half_phase, c16) packed layout
+    wmix = jnp.concatenate(
+        [wp2[a, b] for a in (0, 1) for b in (0, 1)], axis=0)  # [64,8]
+    wc3, bc8 = _fold_bn(f32(b10["conv"]["kernel"]),
+                        b10["conv_bn"], s10["conv_bn"])    # [3,3,8,8]
+    we10, be64 = _fold_bn(f32(b10["exp_conv"]["kernel"][0, 0]),
+                          b10["exp_bn"], s10["exp_bn"])    # [8,64]
+
+    # phase extraction/placement selectors on the packed layout
+    sel_e = np.zeros((4, 64, 16), np.float32)
+    for ph in range(4):
+        for c in range(16):
+            sel_e[ph, ph * 16 + c, c] = 1.0
+    sel = jnp.stack([_wpack_blkdiag(jnp.asarray(sel_e[ph]), P)
+                     for ph in range(4)])       # [4, P*64, P*16]
+    selt = jnp.stack([_wpack_blkdiag(jnp.asarray(sel_e[ph].T), P)
+                      for ph in range(4)])      # [4, P*16, P*64]
+    pad64 = _wpack_blkdiag(jnp.asarray(sel_e[0]).T, P)  # 16ch -> 64ch
+
+    # --- stage-1 bottlenecks (blocks.py:66-120) ---
+    wp_s, bp_s, ap_s = [], [], []
+    wc_s, bc_s, ac_s = [], [], []
+    we_s, be_s, ar_s = [], [], []
+    for k in range(1, 5):
+        blk, sblk = p[f"Bottleneck1_{k}"], bs[f"Bottleneck1_{k}"]
+        wp, bp = _fold_bn(f32(blk["proj_conv"]["kernel"][0, 0]),
+                          blk["proj_bn"], sblk["proj_bn"])
+        wc, bc = _fold_bn(f32(blk["conv"]["kernel"]),
+                          blk["conv_bn"], sblk["conv_bn"])
+        we, be = _fold_bn(f32(blk["exp_conv"]["kernel"][0, 0]),
+                          blk["exp_bn"], sblk["exp_bn"])
+        wp_s.append(_wpack_blkdiag(wp, P))
+        bp_s.append(tile(bp))
+        ap_s.append(tile(f32(blk["proj_prelu"]["alpha"])))
+        wc_s.append(_wpack_conv3(wc, P))
+        bc_s.append(tile(bc))
+        ac_s.append(tile(f32(blk["conv_prelu"]["alpha"])))
+        we_s.append(_wpack_blkdiag(we, P))
+        be_s.append(tile(be))
+        ar_s.append(tile(f32(blk["res_prelu"]["alpha"])))
+
+    # h0 lane layout is (col_phase, half_phase, c16): tile the Initial
+    # bias/alpha over the 4 half phases BEFORE the column-phase tile
+    tile4 = lambda v: jnp.concatenate([v] * 4)
+    return dict(
+        kini=kini, bin=tile(tile4(t16)), ain=tile(tile4(a16)),
+        wmix=_wpack_blkdiag(wmix, P), bp10=tile(bp8),
+        ap10=tile(f32(b10["proj_prelu"]["alpha"])),
+        wc10=_wpack_conv3(wc3, P), bc10=tile(bc8),
+        ac10=tile(f32(b10["conv_prelu"]["alpha"])),
+        we10=_wpack_blkdiag(we10, P), be10=tile(be64),
+        ar10=tile(f32(b10["res_prelu"]["alpha"])),
+        sel=sel, selt=selt, pad64=pad64,
+        wp_s=jnp.stack(wp_s), bp_s=jnp.stack(bp_s),
+        ap_s=jnp.stack(ap_s),
+        # flat [4*9, P*16, P*16]: the kernel indexes taps as k*9 + ...
+        wc_s=jnp.concatenate(wc_s, axis=0),
+        bc_s=jnp.stack(bc_s), ac_s=jnp.stack(ac_s),
+        we_s=jnp.stack(we_s), be_s=jnp.stack(be_s),
+        ar_s=jnp.stack(ar_s))
+
+
+def _front_w_kernel(prev_ref, cur_ref, next_ref,
+                    kini_ref, bin_ref, ain_ref,
+                    wmix_ref, bp10_ref, ap10_ref, wc10_ref, bc10_ref,
+                    ac10_ref, we10_ref, be10_ref, ar10_ref,
+                    sel_ref, selt_ref, pad64_ref,
+                    wp_s_ref, bp_s_ref, ap_s_ref, wc_s_ref, bc_s_ref,
+                    ac_s_ref, we_s_ref, be_s_ref, ar_s_ref,
+                    out_x1_ref, out_mask_ref, scr_h, scr_a, scr_b,
+                    *, tile_q: int, hq: int, rc: int):
+    """W-packed front-end kernel; see the section comment. All planes
+    are lane-full; compute walks ``rc``-row chunks; each stage
+    round-trips VMEM scratch (extents shrink as in the v1 kernel)."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    f32 = jnp.float32
+    seg = tile_q
+    i0 = j * seg
+    dt = scr_h.dtype
+    wq8 = cur_ref.shape[2]
+
+    def prelu(v, a):
+        zero = jnp.zeros((), v.dtype)
+        return (jnp.maximum(v, zero)
+                + a.astype(v.dtype) * jnp.minimum(v, zero))
+
+    def mm(a2d, w):
+        return jnp.dot(a2d, w.astype(a2d.dtype),
+                       preferred_element_type=f32)
+
+    flat = lambda a: a.reshape(a.shape[0] * wq8, a.shape[2])
+    unflat = lambda a, r: a.reshape(r, wq8, a.shape[-1])
+
+    def vrows(x3d, first):
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (x3d.shape[0], 1, 1), 0) + (i0 + first)
+        return jnp.where((rows >= 0) & (rows < hq), x3d,
+                         jnp.zeros((), x3d.dtype))
+
+    def shift_l(a):   # packed column J-1 (zeros in: SAME left edge)
+        return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]],
+                               axis=1)
+
+    def shift_r(a):   # packed column J+1 (zeros in: SAME right edge)
+        return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])],
+                               axis=1)
+
+    def read_img(lo, hi):
+        """Packed-image rows rel [lo, hi) from the 3-tile halo window
+        (static bounds; -seg <= lo < hi <= 2*seg)."""
+        parts = []
+        for ref, base in ((prev_ref, -seg), (cur_ref, 0),
+                          (next_ref, seg)):
+            s, e = max(lo, base), min(hi, base + seg)
+            if s < e:
+                parts.append(ref[0, s - base:e - base])
+        return (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                else parts[0])
+
+    def conv9(pj3, k_ref, base, rows):
+        """3x3 conv on a W-packed [rows+2, wq8, P*C] chunk: column
+        shifts hoisted once, 9 MXU matmuls."""
+        pjl, pjr = shift_l(pj3), shift_r(pj3)
+        acc = None
+        for r in range(3):
+            for ci, src in enumerate((pjl, pj3, pjr)):
+                t = mm(flat(src[r:r + rows]), k_ref[base + r * 3 + ci])
+                acc = t if acc is None else acc + t
+        return acc
+
+    # --- Initial ---  h0 rows rel [-5 .. seg+5), chunked
+    n_h = seg + 10
+    for r0 in range(0, n_h, rc):
+        rows = min(rc, n_h - r0)
+        lo = -5 + r0
+        win = vrows(read_img(lo, lo + rows + 1), lo).astype(dt)
+        x0, xd = win[:-1], win[1:]
+        h0 = (mm(flat(x0), kini_ref[0])
+              + mm(flat(shift_r(x0)), kini_ref[1])
+              + mm(flat(xd), kini_ref[2])
+              + mm(flat(shift_r(xd)), kini_ref[3]))
+        h0 = prelu(h0 + bin_ref[...].astype(f32), ain_ref[...])
+        scr_h[r0:r0 + rows] = vrows(unflat(h0.astype(dt), rows), lo)
+
+    # --- Bottleneck1_0 ---  output rows rel [-4 .. seg+4), extent seg+8
+    n_a = seg + 8
+    for r0 in range(0, n_a, rc):
+        rows = min(rc, n_a - r0)
+        first = -4 + r0
+        seg_in = scr_h[r0:r0 + rows + 2]
+        pj = prelu(mm(flat(seg_in), wmix_ref[...])
+                   + bp10_ref[...].astype(f32), ap10_ref[...])
+        pj = vrows(unflat(pj.astype(dt), rows + 2), first - 1)
+        c10 = prelu(conv9(pj, wc10_ref, 0, rows)
+                    + bc10_ref[...].astype(f32), ac10_ref[...])
+        e10 = mm(c10.astype(dt), we10_ref[...]) \
+            + be10_ref[...].astype(f32)
+
+        # phase-max pool + first-max one-hot switches (tf.argmax
+        # tie-break), on the aligned h0 rows
+        hh = flat(scr_h[r0 + 1:r0 + 1 + rows])
+        pooled = mm(hh, sel_ref[0])
+        for ph in range(1, 4):
+            pooled = jnp.maximum(mm(hh, sel_ref[ph]), pooled)
+        claimed = None
+        msk = None
+        for ph in range(4):
+            xpp = mm(hh, sel_ref[ph])
+            eq = jnp.where(xpp >= pooled, 1.0, 0.0)
+            own = eq if claimed is None else eq * (1.0 - claimed)
+            claimed = eq if claimed is None else claimed + own
+            t = mm(own.astype(dt), selt_ref[ph])
+            msk = t if msk is None else msk + t
+        res64 = mm(pooled.astype(dt), pad64_ref[...])
+        x1 = prelu(e10 + res64, ar10_ref[...])
+        scr_a[r0:r0 + rows] = vrows(unflat(x1.astype(dt), rows), first)
+        # mask rows overlapping the tile's [0, seg) output window
+        ov_lo, ov_hi = max(first, 0), min(first + rows, seg)
+        if ov_lo < ov_hi:
+            out_mask_ref[0, ov_lo:ov_hi] = unflat(
+                msk.astype(dt), rows)[ov_lo - first:ov_hi - first] \
+                .astype(out_mask_ref.dtype)
+
+    # --- stage-1 bottlenecks ---  extent shrinks by 1 row per block
+    src, other = scr_a, scr_b
+    for k in range(4):
+        n_in = n_a - 2 * k
+        first_in = -4 + k
+        n_out = n_in - 2
+        for r0 in range(0, n_out, rc):
+            rows = min(rc, n_out - r0)
+            first = first_in + 1 + r0
+            cur = src[r0:r0 + rows + 2]
+            pj = prelu(mm(flat(cur), wp_s_ref[k])
+                       + bp_s_ref[k].astype(f32), ap_s_ref[k])
+            pj = vrows(unflat(pj.astype(dt), rows + 2), first - 1)
+            ck = prelu(conv9(pj, wc_s_ref, k * 9, rows)
+                       + bc_s_ref[k].astype(f32), ac_s_ref[k])
+            ek = mm(ck.astype(dt), we_s_ref[k]) \
+                + be_s_ref[k].astype(f32)
+            nxt = prelu(flat(cur[1:-1]).astype(f32) + ek, ar_s_ref[k])
+            nxt = vrows(unflat(nxt.astype(dt), rows), first)
+            if k == 3:
+                out_x1_ref[0, r0:r0 + rows] = \
+                    nxt.astype(out_x1_ref.dtype)
+            else:
+                other[r0:r0 + rows] = nxt
+        if k < 3:
+            src, other = other, src
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_q", "rc", "wpack", "interpret",
+                                    "out_dtype"))
+def fused_front_stage1_w(image: jnp.ndarray, packed: dict,
+                         tile_q: int = 64, rc: int = 16,
+                         wpack: int = 8, interpret: bool = False,
+                         out_dtype=jnp.bfloat16):
+    """Image -> (stage-1 features, pool-switch one-hot mask), fused —
+    the W-packed v2 of :func:`fused_front_stage1` (same contract).
+
+    :param image: ``[N, H, W, 3]`` (H, W divisible by 8)
+    :param packed: :func:`pack_enet_front_w` output (same ``wpack``)
+    :param tile_q: quarter-res rows per grid segment
+    :param rc:     rows per in-kernel chunk (vreg-pressure knob)
+    :param wpack:  quarter columns packed into lanes (must divide W/4)
+    :returns: ``(x1 [N,Hq,Wq,64] out_dtype, mask [N,Hq,Wq,64]
+              out_dtype)`` — identical layouts to the v1 kernel
+    """
+    n, h, w, _ = image.shape
+    hq, wq = h // 4, w // 4
+    if wq % wpack:
+        raise ValueError(f"W/4={wq} not divisible by wpack={wpack}")
+    if tile_q < 6 or hq % tile_q != 0:
+        tile_q = hq
+    grid_h = hq // tile_q
+    wq8 = wq // wpack
+
+    x = image.astype(out_dtype)
+    r = x.reshape(n, hq, 4, wq, 4, 3).transpose(0, 1, 3, 2, 4, 5)
+    img48 = r.reshape(n, hq, wq, 48)
+    pl12 = r.reshape(n, hq, wq, 2, 2, 2, 2, 3).max(axis=(4, 6))
+    packed60 = jnp.concatenate([img48, pl12.reshape(n, hq, wq, 12)],
+                               axis=-1)
+    # free reshape: (col_phase, channel) lane layout
+    packedw = packed60.reshape(n, hq, wq8, wpack * 60)
+
+    def tile_at(offs):
+        return pl.BlockSpec(
+            (1, tile_q, wq8, wpack * 60),
+            lambda i, j, offs=offs: (
+                i, jnp.clip(j + offs, 0, grid_h - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    consts = [packed[k] for k in
+              ("kini", "bin", "ain", "wmix", "bp10", "ap10", "wc10",
+               "bc10", "ac10", "we10", "be10", "ar10", "sel", "selt",
+               "pad64", "wp_s", "bp_s", "ap_s", "wc_s", "bc_s", "ac_s",
+               "we_s", "be_s", "ar_s")]
+
+    out_spec = pl.BlockSpec((1, tile_q, wq8, wpack * 64),
+                            lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    x1, mask = pl.pallas_call(
+        functools.partial(_front_w_kernel, tile_q=tile_q, hq=hq, rc=rc),
+        grid=(n, grid_h),
+        in_specs=[tile_at(-1), tile_at(0), tile_at(1)]
+        + [const_spec(a) for a in consts],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, hq, wq8, wpack * 64), out_dtype),
+            jax.ShapeDtypeStruct((n, hq, wq8, wpack * 64), out_dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q + 10, wq8, wpack * 64), out_dtype),
+            pltpu.VMEM((tile_q + 8, wq8, wpack * 64), out_dtype),
+            pltpu.VMEM((tile_q + 8, wq8, wpack * 64), out_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(packedw, packedw, packedw, *consts)
+    # free reshapes back to the v1 contract layouts
+    return (x1.reshape(n, hq, wq, 64), mask.reshape(n, hq, wq, 64))
+
+
+# ---------------------------------------------------------------------------
 # Fused ENet mid section: Bottleneck2_0 + stages 2 and 3 (16 bottlenecks)
 # ---------------------------------------------------------------------------
 #
@@ -1499,7 +1909,7 @@ def pack_enet_tail(variables, num_classes: int):
         kf=kf_s, seg=seg)
 
 
-def _tail_kernel(yp_ref, yc_ref, yn_ref, m2p_ref, m2c_ref, m2n_ref,
+def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
                  m1p_ref, m1c_ref, m1n_ref,
                  wp4_ref, bp4_ref, ap4_ref, kd4_ref, bd4_ref, ad4_ref,
                  we4_ref, be4_ref, wr4_ref, ar4_ref,
@@ -1576,9 +1986,16 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, m2p_ref, m2c_ref, m2n_ref,
     d4 = prelu(d4 + bd4_ref[...].astype(f32), ad4_ref[...]).astype(dt)
     e4 = mm(d4, we4_ref[...]) + be4_ref[...].astype(f32)
     r4 = mm(flat(ys[1:]), wr4_ref[...]).astype(dt)
-    m2 = cat3(m2p_ref, m2c_ref, m2n_ref, -5, te + 3)
+    # B2_0 switch one-hot built IN-kernel from the compact values
+    # (0..3): the [.,256] mask tensor never exists in HBM (the XLA
+    # one-hot + its 3x halo reads measured ~1 GB of traffic per
+    # batch-16 dispatch). f32 compare: no bf16 vector compare on v5e.
+    swf = flat(cat3(swp_ref, swc_ref, swn_ref, -5, te + 3)).astype(f32)
+    m2 = jnp.concatenate(
+        [jnp.where(swf == jnp.float32(p), 1.0, 0.0) for p in range(4)],
+        axis=-1)
     h40 = prelu(e4 + jnp.concatenate([r4] * 4, axis=-1).astype(f32)
-                * flat(m2).astype(f32), ar4_ref[...])
+                * m2, ar4_ref[...])
     n40 = te + 8
     scr_a[0:n40] = vrows(unflat(h40.astype(dt), n40), -5)
 
@@ -1665,8 +2082,8 @@ def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
         te = h8
     grid_h = h8 // te
 
-    m2 = jax.nn.one_hot(switches2, 4, axis=3, dtype=y.dtype)
-    m2 = m2.reshape(n, h8, w8, 256)
+    # compact switch VALUES go to the kernel; one-hot happens in VMEM
+    sw = switches2.astype(y.dtype)
     # quarter-grid phase-packed mask -> s2d(4)-over-eighth layout
     m1 = (mask1.reshape(n, h8, 2, w8, 2, 2, 2, 16)
           .transpose(0, 1, 3, 2, 5, 4, 6, 7)
@@ -1707,7 +2124,7 @@ def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
                           h8=h8),
         grid=(n, grid_h),
         in_specs=[tile_at(128, -1), tile_at(128, 0), tile_at(128, 1),
-                  tile_at(256, -1), tile_at(256, 0), tile_at(256, 1),
+                  tile_at(64, -1), tile_at(64, 0), tile_at(64, 1),
                   tile_at(256, -1), tile_at(256, 0), tile_at(256, 1)]
         + [const_spec(a) for a in consts],
         out_specs=pl.BlockSpec((n, grid_h), lambda i, j: (0, 0),
@@ -1718,6 +2135,6 @@ def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(y, y, y, m2, m2, m2, m1, m1, m1, *consts)
+    )(y, y, y, sw, sw, sw, m1, m1, m1, *consts)
 
     return jnp.sum(partial_sums, axis=1) / jnp.float32(64 * h8 * w8)

@@ -103,14 +103,16 @@ class TestFusedDecoderEntropyScore:
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
     def test_fused_score_entrypoint(self, model_and_inputs):
+        # The model-level entry point used by bench.py /
+        # active_learning, with the REAL production wiring
+        # (fuse_front + fuse_decoder composition, mask threading) run
+        # through the Pallas interpreter — a wiring mistake here would
+        # otherwise only surface on hardware.
         model, variables, x = model_and_inputs
-        # the model-level entry point used by bench.py / active_learning
-        with jax.disable_jit():
-            pass  # keep compile cost down; interpret only in direct test
-        f4, sw1 = model.apply(variables, x, training=False,
-                              return_stage4=True)
-        assert f4.shape == (2, 8, 12, 64)
-        assert sw1.shape == (2, 8, 12 * 16)
+        got = np.asarray(model.fused_score(
+            variables, x, "entropy", use_pallas=True, interpret=True))
+        want = self._want(model, variables, x)
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
     def test_single_tile_fallback(self, model_and_inputs):
         model, variables, x = model_and_inputs
@@ -152,8 +154,7 @@ class TestFusedFrontStage1:
     @pytest.mark.parametrize("tile_q", [8, 16])
     def test_matches_stage1_forward(self, setup, tile_q):
         model, variables, x = setup
-        want_x1, want_sw = model.apply(x if False else variables, x,
-                                       training=False,
+        want_x1, want_sw = model.apply(variables, x, training=False,
                                        return_stage1=True)
         packed = pallas_kernels.pack_enet_front(variables)
         x1, mask = pallas_kernels.fused_front_stage1(
@@ -191,6 +192,75 @@ class TestFusedFrontStage1:
         np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
 
+class TestFusedFrontStage1W:
+    """The W-packed (v2) front kernel must reproduce the flax stage-1
+    features and switch mask exactly, in the same output layouts as v1,
+    across tile/chunk/packing configurations."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from semanticsegmentationactivelearning_tpu.models import ENet
+        rng = np.random.default_rng(17)
+        model = ENet(num_classes=5)
+        # W=64 -> wq=16: wpack=8 leaves two packed columns, so the
+        # packed-column shift boundaries are exercised
+        x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3))
+                        .astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(8),
+             "dropout": jax.random.PRNGKey(9)}, x, training=False)
+        stats = variables["batch_stats"]
+        noised = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(
+                np.abs(rng.normal(size=a.shape, scale=0.3))
+                .astype(np.float32)), stats)
+        variables = {**variables, "batch_stats": noised}
+        return model, variables, x
+
+    @pytest.mark.parametrize("tile_q,rc,wpack", [
+        (8, 4, 8),    # multi-tile grid + multi-chunk stages
+        (16, 16, 8),  # single tile, single chunk
+        (8, 16, 4),   # narrower packing
+    ])
+    def test_matches_stage1_forward(self, setup, tile_q, rc, wpack):
+        model, variables, x = setup
+        want_x1, want_sw = model.apply(variables, x, training=False,
+                                       return_stage1=True)
+        packed = pallas_kernels.pack_enet_front_w(variables,
+                                                  wpack=wpack)
+        x1, mask = pallas_kernels.fused_front_stage1_w(
+            x, packed, tile_q=tile_q, rc=rc, wpack=wpack,
+            interpret=True, out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(want_x1),
+                                   rtol=2e-5, atol=2e-5)
+        n, hq, wqc = want_sw.shape
+        wq = x.shape[2] // 4
+        sw = np.asarray(want_sw).reshape(n, hq, wq, 16)
+        want_mask = (sw[..., None, :]
+                     == np.arange(4)[:, None]).astype(np.float32)
+        want_mask = want_mask.reshape(n, hq, wq, 64)
+        np.testing.assert_array_equal(np.asarray(mask), want_mask)
+
+    def test_composes_with_decoder(self, setup):
+        model, variables, x = setup
+        packed_f = pallas_kernels.pack_enet_front_w(variables)
+        packed_d = pallas_kernels.pack_enet_decoder(variables,
+                                                    model.num_classes)
+        x1, mask = pallas_kernels.fused_front_stage1_w(
+            x, packed_f, tile_q=8, rc=8, interpret=True,
+            out_dtype=jnp.float32)
+        f4 = model.apply(variables, x1, training=False,
+                         method="forward_from_stage1")
+        got = np.asarray(pallas_kernels.fused_decoder_entropy_score(
+            f4, None, packed_d, model.num_classes, tile_q=4,
+            interpret=True, mask=mask))
+        logits = model.apply(variables, x, training=False)
+        from semanticsegmentationactivelearning_tpu.ops import acquisition
+        want = np.asarray(acquisition.mean_confidence(
+            logits, "entropy", model.num_classes))
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
 class TestFusedMidStage23:
     """The fused mid-section kernel (Bottleneck2_0 + stages 2 and 3)
     must match the flax forward's stage-3 features and stage-2 pool
@@ -215,7 +285,11 @@ class TestFusedMidStage23:
         variables = {**variables, "batch_stats": noised}
         return model, variables, x
 
-    def test_matches_stage23_forward(self, setup):
+    # rc=2 forces multiple interior row chunks (h8=8 at this size), so
+    # the chunk-boundary proj_halo recompute path is covered; rc=32
+    # collapses to a single chunk (the production default at small h8)
+    @pytest.mark.parametrize("rc", [2, 32])
+    def test_matches_stage23_forward(self, setup, rc):
         model, variables, x = setup
         x1, _ = model.apply(variables, x, training=False,
                             return_stage1=True)
@@ -231,7 +305,8 @@ class TestFusedMidStage23:
         want_y, want_sw2 = model.apply(variables, x1, method=m_mid)
         packed, meta = pallas_kernels.pack_enet_mid(variables)
         y, sw2 = pallas_kernels.fused_mid_stage23(
-            x1, packed, meta, interpret=True, out_dtype=jnp.float32)
+            x1, packed, meta, rc=rc, interpret=True,
+            out_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
                                    rtol=3e-5, atol=3e-5)
         n, h8, w8, _ = y.shape
@@ -274,7 +349,10 @@ class TestFusedTailEntropyScore:
         from semanticsegmentationactivelearning_tpu.models import ENet
         rng = np.random.default_rng(13)
         model = ENet(num_classes=5)
-        x = jnp.asarray(rng.uniform(size=(2, 64, 48, 3))
+        # 128 rows -> h8 = 16, so te=8 gives grid_h=2: the tile-boundary
+        # halo path (cat3 windows spanning neighbouring tiles) that runs
+        # at production shapes is exercised, not just the 1-tile case
+        x = jnp.asarray(rng.uniform(size=(1, 128, 48, 3))
                         .astype(np.float32))
         variables = model.init(
             {"params": jax.random.PRNGKey(6),
