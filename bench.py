@@ -67,12 +67,20 @@ def main():
     # measured 126.1 vs 123.4 img/s at group 4
     group = int(os.environ.get("BENCH_GROUP", 8))
 
+    # opt-in deeper fusion knobs (ENet): BENCH_FUSE="mid,tail" etc.
+    fuse = set(filter(None, os.environ.get("BENCH_FUSE", "")
+                      .split(",")))
+    fuse_kwargs = {}
+    if fuse and model_name == "ENet":
+        fuse_kwargs = {"fuse_mid": "mid" in fuse,
+                       "fuse_tail": "tail" in fuse}
+
     def score_one(variables, image):
         # model-specific fused tail (Pallas): full-res logits never
         # exist in HBM (ENet: polyphase deconv+entropy; ICNet:
         # polyphase 4x upsample+entropy of the 1/4-res head)
         return model.fused_score(variables, image, "entropy",
-                                 use_pallas=True)
+                                 use_pallas=True, **fuse_kwargs)
 
     @jax.jit
     def score(variables, images):

@@ -232,11 +232,21 @@ class ENet(nn.Module):
                         interpret=interpret)
                 if fuse_mid or fuse_tail:
                     if fuse_mid:
-                        packed_m, meta = pallas_kernels.pack_enet_mid(
-                            variables)
-                        y, sw2 = pallas_kernels.fused_mid_stage23(
-                            x1, packed_m, meta, out_dtype=self.dtype,
-                            interpret=interpret)
+                        if image.shape[2] % 32 == 0:
+                            packed_m, meta = \
+                                pallas_kernels.pack_enet_mid_w(
+                                    variables)
+                            y, sw2 = pallas_kernels.fused_mid_stage23_w(
+                                x1, packed_m, meta,
+                                out_dtype=self.dtype,
+                                interpret=interpret)
+                        else:
+                            packed_m, meta = \
+                                pallas_kernels.pack_enet_mid(variables)
+                            y, sw2 = pallas_kernels.fused_mid_stage23(
+                                x1, packed_m, meta,
+                                out_dtype=self.dtype,
+                                interpret=interpret)
                     else:
                         y, sw2m = self.apply(variables, x1,
                                              training=False,

@@ -1703,6 +1703,356 @@ def fused_mid_stage23(x1: jnp.ndarray, packed: dict, meta,
 
 
 # ---------------------------------------------------------------------------
+# W-packed ENet mid section (v2): Bottleneck2_0 + stages 2 and 3
+# ---------------------------------------------------------------------------
+#
+# The v1 mid kernels above measure ~even with XLA because their matmuls
+# are MXU-shape-starved (K=32 projections/convs). This version applies
+# the same W-packing as the v2 front end — 4 eighth-res columns into
+# lanes, channel layout (col_phase, channel) — so the 32-channel
+# proj/conv planes become 128-lane planes and every matmul runs at
+# K,N >= 128. Dilated column taps lift to packed-column shifts of
+# d/4 (or phase-mixing for d < 4) via the same ``_wpack_taps`` math;
+# dilated row taps stay row slices with a d-row halo.
+#
+# Layouts (all free XLA reshapes at the boundary):
+#   input  x1 s2d(2)+wpack4: [N, H8, W8/4, 1024]
+#   trunk  y:                [N, H8, W8/4, 512]  -> [N, H8, W8, 128]
+#   switches (values 0..3):  [N, H8, W8/4, 256]  -> [N, H8, W8, 64]
+
+
+def pack_enet_mid_w(variables):
+    """Fold BN and pack W-packed matmul kernels for
+    :func:`fused_mid_stage23_w`. Returns (packed dict, meta tuple of
+    per-block (kind, dilation, tap_offset))."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    f32 = lambda a: a.astype(jnp.float32)
+    P = 4
+    row = lambda v: v[None, :]
+    tile = lambda v: row(_wpack_tile(v, P))
+    blk4 = lambda w: _wpack_blkdiag(w, P)
+
+    def conv_taps(wc, dil):
+        """Lifted dilated-3x3 taps, order (dy, dj) with dj ascending;
+        always 3 dj slots per dy."""
+        djs = sorted({divmod(b + dx, P)[0]
+                      for dx in (-dil, 0, dil) for b in range(P)})
+        out = []
+        for dy in range(3):
+            lifted = _wpack_taps({-dil: wc[dy, 0], 0: wc[dy, 1],
+                                  dil: wc[dy, 2]}, P)
+            zero = jnp.zeros((P * wc.shape[2], P * wc.shape[3]),
+                             jnp.float32)
+            out.extend(lifted.get(dj, zero) for dj in djs)
+        return out, tuple(djs)
+
+    b20, s20 = p["Bottleneck2_0"], bs["Bottleneck2_0"]
+    wp2, bp32 = _fold_bn(f32(b20["proj_conv"]["kernel"]),
+                         b20["proj_bn"], s20["proj_bn"])   # [2,2,64,32]
+    wp20 = jnp.concatenate(
+        [wp2[a, b] for a in (0, 1) for b in (0, 1)], axis=0)  # [256,32]
+    wc3, bc32 = _fold_bn(f32(b20["conv"]["kernel"]),
+                         b20["conv_bn"], s20["conv_bn"])   # [3,3,32,32]
+    we20, be128 = _fold_bn(f32(b20["exp_conv"]["kernel"][0, 0]),
+                           b20["exp_bn"], s20["exp_bn"])   # [32,128]
+
+    taps, _ = conv_taps(wc3, 1)
+    meta = [("b20", 1, 0, (-1, 0, 1))]
+
+    # pool-phase extraction on the s2d(2)+wpack4 layout
+    sel_e = np.zeros((4, 256, 64), np.float32)
+    for ph in range(4):
+        for c in range(64):
+            sel_e[ph, ph * 64 + c, c] = 1.0
+    sel8 = jnp.stack([blk4(jnp.asarray(sel_e[ph])) for ph in range(4)])
+    pad_e = np.zeros((64, 128), np.float32)
+    for c in range(64):
+        pad_e[c, c] = 1.0
+    pad128 = blk4(jnp.asarray(pad_e))
+
+    spec = [(1, False), (2, False), (1, True), (4, False),
+            (1, False), (8, False), (1, True), (16, False)]
+    wp_s, bp_s, ap_s = [], [], []
+    bc_s, ac_s = [], []
+    we_s, be_s, ar_s = [], [], []
+    for stage in (2, 3):
+        for idx, (dil, asym) in enumerate(spec, start=1):
+            blk = p[f"Bottleneck{stage}_{idx}"]
+            sblk = bs[f"Bottleneck{stage}_{idx}"]
+            wp, bp = _fold_bn(f32(blk["proj_conv"]["kernel"][0, 0]),
+                              blk["proj_bn"], sblk["proj_bn"])
+            off = len(taps)
+            if asym:
+                # (5,1) col conv (pure row taps) then (1,5) row conv
+                # (pure column taps, BN folded into the second)
+                wcol = f32(blk["conv_col"]["kernel"])      # [5,1,32,32]
+                wrow, bc = _fold_bn(f32(blk["conv_row"]["kernel"]),
+                                    blk["conv_bn"], sblk["conv_bn"])
+                taps.extend(blk4(wcol[r, 0]) for r in range(5))
+                lifted = _wpack_taps(
+                    {dx: wrow[0, 2 + dx] for dx in range(-2, 3)}, P)
+                zero = jnp.zeros_like(lifted[0])
+                taps.extend(lifted.get(dj, zero) for dj in (-1, 0, 1))
+                meta.append(("asym", 1, off, (-1, 0, 1)))
+            else:
+                wc, bc = _fold_bn(f32(blk["conv"]["kernel"]),
+                                  blk["conv_bn"], sblk["conv_bn"])
+                ts, djs = conv_taps(wc, dil)
+                taps.extend(ts)
+                meta.append(("conv", dil, off, djs))
+            we, be = _fold_bn(f32(blk["exp_conv"]["kernel"][0, 0]),
+                              blk["exp_bn"], sblk["exp_bn"])
+            wp_s.append(blk4(wp))
+            bp_s.append(tile(bp))
+            ap_s.append(tile(f32(blk["proj_prelu"]["alpha"])))
+            bc_s.append(tile(bc))
+            ac_s.append(tile(f32(blk["conv_prelu"]["alpha"])))
+            we_s.append(blk4(we))
+            be_s.append(tile(be))
+            ar_s.append(tile(f32(blk["res_prelu"]["alpha"])))
+
+    packed = dict(
+        wp20=blk4(wp20), bp20=tile(bp32),
+        ap20=tile(f32(b20["proj_prelu"]["alpha"])),
+        bc20=tile(bc32), ac20=tile(f32(b20["conv_prelu"]["alpha"])),
+        we20=blk4(we20), be20=tile(be128),
+        ar20=tile(f32(b20["res_prelu"]["alpha"])),
+        taps=jnp.stack(taps),                      # [T, 128, 128]
+        sel8=sel8, pad128=pad128,
+        wp_s=jnp.stack(wp_s), bp_s=jnp.stack(bp_s),
+        ap_s=jnp.stack(ap_s), bc_s=jnp.stack(bc_s),
+        ac_s=jnp.stack(ac_s), we_s=jnp.stack(we_s),
+        be_s=jnp.stack(be_s), ar_s=jnp.stack(ar_s))
+    return packed, tuple(meta)
+
+
+def _make_mid_ops_w(h8, w4, taps_ref):
+    """Row-chunked building blocks on the W-packed layout: column
+    shifts move whole packed columns (hoisted per dj), row taps stay
+    slices, every matmul is [., 128+] @ [128, 128]."""
+    f32 = jnp.float32
+
+    def flat(a):
+        return a.reshape(a.shape[0] * w4, a.shape[-1])
+
+    def unflat(a, r):
+        return a.reshape(r, w4, a.shape[-1])
+
+    def mm(a2d, w):
+        return jnp.dot(a2d, w.astype(a2d.dtype),
+                       preferred_element_type=f32)
+
+    def prelu(v, a):
+        zero = jnp.zeros((), v.dtype)
+        return (jnp.maximum(v, zero)
+                + a.astype(v.dtype) * jnp.minimum(v, zero))
+
+    def sh_col(a, d):
+        if d == 0:
+            return a
+        z = jnp.zeros_like(a[:, :abs(d)])
+        return (jnp.concatenate([a[:, d:], z], axis=1) if d > 0
+                else jnp.concatenate([z, a[:, :d]], axis=1))
+
+    def proj_halo(read, r0, r1, d, w_arr, b_arr, a_arr):
+        lo, hi = max(r0 - d, 0), min(r1 + d, h8)
+        seg = read(lo, hi)
+        pj = prelu(mm(flat(seg), w_arr) + b_arr.astype(f32), a_arr)
+        pj = unflat(pj, hi - lo)
+        parts = []
+        if lo - (r0 - d):
+            parts.append(jnp.zeros((lo - (r0 - d), w4, pj.shape[-1]),
+                                   pj.dtype))
+        parts.append(pj)
+        if (r1 + d) - hi:
+            parts.append(jnp.zeros(((r1 + d) - hi, w4, pj.shape[-1]),
+                                   pj.dtype))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else pj
+
+    def conv9(pj, off, dil, djs, rows):
+        """Dilated 3x3: 3 row taps x len(djs) lifted column kernels;
+        column shifts hoisted across the row taps."""
+        shifted = {dj: sh_col(pj, dj) for dj in djs}
+        acc = None
+        t = 0
+        for dy in (-dil, 0, dil):
+            for dj in djs:
+                rv = shifted[dj][dil + dy:dil + dy + rows]
+                tm = mm(flat(rv), taps_ref[off + t])
+                acc = tm if acc is None else acc + tm
+                t += 1
+        return acc
+
+    def conv_asym(pj, off, rows):
+        acc = None
+        for i, dy in enumerate((-2, -1, 0, 1, 2)):
+            t = mm(flat(pj[2 + dy:2 + dy + rows]), taps_ref[off + i])
+            acc = t if acc is None else acc + t
+        t3 = unflat(acc.astype(pj.dtype), rows)
+        acc = None
+        for i, dj in enumerate((-1, 0, 1)):
+            t = mm(flat(sh_col(t3, dj)), taps_ref[off + 5 + i])
+            acc = t if acc is None else acc + t
+        return acc
+
+    return flat, unflat, mm, prelu, sh_col, proj_halo, conv9, conv_asym
+
+
+def _mid_w_b20_kernel(x_ref, wp20_ref, bp20_ref, ap20_ref, bc20_ref,
+                      ac20_ref, we20_ref, be20_ref, ar20_ref, taps_ref,
+                      sel8_ref, pad128_ref, y_ref, sw_ref, *, rc: int):
+    """Bottleneck2_0 on the W-packed layout, one image per cell."""
+    f32 = jnp.float32
+    _, h8, w4, _ = x_ref.shape
+    dt = y_ref.dtype
+    (flat, unflat, mm, prelu, _sh, proj_halo, conv9,
+     _ca) = _make_mid_ops_w(h8, w4, taps_ref)
+    read_x = lambda lo, hi: x_ref[0, lo:hi]
+
+    for r0 in range(0, h8, rc):
+        r1 = min(r0 + rc, h8)
+        rows = r1 - r0
+        pj = proj_halo(read_x, r0, r1, 1, wp20_ref[...], bp20_ref[...],
+                       ap20_ref[...])
+        c = prelu(conv9(pj, 0, 1, (-1, 0, 1), rows)
+                  + bc20_ref[...].astype(f32), ac20_ref[...]).astype(dt)
+        e = mm(c, we20_ref[...]) + be20_ref[...].astype(f32)
+
+        xf = flat(x_ref[0, r0:r1])
+        pooled = mm(xf, sel8_ref[0])
+        swf = jnp.zeros_like(pooled)
+        for ph in range(1, 4):
+            xpp = mm(xf, sel8_ref[ph])
+            swf = jnp.where(xpp > pooled, jnp.float32(ph), swf)
+            pooled = jnp.maximum(xpp, pooled)
+        res = mm(pooled.astype(dt), pad128_ref[...])
+        out = prelu(e + res, ar20_ref[...])
+        y_ref[0, r0:r1] = unflat(out.astype(dt), rows)
+        sw_ref[0, r0:r1] = unflat(swf, rows).astype(sw_ref.dtype)
+
+
+def _mid_w_blocks_kernel(x_ref, taps_ref, wp_s_ref, bp_s_ref, ap_s_ref,
+                         bc_s_ref, ac_s_ref, we_s_ref, be_s_ref,
+                         ar_s_ref, y_ref, scr_a, scr_b,
+                         *, metas, rc: int):
+    """A chunk of stage-2/3 bottlenecks on the W-packed layout."""
+    f32 = jnp.float32
+    _, h8, w4, _ = x_ref.shape
+    dt = scr_a.dtype
+    (flat, unflat, mm, prelu, _sh, proj_halo, conv9,
+     conv_asym) = _make_mid_ops_w(h8, w4, taps_ref)
+
+    n_blocks = len(metas)
+    src = None
+    for k, (kind, dil, off, djs) in enumerate(metas):
+        if src is None:
+            read_s = lambda lo, hi: x_ref[0, lo:hi]
+            res_of = lambda r0, r1: x_ref[0, r0:r1]
+        else:
+            read_s = lambda lo, hi, src=src: src[lo:hi]
+            res_of = lambda r0, r1, src=src: src[r0:r1]
+        dst = y_ref if k == n_blocks - 1 else \
+            (scr_a if src is not scr_a else scr_b)
+        d = 2 if kind == "asym" else dil
+        for r0 in range(0, h8, rc):
+            r1 = min(r0 + rc, h8)
+            rows = r1 - r0
+            pj = proj_halo(read_s, r0, r1, d, wp_s_ref[k], bp_s_ref[k],
+                           ap_s_ref[k])
+            cv = conv_asym(pj, off, rows) if kind == "asym" \
+                else conv9(pj, off, dil, djs, rows)
+            c = prelu(cv + bc_s_ref[k].astype(f32),
+                      ac_s_ref[k]).astype(dt)
+            e = (mm(c, we_s_ref[k]) + be_s_ref[k].astype(f32)).astype(dt)
+            out = prelu(flat(res_of(r0, r1)).astype(dt) + e,
+                        ar_s_ref[k])
+            if dst is y_ref:
+                y_ref[0, r0:r1] = unflat(out.astype(y_ref.dtype), rows)
+            else:
+                dst[r0:r1] = unflat(out.astype(dt), rows)
+        src = dst if dst is not y_ref else src
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("meta", "chunk", "rc", "interpret",
+                                    "out_dtype"))
+def fused_mid_stage23_w(x1: jnp.ndarray, packed: dict, meta,
+                        chunk: int = 4, rc: int = 32,
+                        interpret: bool = False,
+                        out_dtype=jnp.bfloat16):
+    """Stage-1 features -> (stage-3 features, stage-2 pool switches):
+    the W-packed v2 of :func:`fused_mid_stage23` (same contract).
+
+    :param x1: ``[N, Hq, Wq, 64]`` stage-1 output; Wq must divide 8
+    :param packed, meta: :func:`pack_enet_mid_w` output
+    :returns: ``(y [N,H8,W8,128] out_dtype, switches2 int8
+              [N,H8,W8,64])``
+    """
+    n, hq, wq, _ = x1.shape
+    h8, w8 = hq // 2, wq // 2
+    if w8 % 4:
+        raise ValueError(f"W/8={w8} not divisible by wpack=4")
+    w4 = w8 // 4
+    rc = min(rc, h8)
+    x = x1.astype(out_dtype)
+    x_s2d = (x.reshape(n, h8, 2, w8, 2, 64)
+             .transpose(0, 1, 3, 2, 4, 5).reshape(n, h8, w8, 256)
+             .reshape(n, h8, w4, 1024))
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    def block_spec(ch):
+        return pl.BlockSpec((1, h8, w4, ch), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    b20_consts = [packed[k] for k in
+                  ("wp20", "bp20", "ap20", "bc20", "ac20", "we20",
+                   "be20", "ar20")] + [packed["taps"][:9],
+                                       packed["sel8"], packed["pad128"]]
+    cur, sw = pl.pallas_call(
+        functools.partial(_mid_w_b20_kernel, rc=rc),
+        grid=(n,),
+        in_specs=[block_spec(1024)] + [const_spec(a) for a in b20_consts],
+        out_specs=[block_spec(512), block_spec(256)],
+        out_shape=[jax.ShapeDtypeStruct((n, h8, w4, 512), out_dtype),
+                   jax.ShapeDtypeStruct((n, h8, w4, 256), jnp.int8)],
+        compiler_params=params, interpret=interpret,
+    )(x_s2d, *b20_consts)
+
+    n_taps = lambda m: 8 if m[0] == "asym" else 3 * len(m[3])
+    blocks = list(meta[1:])
+    for k0 in range(0, len(blocks), chunk):
+        ms = blocks[k0:k0 + chunk]
+        base = ms[0][2]
+        endt = ms[-1][2] + n_taps(ms[-1])
+        rel = tuple((kind, dil, off - base, djs)
+                    for kind, dil, off, djs in ms)
+        k1 = k0 + len(ms)
+        consts = ([packed["taps"][base:endt]]
+                  + [packed[k][k0:k1] for k in
+                     ("wp_s", "bp_s", "ap_s", "bc_s", "ac_s", "we_s",
+                      "be_s", "ar_s")])
+        cur = pl.pallas_call(
+            functools.partial(_mid_w_blocks_kernel, metas=rel, rc=rc),
+            grid=(n,),
+            in_specs=[block_spec(512)] + [const_spec(a) for a in consts],
+            out_specs=block_spec(512),
+            out_shape=jax.ShapeDtypeStruct((n, h8, w4, 512), out_dtype),
+            scratch_shapes=[pltpu.VMEM((h8, w4, 512), out_dtype),
+                            pltpu.VMEM((h8, w4, 512), out_dtype)],
+            compiler_params=params, interpret=interpret,
+        )(cur, *consts)
+    return (cur.reshape(n, h8, w8, 128),
+            sw.reshape(n, h8, w8, 64))
+
+
+# ---------------------------------------------------------------------------
 # Fused ENet tail: stage 4 + stage 5 + Final + entropy (eighth-res grid)
 # ---------------------------------------------------------------------------
 #

@@ -339,6 +339,57 @@ class TestFusedMidStage23:
         np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
 
 
+class TestFusedMidStage23W:
+    """The W-packed v2 mid kernel must match the flax stage-2/3
+    forward (same contract as v1), including the dilated and
+    asymmetric blocks' lifted column taps."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from semanticsegmentationactivelearning_tpu.models import ENet
+        rng = np.random.default_rng(19)
+        model = ENet(num_classes=5)
+        # W=64 -> w8=8 -> two packed columns; H=64 -> h8=8
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3))
+                        .astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(10),
+             "dropout": jax.random.PRNGKey(11)}, x, training=False)
+        stats = variables["batch_stats"]
+        noised = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(
+                np.abs(rng.normal(size=a.shape, scale=0.3))
+                .astype(np.float32)), stats)
+        variables = {**variables, "batch_stats": noised}
+        return model, variables, x
+
+    @pytest.mark.parametrize("rc", [2, 32])
+    def test_matches_stage23_forward(self, setup, rc):
+        model, variables, x = setup
+        x1, _ = model.apply(variables, x, training=False,
+                            return_stage1=True)
+
+        def m_mid(m, x1):
+            h, sw2 = m.Bottleneck2_0(x1, False)
+            for b in m.stage2:
+                h = b(h, False)
+            for b in m.stage3:
+                h = b(h, False)
+            return h, sw2
+
+        want_y, want_sw2 = model.apply(variables, x1, method=m_mid)
+        packed, meta = pallas_kernels.pack_enet_mid_w(variables)
+        y, sw2 = pallas_kernels.fused_mid_stage23_w(
+            x1, packed, meta, rc=rc, interpret=True,
+            out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                                   rtol=3e-5, atol=3e-5)
+        n, h8, w8, _ = y.shape
+        np.testing.assert_array_equal(
+            np.asarray(sw2),
+            np.asarray(want_sw2).reshape(n, h8, w8, 64))
+
+
 class TestFusedTailEntropyScore:
     """Stage4 + stage5 + Final + entropy as one eighth-grid kernel: the
     full front -> XLA stage2/3 -> tail pipeline must reproduce the
