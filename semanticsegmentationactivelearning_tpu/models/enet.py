@@ -212,6 +212,9 @@ class ENet(nn.Module):
         divisible by 32 fall back to the unpacked v1 front/mid
         kernels. Other measures use the chunked XLA tail."""
         from ..ops import acquisition, pallas_kernels
+        # the eighth-grid tail kernel's halo window needs >= 6 eighth
+        # rows; tiny inputs take the stage4+decoder path instead
+        fuse_tail = fuse_tail and image.shape[1] // 8 >= 6
         if use_pallas and measure == "entropy" and fuse_decoder:
             if fuse_front:
                 # image -> stage1 and stage5 -> entropy run as fused

@@ -1293,7 +1293,7 @@ def _front_w_kernel(prev_ref, cur_ref, next_ref,
                    static_argnames=("tile_q", "rc", "wpack", "interpret",
                                     "out_dtype"))
 def fused_front_stage1_w(image: jnp.ndarray, packed: dict,
-                         tile_q: int = 64, rc: int = 16,
+                         tile_q: int = 64, rc: int = 24,
                          wpack: int = 8, interpret: bool = False,
                          out_dtype=jnp.bfloat16):
     """Image -> (stage-1 features, pool-switch one-hot mask), fused —
@@ -1360,7 +1360,7 @@ def fused_front_stage1_w(image: jnp.ndarray, packed: dict,
             pltpu.VMEM((tile_q + 8, wq8, wpack * 64), out_dtype),
             pltpu.VMEM((tile_q + 8, wq8, wpack * 64), out_dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=116 * 1024 * 1024),
         interpret=interpret,
     )(packedw, packedw, packedw, *consts)
     # free reshapes back to the v1 contract layouts
@@ -2413,7 +2413,7 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
                    static_argnames=("num_classes", "te", "interpret"))
 def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
                              mask1: jnp.ndarray, packed: dict,
-                             num_classes: int, te: int = 8,
+                             num_classes: int, te: int = 16,
                              interpret: bool = False) -> jnp.ndarray:
     """Per-image mean entropy-confidence from stage-3 features: stages
     4 and 5, the Final deconv, and the entropy reduction in one Pallas
