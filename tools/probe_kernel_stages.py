@@ -47,31 +47,21 @@ def main():
         size=(args.batch, h, w, 3)).astype(np.float32))
 
     def upto(v, img, stage):
-        packed_f = pk.pack_enet_front(v)
-        x1, mask = pk.fused_front_stage1(img, packed_f,
-                                         out_dtype=jnp.bfloat16)
+        packed_f = pk.pack_enet_front_w(v)
+        x1, mask = pk.fused_front_stage1_w(img, packed_f,
+                                           out_dtype=jnp.bfloat16)
         if stage == "front":
             return jnp.sum(x1.astype(jnp.float32)) + jnp.sum(
                 mask.astype(jnp.float32))
-
-        def fwd(m, x1, stage):
-            h2, _sw2 = m.Bottleneck2_0(x1, False)
-            if stage == "stage2a":
-                return h2
-            for b in m.stage2:
-                h2 = b(h2, False)
-            if stage == "stage2":
-                return h2
-            for b in m.stage3:
-                h2 = b(h2, False)
-            if stage == "stage3":
-                return h2
-            h2 = m.Bottleneck4_0(h2, _sw2, False)
-            for b in m.stage4:
-                h2 = b(h2, False)
-            return h2
-        out = model.apply(v, x1, stage, method=fwd)
-        return jnp.sum(out.astype(jnp.float32))
+        packed_m, meta = pk.pack_enet_mid_w(v)
+        y, sw2 = pk.fused_mid_stage23_w(x1, packed_m, meta,
+                                        out_dtype=jnp.bfloat16)
+        if stage == "mid":
+            return (jnp.sum(y.astype(jnp.float32))
+                    + jnp.sum(sw2.astype(jnp.float32)))
+        packed_t = pk.pack_enet_tail(v, 19)
+        return jnp.sum(pk.fused_tail_entropy_score(
+            y, sw2, mask, packed_t, 19))
 
     def full(v, img):
         return jnp.sum(model.fused_score(v, img, "entropy",
@@ -91,9 +81,9 @@ def main():
         return dt
 
     prev = 0.0
-    for st in ("front", "stage2a", "stage2", "stage3", "stage4"):
+    for st in ("front", "mid", "tail"):
         prev = timed(lambda v, im, st=st: upto(v, im, st), st, prev)
-    timed(full, "full(decoder)", prev)
+    timed(full, "full(fused_score)", prev)
 
 
 if __name__ == "__main__":
