@@ -187,6 +187,15 @@ def main(args, logger):
         train_examples, rng=np.random.default_rng(args.seed + 1))
     train_loader = loader.RecordLoader(train_examples, batch_size,
                                        min_hw=in_hw)
+    # Pool-ranking loader: same records, no label plane — acquisition
+    # scoring never reads labels (reference pool pass sess.run's only
+    # the image/logits tensors, active_learning.py:687-700), so the
+    # ranking pass skips label decode, stack assembly and 1/(C+1) of
+    # its H2D bytes. Reuses the train loader's scanned storage window.
+    rank_loader = loader.RecordLoader(
+        train_examples, batch_size, min_hw=in_hw,
+        storage_hw=train_loader.storage_hw,
+        channels=train_loader.channels, with_label=False)
     val_loader = loader.RecordLoader(val_examples, batch_size,
                                      min_hw=in_hw) \
         if len(val_examples) else None
@@ -421,13 +430,16 @@ def main(args, logger):
     def rank_confidence(tstate):
         """Score the full pool; return lowest-confidence unlabelled
         examples (active_learning.py:682-715). Like the reference, the
-        forward runs on the augment pipeline's *raw* crop."""
+        forward runs on the augment pipeline's *raw* (undistorted)
+        crop — computed label-free via ``pipeline.score_batch`` over
+        ``rank_loader`` (same crop/flip PRNG; scores are identical to
+        the labelled path for the same seeds)."""
         num_examples = len(train_examples)
         confidence = np.zeros(num_examples, dtype=np.float32)
         order = np.arange(num_examples)
-        batches = cli.progress(_prefetched(train_loader.batches(order)),
+        batches = cli.progress(_prefetched(rank_loader.batches(order)),
                                "ranking[%d]" % len(labelled),
-                               total=train_loader.num_batches())
+                               total=rank_loader.num_batches())
         import jax.numpy as jnp
         buf_raw, buf_idx, buf_valid = [], [], []
         # results stay on device until the very end: fetching a score
@@ -452,7 +464,7 @@ def main(args, logger):
 
         for b in batches:
             seed = int(aug_rng.integers(0, 2 ** 31 - 1))
-            raw, _img, _lbl, _msk = pipeline.augment_batch(
+            raw = pipeline.score_batch(
                 b["stack"], b["heights"], b["widths"],
                 jax.random.PRNGKey(seed), crop_hw=in_hw)
             buf_raw.append(raw)

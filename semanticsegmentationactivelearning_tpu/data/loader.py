@@ -30,7 +30,8 @@ logger = logging.getLogger(__name__)
 
 def load_stack(path: str, storage_hw: Tuple[int, int], channels: int = 3,
                fill_label: int = 255,
-               modalities: Sequence[str] = ()):
+               modalities: Sequence[str] = (),
+               with_label: bool = True):
     """Decode one record into a padded uint8 stack.
 
     Extra ``modalities`` (e.g. Freiburg ``nir``) are decoded from the
@@ -39,12 +40,19 @@ def load_stack(path: str, storage_hw: Tuple[int, int], channels: int = 3,
     (tensortools/input.py:265-269); ``channels`` is the TOTAL image +
     modality channel count.
 
-    :returns: (stack ``[Hs,Ws,channels+1]``, valid_h, valid_w, has_label)
+    With ``with_label=False`` the stack is image-only
+    ``[Hs,Ws,channels]`` and any label feature is neither decoded nor
+    stored (the acquisition-scoring path never reads labels).
+
+    :returns: (stack ``[Hs,Ws,channels+with_label]``, valid_h, valid_w,
+              has_label)
     """
     ex = example.read_example(path)
     sh, sw = storage_hw
-    stack = np.zeros((sh, sw, channels + 1), dtype=np.uint8)
-    stack[..., channels] = fill_label
+    stack = np.zeros((sh, sw, channels + (1 if with_label else 0)),
+                     dtype=np.uint8)
+    if with_label:
+        stack[..., channels] = fill_label
 
     img_bytes = ex.image
     if img_bytes is None:
@@ -84,7 +92,7 @@ def load_stack(path: str, storage_hw: Tuple[int, int], channels: int = 3,
             f"Record {path}: decoded {c0} channels, expected {channels}")
 
     has_label = ex.label is not None
-    if has_label:
+    if has_label and with_label:
         lbl = etl.decode_image(ex.label)
         if lbl.ndim == 3:
             lbl = lbl[..., 0]
@@ -113,6 +121,12 @@ class RecordLoader:
     :param storage_hw: static storage (H, W); peeked from the first
                        record when omitted
     :param channels:   image channels stacked before the label plane
+    :param with_label: when False, batches carry image channels only
+                       (``[B,Hs,Ws,channels]``, no label plane) — the
+                       acquisition-scoring path never reads labels
+                       (reference pool pass,
+                       active_learning.py:687-700), so skipping the
+                       plane cuts stack assembly and H2D by 1/(C+1)
     """
 
     def __init__(self, filenames: Sequence[str], batch_size: int,
@@ -120,10 +134,12 @@ class RecordLoader:
                  channels: Optional[int] = None, num_workers: int = 8,
                  prefetch: int = 2, use_native: str = "auto",
                  min_hw: Optional[Tuple[int, int]] = None,
-                 modalities: Sequence[str] = ()):
+                 modalities: Sequence[str] = (),
+                 with_label: bool = True):
         self.filenames = np.asarray(filenames)
         self.batch_size = int(batch_size)
         self.modalities = tuple(modalities)
+        self.with_label = bool(with_label)
         if channels is None:
             channels = (probe_channels(str(self.filenames[0]),
                                        self.modalities)
@@ -180,8 +196,10 @@ class RecordLoader:
         n = len(order)
         bs = self.batch_size
         sh, sw = self.storage_hw
-        stack = np.zeros((bs, sh, sw, self.channels + 1), dtype=np.uint8)
-        stack[..., self.channels] = 255
+        planes = self.channels + (1 if self.with_label else 0)
+        stack = np.zeros((bs, sh, sw, planes), dtype=np.uint8)
+        if self.with_label:
+            stack[..., self.channels] = 255
         heights = np.zeros(bs, dtype=np.int32)
         widths = np.zeros(bs, dtype=np.int32)
         has_label = np.zeros(bs, dtype=bool)
@@ -199,14 +217,19 @@ class RecordLoader:
             nstack, nh, nw, nhl = self._native.load_batch(
                 paths, self.storage_hw, self.channels,
                 num_threads=self.num_workers)
-            stack[:n] = nstack
+            # the native path always decodes channels+1 planes; the
+            # slice below is a ~0.6ms/img host memcpy, negligible next
+            # to decode and H2D
+            stack[:n] = nstack if self.with_label \
+                else nstack[..., :self.channels]
             heights[:n], widths[:n] = nh, nw
             has_label[:n] = nhl
             valid[:n] = True
         else:
             results = list(pool.map(
                 lambda p: load_stack(p, self.storage_hw, self.channels,
-                                     modalities=self.modalities),
+                                     modalities=self.modalities,
+                                     with_label=self.with_label),
                 paths))
             for j, (s, h, w, hl) in enumerate(results):
                 stack[j] = s

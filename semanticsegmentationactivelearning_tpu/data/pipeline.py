@@ -45,20 +45,15 @@ def _crop_one(stack, top, left, crop_h, crop_w):
         stack, (top, left, 0), (crop_h, crop_w, stack.shape[-1]))
 
 
-@functools.partial(jax.jit, static_argnames=("crop_hw", "channels"))
-def augment_batch(stack: jnp.ndarray, heights: jnp.ndarray,
-                  widths: jnp.ndarray, key: jax.Array,
-                  crop_hw: Tuple[int, int], channels: int = 3):
-    """Training-path augmentation.
+def _random_crop_flip(stack, heights, widths, key, crop_hw):
+    """Shared random crop + horizontal flip.
 
-    :param stack:   ``[B, Hs, Ws, channels+1]`` uint8 images+label plane
-    :param heights: ``[B]`` valid heights (<= Hs)
-    :param widths:  ``[B]`` valid widths  (<= Ws)
-    :param key:     PRNG key for this batch
-    :param crop_hw: static ``(crop_h, crop_w)`` network input size
-    :returns: ``(image_raw, image_dist, label, mask)`` with
-              ``image_*`` float32 ``[B,ch,cw,channels]``,
-              ``label`` int32 ``[B,ch,cw]``, ``mask`` float32.
+    One code path for the train and scoring pipelines so both consume
+    the PRNG identically: for the same ``key`` the scoring path's crop
+    window and flip equal the train path's, making label-free scores
+    bit-identical to scores computed through ``augment_batch``.
+
+    :returns: (crops ``[B,ch,cw,planes]`` uint8, leftover scale key)
     """
     batch = stack.shape[0]
     crop_h, crop_w = crop_hw
@@ -77,8 +72,29 @@ def augment_batch(stack: jnp.ndarray, heights: jnp.ndarray,
 
     # Random horizontal flip (tf.image.random_flip_left_right).
     flip = jax.random.bernoulli(k_flip, 0.5, (batch,))
-    crops = jnp.where(flip[:, None, None, None], crops[:, :, ::-1, :], crops)
+    crops = jnp.where(flip[:, None, None, None], crops[:, :, ::-1, :],
+                      crops)
+    return crops, k_scale
 
+
+@functools.partial(jax.jit, static_argnames=("crop_hw", "channels"))
+def augment_batch(stack: jnp.ndarray, heights: jnp.ndarray,
+                  widths: jnp.ndarray, key: jax.Array,
+                  crop_hw: Tuple[int, int], channels: int = 3):
+    """Training-path augmentation.
+
+    :param stack:   ``[B, Hs, Ws, channels+1]`` uint8 images+label plane
+    :param heights: ``[B]`` valid heights (<= Hs)
+    :param widths:  ``[B]`` valid widths  (<= Ws)
+    :param key:     PRNG key for this batch
+    :param crop_hw: static ``(crop_h, crop_w)`` network input size
+    :returns: ``(image_raw, image_dist, label, mask)`` with
+              ``image_*`` float32 ``[B,ch,cw,channels]``,
+              ``label`` int32 ``[B,ch,cw]``, ``mask`` float32.
+    """
+    batch = stack.shape[0]
+    crops, k_scale = _random_crop_flip(stack, heights, widths, key,
+                                       crop_hw)
     image = crops[..., :channels].astype(jnp.float32) / 255.0
     label = crops[..., channels].astype(jnp.int32)
 
@@ -89,6 +105,25 @@ def augment_batch(stack: jnp.ndarray, heights: jnp.ndarray,
 
     label, mask = generate_mask(label)
     return image, image_dist, label, mask
+
+
+@functools.partial(jax.jit, static_argnames=("crop_hw",))
+def score_batch(stack: jnp.ndarray, heights: jnp.ndarray,
+                widths: jnp.ndarray, key: jax.Array,
+                crop_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Acquisition-scoring preprocessing: the train path's *raw*
+    (undistorted) crop, computed from a label-free stack.
+
+    The reference scores the pool on the input pipeline's undistorted
+    image (active_learning.py:687-700 feeding the ``train_input.output``
+    raw tensor); here the pool loader skips the label plane entirely
+    (``RecordLoader(with_label=False)``), so this takes ``[B,Hs,Ws,C]``
+    stacks and returns only ``image_raw``. For the same ``key`` the
+    result equals ``augment_batch(...)[0]`` on the labelled stack —
+    the crop/flip PRNG path is shared (``_random_crop_flip``).
+    """
+    crops, _ = _random_crop_flip(stack, heights, widths, key, crop_hw)
+    return crops.astype(jnp.float32) / 255.0
 
 
 @functools.partial(jax.jit, static_argnames=("crop_hw", "channels"))

@@ -87,6 +87,24 @@ class TestAugmentBatch:
                 assert 0.8 <= ratios.mean() <= 1.4
 
 
+class TestScoreBatch:
+    def test_matches_augment_raw(self):
+        """The label-free scoring crop must be bit-identical to the
+        train path's raw crop for the same key (shared PRNG path)."""
+        stack = _make_stack()
+        h = np.array([16, 12], np.int32)
+        w = np.array([24, 20], np.int32)
+        for seed in range(5):
+            key = jax.random.PRNGKey(seed)
+            raw, _d, _l, _m = pipeline.augment_batch(
+                stack, h, w, key, crop_hw=(8, 12))
+            scored = pipeline.score_batch(
+                stack[..., :3], h, w, key, crop_hw=(8, 12))
+            assert scored.shape == (2, 8, 12, 3)
+            np.testing.assert_array_equal(np.asarray(scored),
+                                          np.asarray(raw))
+
+
 class TestEvalBatch:
     def test_center_crop(self):
         stack = np.zeros((1, 16, 16, 4), dtype=np.uint8)
@@ -164,6 +182,27 @@ class TestRecordLoader:
         assert (last["stack"][0, :, :, 3] == 255).all()
         assert not last["has_label"][0]
 
+    def test_label_free_loader(self, record_dir):
+        """with_label=False drops the label plane but leaves the image
+        channels byte-identical (pool-ranking fast path)."""
+        files = sorted(str(p) for p in record_dir.glob("*.tfrecord"))
+        full = loader.RecordLoader(files, batch_size=2)
+        lean = loader.RecordLoader(files, batch_size=2,
+                                   with_label=False)
+        for bf, bl in zip(full.batches(), lean.batches()):
+            assert bl["stack"].shape == bf["stack"].shape[:3] + (3,)
+            np.testing.assert_array_equal(bl["stack"],
+                                          bf["stack"][..., :3])
+            np.testing.assert_array_equal(bl["valid"], bf["valid"])
+            np.testing.assert_array_equal(bl["index"], bf["index"])
+        # the pure-Python decode path must agree too (native may or
+        # may not be built in this environment)
+        py = loader.RecordLoader(files, batch_size=2, use_native=False,
+                                 with_label=False)
+        for bf, bl in zip(full.batches(), py.batches()):
+            np.testing.assert_array_equal(bl["stack"],
+                                          bf["stack"][..., :3])
+
     def test_order_respected(self, record_dir):
         files = sorted(str(p) for p in record_dir.glob("*.tfrecord"))
         ld = loader.RecordLoader(files, batch_size=2)
@@ -204,8 +243,15 @@ class TestRecordLoader:
     def test_decode_error_propagates(self, tmp_path):
         bad = tmp_path / "bad.tfrecord"
         bad.write_bytes(b"")
+        # a bad FIRST record already fails fast at construction
+        # (channel probe reads its header)
+        with pytest.raises(ValueError):
+            loader.RecordLoader([str(bad)], batch_size=1,
+                                storage_hw=(4, 4))
+        # a bad record mid-stream must propagate out of the producer
+        # thread to the consuming iterator
         ld = loader.RecordLoader([str(bad)], batch_size=1,
-                                 storage_hw=(4, 4))
+                                 storage_hw=(4, 4), channels=3)
         with pytest.raises(ValueError):
             list(ld.batches())
 

@@ -108,7 +108,9 @@ def main():
     pool_score = make_pool_score_step(model, 19, "entropy",
                                       micro_batch=args.batch)
 
-    ld = loader.RecordLoader(filenames, args.batch, storage_hw=(h, w))
+    # label-free pool loader, exactly like the AL CLI's rank_loader
+    ld = loader.RecordLoader(filenames, args.batch, storage_hw=(h, w),
+                             with_label=False)
 
     def run_pool():
         """One full rank_confidence-equivalent pass (the AL CLI hot
@@ -125,7 +127,7 @@ def main():
             buf.clear(); idxs.clear(); vals.clear()
 
         for b in device_prefetch.device_prefetch(ld.batches()):
-            raw, _img, _lbl, _msk = pipeline.augment_batch(
+            raw = pipeline.score_batch(
                 b["stack"], b["heights"], b["widths"],
                 jax.random.PRNGKey(0), crop_hw=(h, w))
             buf.append(raw)
@@ -143,9 +145,9 @@ def main():
     t0 = time.time()
     ld_warm = loader.RecordLoader(
         filenames[:args.batch * args.group], args.batch,
-        storage_hw=(h, w))
+        storage_hw=(h, w), with_label=False)
     for b in device_prefetch.device_prefetch(ld_warm.batches()):
-        raw, *_ = pipeline.augment_batch(
+        raw = pipeline.score_batch(
             b["stack"], b["heights"], b["widths"],
             jax.random.PRNGKey(0), crop_hw=(h, w))
         np.asarray(pool_score(
