@@ -74,6 +74,9 @@ def main():
                     help="v5e slice size to project the single-chip "
                          "measurement onto")
     ap.add_argument("--cache", default="/tmp/ssal_pool_records")
+    ap.add_argument("--phases", action="store_true",
+                    help="also measure decode-only and H2D-only rates "
+                         "(for projecting to other host topologies)")
     args = ap.parse_args()
 
     import jax
@@ -165,12 +168,37 @@ def main():
         f"chip ({per_chip:.1f} img/s incl. decode+H2D+score)")
     log(f"projected v5e-{args.chips} (pool split across chips): "
         f"{projected:.1f}s vs 30s target")
+
+    extra = {}
+    if args.phases:
+        # decode-only (host, all cores the container has)
+        n_dec = min(args.batch * 8, args.pool)
+        ld_d = loader.RecordLoader(filenames[:n_dec], args.batch,
+                                   storage_hw=(h, w), with_label=False)
+        t0 = time.time()
+        n = sum(int(b["valid"].sum()) for b in ld_d.batches())
+        decode_ms = 1000 * (time.time() - t0) / n
+        # H2D-only (whatever link this host has to the chip)
+        x = np.zeros((args.batch, h, w, 3), np.uint8)
+        dev = jax.devices()[0]
+        jax.device_put(x, dev).block_until_ready()  # warm
+        t0 = time.time()
+        for _ in range(4):
+            jax.device_put(x, dev).block_until_ready()
+        h2d_ms = 1000 * (time.time() - t0) / (4 * args.batch)
+        log(f"phases: decode {decode_ms:.1f} ms/img "
+            f"({os.cpu_count()} host cores), H2D {h2d_ms:.1f} ms/img")
+        extra = {"decode_ms_per_img": round(decode_ms, 1),
+                 "h2d_ms_per_img": round(h2d_ms, 1),
+                 "host_cores": os.cpu_count()}
+
     import json
     print(json.dumps({
         "metric": "pool2975_end_to_end_seconds_one_chip",
         "value": round(dt, 2),
         "images_per_sec_one_chip": round(per_chip, 2),
-        f"projected_v5e{args.chips}_seconds": round(projected, 2)}))
+        f"projected_v5e{args.chips}_seconds": round(projected, 2),
+        **extra}))
 
 
 if __name__ == "__main__":
