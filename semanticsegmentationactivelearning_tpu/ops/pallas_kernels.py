@@ -2131,6 +2131,34 @@ def _tile_p(v, p):
     return jnp.concatenate([v] * (p * p))
 
 
+def _m1_merge_mats():
+    """[128, 256] placement pair folding the front kernel's
+    quarter-grid mask into the tail's s2d(4)-over-eighth lane layout
+    IN-KERNEL. The XLA-side equivalent (reshape/transpose of the
+    [N,Hq,Wq,64] one-hot into [N,H8,W8,256]) must materialize ~268 MB
+    in a strided layout right at the custom-call boundary — measured
+    ~14 ms per batch-16 dispatch; two matmuls against these matrices
+    inside VMEM cost ~0.5 GFLOP/tile instead.
+
+    Source lanes (after the free [.,2W8,64]->[.,W8,128] reshape):
+    (wq, a, b, c) = quarter-col parity, pool-row, pool-col, channel.
+    Target lanes: (hq, a, wq, b, c); `top` routes quarter-row parity
+    hq=0, `bot` hq=1."""
+    mats = []
+    for hq in (0, 1):
+        m = np.zeros((128, 256), np.float32)
+        for wq in (0, 1):
+            for a in (0, 1):
+                for b in (0, 1):
+                    for c in range(16):
+                        src = wq * 64 + a * 32 + b * 16 + c
+                        dst = (hq * 128 + a * 64 + wq * 32
+                               + b * 16 + c)
+                        m[src, dst] = 1.0
+        mats.append(jnp.asarray(m))
+    return mats
+
+
 def _unpool_expand_s2d():
     """[64, 256] placement: quarter-s2d2 channel (2a+b)*16+c into each
     of its four half-s2d4 phase blocks ((2a+u)*4 + (2b+v))*16+c — the
@@ -2256,7 +2284,7 @@ def pack_enet_tail(variables, num_classes: int):
         ac51=row(_tile_p(ac51, 4)),
         we51=_blockdiag_p(we51, 4), be51=row(_tile_p(be51, 4)),
         ar51=row(_tile_p(ar51, 4)),
-        kf=kf_s, seg=seg)
+        kf=kf_s, seg=seg, m1merge=jnp.stack(_m1_merge_mats()))
 
 
 def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
@@ -2269,8 +2297,9 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
                  we5_ref, be5_ref, wr5_ref, x5_ref, ar5_ref,
                  wp51_ref, bp51_ref, ap51_ref, cv51_ref, bc51_ref,
                  ac51_ref, we51_ref, be51_ref, ar51_ref,
-                 kf_ref, seg_ref, out_ref, scr_a, scr_b,
-                 *, num_classes: int, te: int, h8: int):
+                 kf_ref, seg_ref, m1m_ref, out_ref, scr_a, scr_b,
+                 *, num_classes: int, te: int, h8: int, fc: int,
+                 upto: str = "full"):
     """See the section comment; eighth-grid row segments, per-stage
     scratch round-trips, input-dtype matmuls."""
     i, j = pl.program_id(0), pl.program_id(1)
@@ -2329,13 +2358,25 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
 
     # --- Bottleneck4_0 ---  y rows rel [-6..TE+2]
     ys = cat3(yp_ref, yc_ref, yn_ref, -6, te + 3)
+    if upto == "ys":
+        out_ref[i, j] = jnp.sum(flat(ys).astype(f32))
+        return
     p4 = prelu(mm(flat(ys), wp4_ref[...]) + bp4_ref[...].astype(f32),
                ap4_ref[...])
     p4 = vrows(unflat(p4.astype(dt), te + 9), -6)
+    if upto == "p4":
+        out_ref[i, j] = jnp.sum(flat(p4).astype(f32))
+        return
     d4 = deconv4(p4, kd4_ref, -6)                # cells [-5..TE+2]
     d4 = prelu(d4 + bd4_ref[...].astype(f32), ad4_ref[...]).astype(dt)
     e4 = mm(d4, we4_ref[...]) + be4_ref[...].astype(f32)
+    if upto == "e4":
+        out_ref[i, j] = jnp.sum(e4)
+        return
     r4 = mm(flat(ys[1:]), wr4_ref[...]).astype(dt)
+    if upto == "r4":
+        out_ref[i, j] = jnp.sum(r4.astype(f32))
+        return
     # B2_0 switch one-hot built IN-kernel from the compact values
     # (0..3): the [.,256] mask tensor never exists in HBM (the XLA
     # one-hot + its 3x halo reads measured ~1 GB of traffic per
@@ -2348,6 +2389,9 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
                 * m2, ar4_ref[...])
     n40 = te + 8
     scr_a[0:n40] = vrows(unflat(h40.astype(dt), n40), -5)
+    if upto == "b40":                  # probe-only truncation points
+        out_ref[i, j] = jnp.sum(h40)
+        return
 
     # --- Bottleneck4_1 / 4_2 ---
     src, other = scr_a, scr_b
@@ -2365,6 +2409,9 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
         other[0:n_in - 2] = vrows(unflat(out.astype(dt), n_in - 2),
                                   first + 1)
         src, other = other, src
+    if upto == "s4":
+        out_ref[i, j] = jnp.sum(flat(src[0:n40 - 4]).astype(f32))
+        return
 
     # --- Bottleneck5_0 ---  h42 in src, cells [-3..TE], extent TE+4
     n42 = te + 4
@@ -2377,10 +2424,23 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
     e5 = mm(d5, we5_ref[...]) + be5_ref[...].astype(f32)
     r5q = mm(flat(h42[1:]), wr5_ref[...]).astype(dt)
     r5h = mm(r5q, x5_ref[...])
-    m1 = cat3(m1p_ref, m1c_ref, m1n_ref, -2, te + 1)
-    h50 = prelu(e5 + r5h * flat(m1).astype(f32), ar5_ref[...])
+    # B1_0 switch mask, merged IN-kernel from the front kernel's raw
+    # quarter-grid tiles (two placement matmuls; see _m1_merge_mats):
+    # eighth rows rel [-2..te+1) <- quarter row pairs [2r, 2r+1]
+    nm = te + 3
+    qcat = jnp.concatenate([m1p_ref[0], m1c_ref[0], m1n_ref[0]],
+                           axis=0)                   # [6te, w8, 128]
+    q = qcat[2 * te - 4:2 * te + 2 * (te + 1)].astype(dt)
+    qq = q.reshape(nm, 2, w8, 128)
+    m1f = (mm(qq[:, 0].reshape(nm * w8, 128), m1m_ref[0])
+           + mm(qq[:, 1].reshape(nm * w8, 128), m1m_ref[1]))
+    m1v = vrows(unflat(m1f, nm), -2)
+    h50 = prelu(e5 + r5h * flat(m1v), ar5_ref[...])
     n50 = te + 3
     other[0:n50] = vrows(unflat(h50.astype(dt), n50), -2)
+    if upto == "b50":
+        out_ref[i, j] = jnp.sum(h50)
+        return
     h50s = other[0:n50]
 
     # --- Bottleneck5_1 ---  output cells [-1..TE-1]
@@ -2393,16 +2453,32 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
     e = mm(c, we51_ref[...]) + be51_ref[...].astype(f32)
     h51 = prelu(e + flat(h50s[1:-1]).astype(f32), ar51_ref[...])
     h51 = vrows(unflat(h51.astype(dt), n50 - 2), -1)
+    if upto == "b51":
+        out_ref[i, j] = jnp.sum(flat(h51).astype(f32))
+        return
 
     # --- Final + entropy ---  output cells [0..TE)
-    lp = deconv4(h51, kf_ref, -1)                # [TE*W8, 64*C]
-    mrow = jnp.max(lp, axis=-1, keepdims=True)
-    lshift = lp - mrow
-    ex = jnp.exp(lshift)
+    # Row-chunked: the full-tile logits at 64C lanes ([TE*W8, 1216]
+    # f32, ~21 MB at te=16) can never live in VREGs — computing them
+    # whole forces Mosaic through a vmem spill stack for every
+    # elementwise op. Stage h51 in scratch and walk `fc`-row chunks so
+    # each chunk's logits/exp temporaries stay small; only the scalar
+    # entropy sum survives the loop.
+    scr_a[0:te + 1] = h51
     seg = seg_ref[...].astype(f32)
-    z = jnp.dot(ex, seg, preferred_element_type=f32)
-    sm = jnp.dot(ex * lshift, seg, preferred_element_type=f32)
-    neg_entropy_sum = jnp.sum(sm / z - jnp.log(z))
+    neg_entropy_sum = jnp.float32(0.0)
+    for r0 in range(0, te, fc):
+        r1 = min(r0 + fc, te)
+        lp = deconv4(scr_a[r0:r1 + 1], kf_ref, r0 - 1)
+        if upto == "fdeconv":
+            neg_entropy_sum += jnp.sum(lp)
+            continue
+        mrow = jnp.max(lp, axis=-1, keepdims=True)
+        lshift = lp - mrow
+        ex = jnp.exp(lshift)
+        z = jnp.dot(ex, seg, preferred_element_type=f32)
+        sm = jnp.dot(ex * lshift, seg, preferred_element_type=f32)
+        neg_entropy_sum += jnp.sum(sm / z - jnp.log(z))
 
     log_c = jnp.log(jnp.float32(num_classes))
     pixels = jnp.float32(64 * te * w8)
@@ -2410,11 +2486,14 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_classes", "te", "interpret"))
+                   static_argnames=("num_classes", "te", "fc",
+                                    "interpret", "upto"))
 def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
                              mask1: jnp.ndarray, packed: dict,
                              num_classes: int, te: int = 16,
-                             interpret: bool = False) -> jnp.ndarray:
+                             fc: int = 4,
+                             interpret: bool = False,
+                             upto: str = "full") -> jnp.ndarray:
     """Per-image mean entropy-confidence from stage-3 features: stages
     4 and 5, the Final deconv, and the entropy reduction in one Pallas
     kernel over the eighth-res grid.
@@ -2423,7 +2502,8 @@ def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
     :param switches2: int8 ``[N, H8, W8, 64]`` B2_0 pool switch VALUES
                       (0..3; reshape of the model's compact storage)
     :param mask1:     ``[N, Hq, Wq, 64]`` B1_0 switch one-hot mask in
-                      the front kernel's quarter-grid layout
+                      the front kernel's quarter-grid layout, consumed
+                      RAW (the s2d(4) lane re-pack happens in-kernel)
     :returns: ``[N]`` float32 — same math as forward_stage4 + the
               decoder + ``acquisition.mean_confidence(..., "entropy")``
     """
@@ -2431,17 +2511,20 @@ def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
     if te < 6 or h8 % te != 0:
         te = h8
     grid_h = h8 // te
+    fc = max(1, min(fc, te))
 
     # compact switch VALUES go to the kernel; one-hot happens in VMEM
     sw = switches2.astype(y.dtype)
-    # quarter-grid phase-packed mask -> s2d(4)-over-eighth layout
-    m1 = (mask1.reshape(n, h8, 2, w8, 2, 2, 2, 16)
-          .transpose(0, 1, 3, 2, 5, 4, 6, 7)
-          .reshape(n, h8, w8, 256).astype(y.dtype))
+    # quarter-grid mask goes RAW: only the free minor-dim pair merge
+    # ([.,2W8,64] -> [.,W8,128]) happens in XLA; the phase re-pack to
+    # s2d(4)-over-eighth lanes runs IN-kernel via two placement
+    # matmuls (the XLA transpose materialized ~268 MB in a strided
+    # layout at the custom-call boundary — measured ~14 ms/dispatch)
+    m1 = mask1.reshape(n, 2 * h8, w8, 128).astype(y.dtype)
 
-    def tile_at(arr_ch, offs):
+    def tile_at(arr_ch, offs, rows=te):
         return pl.BlockSpec(
-            (1, te, w8, arr_ch),
+            (1, rows, w8, arr_ch),
             lambda i, j, offs=offs: (
                 i, jnp.clip(j + offs, 0, grid_h - 1), 0, 0),
             memory_space=pltpu.VMEM)
@@ -2467,15 +2550,17 @@ def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
               packed["wp51"], packed["bp51"], packed["ap51"],
               packed["cv51"], packed["bc51"], packed["ac51"],
               packed["we51"], packed["be51"], packed["ar51"],
-              packed["kf"], packed["seg"]]
+              packed["kf"], packed["seg"], packed["m1merge"]]
 
     partial_sums = pl.pallas_call(
         functools.partial(_tail_kernel, num_classes=num_classes, te=te,
-                          h8=h8),
+                          h8=h8, fc=fc, upto=upto),
         grid=(n, grid_h),
         in_specs=[tile_at(128, -1), tile_at(128, 0), tile_at(128, 1),
                   tile_at(64, -1), tile_at(64, 0), tile_at(64, 1),
-                  tile_at(256, -1), tile_at(256, 0), tile_at(256, 1)]
+                  tile_at(128, -1, rows=2 * te),
+                  tile_at(128, 0, rows=2 * te),
+                  tile_at(128, 1, rows=2 * te)]
         + [const_spec(a) for a in consts],
         out_specs=pl.BlockSpec((n, grid_h), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),

@@ -416,8 +416,10 @@ class TestFusedTailEntropyScore:
         variables = {**variables, "batch_stats": noised}
         return model, variables, x
 
-    @pytest.mark.parametrize("te", [8, 16])
-    def test_full_pipeline(self, setup, te):
+    # fc sweeps the Final+entropy row-chunk: a divisor, a
+    # non-divisor (ragged last chunk), and the whole tile at once
+    @pytest.mark.parametrize("te,fc", [(8, 4), (16, 3), (16, 16)])
+    def test_full_pipeline(self, setup, te, fc):
         model, variables, x = setup
         from semanticsegmentationactivelearning_tpu.ops import acquisition
         packed_f = pallas_kernels.pack_enet_front(variables)
@@ -431,7 +433,7 @@ class TestFusedTailEntropyScore:
         packed_t = pallas_kernels.pack_enet_tail(variables,
                                                  model.num_classes)
         got = np.asarray(pallas_kernels.fused_tail_entropy_score(
-            y, sw2, mask1, packed_t, model.num_classes, te=te,
+            y, sw2, mask1, packed_t, model.num_classes, te=te, fc=fc,
             interpret=True))
         logits = model.apply(variables, x, training=False)
         want = np.asarray(acquisition.mean_confidence(
