@@ -1119,10 +1119,36 @@ def pack_enet_front_w(variables, wpack: int = 8):
         be_s.append(tile(be))
         ar_s.append(tile(f32(blk["res_prelu"]["alpha"])))
 
+    # --- raw-image unpack (per-base-row-phase routing) ---
+    # The image reaches the kernel as RAW rows [., wq8, 12*wpack]
+    # (free minor-dim reshape of [N,H,W,3]); these matrices route one
+    # base-row-phase slice into the packed (qc, 48-img + 12-pool) lane
+    # layout. Image lanes: exactly one source each (sum over phases);
+    # pool lanes: per-phase/per-dx candidates combined by max (values
+    # are >= 0). Replaces the XLA s2d transpose that materialized
+    # ~126 MB strided at the custom-call boundary.
+    lanes_in = 12 * P
+    ua = np.zeros((4, lanes_in, 60 * P), np.float32)
+    ub = np.zeros((4, lanes_in, 60 * P), np.float32)
+    for ph in range(4):
+        for bc in range(4 * P):          # base col within block
+            qc, cp = bc >> 2, bc & 3
+            for ch in range(3):
+                src = bc * 3 + ch
+                ua[ph, src, qc * 60 + ph * 12 + cp * 3 + ch] = 1.0
+                a, b, dx = ph >> 1, cp >> 1, cp & 1
+                pool = qc * 60 + 48 + a * 6 + b * 3 + ch
+                (ua if dx == 0 else ub)[ph, src, pool] = 1.0
+    imgmask = np.zeros((1, 60 * P), np.float32)
+    for qc in range(P):
+        imgmask[0, qc * 60:qc * 60 + 48] = 1.0
+
     # h0 lane layout is (col_phase, half_phase, c16): tile the Initial
     # bias/alpha over the 4 half phases BEFORE the column-phase tile
     tile4 = lambda v: jnp.concatenate([v] * 4)
     return dict(
+        unpack_a=jnp.asarray(ua), unpack_b=jnp.asarray(ub),
+        imgmask=jnp.asarray(imgmask),
         kini=kini, bin=tile(tile4(t16)), ain=tile(tile4(a16)),
         wmix=_wpack_blkdiag(wmix, P), bp10=tile(bp8),
         ap10=tile(f32(b10["proj_prelu"]["alpha"])),
@@ -1140,7 +1166,8 @@ def pack_enet_front_w(variables, wpack: int = 8):
         ar_s=jnp.stack(ar_s))
 
 
-def _front_w_kernel(prev_ref, cur_ref, next_ref,
+def _front_w_kernel(rawp_ref, rawc_ref, rawn_ref,
+                    ua_ref, ub_ref, imask_ref,
                     kini_ref, bin_ref, ain_ref,
                     wmix_ref, bp10_ref, ap10_ref, wc10_ref, bc10_ref,
                     ac10_ref, we10_ref, be10_ref, ar10_ref,
@@ -1151,13 +1178,16 @@ def _front_w_kernel(prev_ref, cur_ref, next_ref,
                     *, tile_q: int, hq: int, rc: int):
     """W-packed front-end kernel; see the section comment. All planes
     are lane-full; compute walks ``rc``-row chunks; each stage
-    round-trips VMEM scratch (extents shrink as in the v1 kernel)."""
+    round-trips VMEM scratch (extents shrink as in the v1 kernel).
+    Inputs are RAW image rows ``[1, 4*tile_q, wq8, 12*wpack]`` (a free
+    reshape of NHWC); the s2d(4) + pool-plane packing happens here via
+    per-row-phase routing matmuls (``ua``/``ub``/``imask``)."""
     i, j = pl.program_id(0), pl.program_id(1)
     f32 = jnp.float32
     seg = tile_q
     i0 = j * seg
     dt = scr_h.dtype
-    wq8 = cur_ref.shape[2]
+    wq8 = rawc_ref.shape[2]
 
     def prelu(v, a):
         zero = jnp.zeros((), v.dtype)
@@ -1186,16 +1216,32 @@ def _front_w_kernel(prev_ref, cur_ref, next_ref,
                                axis=1)
 
     def read_img(lo, hi):
-        """Packed-image rows rel [lo, hi) from the 3-tile halo window
-        (static bounds; -seg <= lo < hi <= 2*seg)."""
+        """Packed-image rows rel [lo, hi) (static bounds;
+        -seg <= lo < hi <= 2*seg), unpacked on the fly from the raw
+        base rows of the 3-tile halo window: one routing matmul pair
+        per base-row phase, image lanes summed (disjoint sources),
+        pool lanes max-combined (inputs are >= 0)."""
+        raw_rows = 4 * seg
+        blo, bhi = 4 * lo, 4 * hi
         parts = []
-        for ref, base in ((prev_ref, -seg), (cur_ref, 0),
-                          (next_ref, seg)):
-            s, e = max(lo, base), min(hi, base + seg)
+        for ref, base in ((rawp_ref, -raw_rows), (rawc_ref, 0),
+                          (rawn_ref, raw_rows)):
+            s, e = max(blo, base), min(bhi, base + raw_rows)
             if s < e:
                 parts.append(ref[0, s - base:e - base])
-        return (jnp.concatenate(parts, axis=0) if len(parts) > 1
-                else parts[0])
+        raw = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+               else parts[0])
+        r = hi - lo
+        q = raw.reshape(r, 4, wq8, raw.shape[-1]).astype(dt)
+        s_acc = m_acc = None
+        for ph in range(4):
+            rp = flat(q[:, ph])
+            ta = mm(rp, ua_ref[ph])
+            tb = mm(rp, ub_ref[ph])
+            s_acc = ta if s_acc is None else s_acc + ta
+            m_acc = ta if m_acc is None else jnp.maximum(m_acc, ta)
+            m_acc = jnp.maximum(m_acc, tb)
+        return unflat(jnp.where(imask_ref[...] != 0, s_acc, m_acc), r)
 
     def conv9(pj3, k_ref, base, rows):
         """3x3 conv on a W-packed [rows+2, wq8, P*C] chunk: column
@@ -1316,18 +1362,13 @@ def fused_front_stage1_w(image: jnp.ndarray, packed: dict,
     grid_h = hq // tile_q
     wq8 = wq // wpack
 
-    x = image.astype(out_dtype)
-    r = x.reshape(n, hq, 4, wq, 4, 3).transpose(0, 1, 3, 2, 4, 5)
-    img48 = r.reshape(n, hq, wq, 48)
-    pl12 = r.reshape(n, hq, wq, 2, 2, 2, 2, 3).max(axis=(4, 6))
-    packed60 = jnp.concatenate([img48, pl12.reshape(n, hq, wq, 12)],
-                               axis=-1)
-    # free reshape: (col_phase, channel) lane layout
-    packedw = packed60.reshape(n, hq, wq8, wpack * 60)
+    # RAW rows: free minor-dim reshape only; the s2d(4) + pool packing
+    # runs inside the kernel (see _front_w_kernel.read_img)
+    raw = image.astype(out_dtype).reshape(n, h, wq8, 12 * wpack)
 
     def tile_at(offs):
         return pl.BlockSpec(
-            (1, tile_q, wq8, wpack * 60),
+            (1, 4 * tile_q, wq8, 12 * wpack),
             lambda i, j, offs=offs: (
                 i, jnp.clip(j + offs, 0, grid_h - 1), 0, 0),
             memory_space=pltpu.VMEM)
@@ -1338,7 +1379,8 @@ def fused_front_stage1_w(image: jnp.ndarray, packed: dict,
                             memory_space=pltpu.VMEM)
 
     consts = [packed[k] for k in
-              ("kini", "bin", "ain", "wmix", "bp10", "ap10", "wc10",
+              ("unpack_a", "unpack_b", "imgmask",
+               "kini", "bin", "ain", "wmix", "bp10", "ap10", "wc10",
                "bc10", "ac10", "we10", "be10", "ar10", "sel", "selt",
                "pad64", "wp_s", "bp_s", "ap_s", "wc_s", "bc_s", "ac_s",
                "we_s", "be_s", "ar_s")]
@@ -1362,7 +1404,7 @@ def fused_front_stage1_w(image: jnp.ndarray, packed: dict,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=116 * 1024 * 1024),
         interpret=interpret,
-    )(packedw, packedw, packedw, *consts)
+    )(raw, raw, raw, *consts)
     # free reshapes back to the v1 contract layouts
     return (x1.reshape(n, hq, wq, 64), mask.reshape(n, hq, wq, 64))
 
@@ -1812,7 +1854,19 @@ def pack_enet_mid_w(variables):
             be_s.append(tile(be))
             ar_s.append(tile(f32(blk["res_prelu"]["alpha"])))
 
+    # quarter-row-pair merge matrices: fold the RAW stage-1 layout
+    # ([.,Wq,64] -> free [.,w4,512]) into the s2d(2)+wpack4 lane
+    # layout IN-kernel — the XLA-side transpose materialized ~134 MB
+    # at the custom-call boundary (same pathology as the tail's mask)
+    xm = np.zeros((2, 512, 1024), np.float32)
+    for hr in (0, 1):
+        for qc in range(8):
+            for c in range(64):
+                xm[hr, qc * 64 + c,
+                   (qc >> 1) * 256 + hr * 128 + (qc & 1) * 64 + c] = 1.0
+
     packed = dict(
+        xmerge=jnp.asarray(xm),
         wp20=blk4(wp20), bp20=tile(bp32),
         ap20=tile(f32(b20["proj_prelu"]["alpha"])),
         bc20=tile(bc32), ac20=tile(f32(b20["conv_prelu"]["alpha"])),
@@ -1899,27 +1953,44 @@ def _make_mid_ops_w(h8, w4, taps_ref):
     return flat, unflat, mm, prelu, sh_col, proj_halo, conv9, conv_asym
 
 
-def _mid_w_b20_kernel(x_ref, wp20_ref, bp20_ref, ap20_ref, bc20_ref,
-                      ac20_ref, we20_ref, be20_ref, ar20_ref, taps_ref,
-                      sel8_ref, pad128_ref, y_ref, sw_ref, *, rc: int):
-    """Bottleneck2_0 on the W-packed layout, one image per cell."""
+def _mid_w_b20_kernel(x_ref, xm_ref, wp20_ref, bp20_ref, ap20_ref,
+                      bc20_ref, ac20_ref, we20_ref, be20_ref, ar20_ref,
+                      taps_ref, sel8_ref, pad128_ref, y_ref, sw_ref,
+                      *, rc: int):
+    """Bottleneck2_0 on the W-packed layout, one image per cell.
+
+    ``x_ref`` holds the RAW stage-1 layout ``[1, Hq, w4, 512]``; the
+    s2d(2) row-pair lane merge runs here (two placement matmuls
+    against ``xm_ref``) instead of as an XLA transpose at the
+    custom-call boundary."""
     f32 = jnp.float32
-    _, h8, w4, _ = x_ref.shape
+    _, hq, w4, _ = x_ref.shape
+    h8 = hq // 2
     dt = y_ref.dtype
     (flat, unflat, mm, prelu, _sh, proj_halo, conv9,
      _ca) = _make_mid_ops_w(h8, w4, taps_ref)
-    read_x = lambda lo, hi: x_ref[0, lo:hi]
+
+    def read_merged(lo, hi):
+        seg = x_ref[0, 2 * lo:2 * hi]
+        q = seg.reshape(hi - lo, 2, w4, 512).astype(dt)
+        m = (mm(flat(q[:, 0]), xm_ref[0])
+             + mm(flat(q[:, 1]), xm_ref[1]))
+        return unflat(m.astype(dt), hi - lo)
 
     for r0 in range(0, h8, rc):
         r1 = min(r0 + rc, h8)
         rows = r1 - r0
+        # merge the chunk + 1-row halo once; slice for proj and pool
+        lo, hi = max(r0 - 1, 0), min(r1 + 1, h8)
+        xm = read_merged(lo, hi)
+        read_x = lambda a, b: xm[a - lo:b - lo]
         pj = proj_halo(read_x, r0, r1, 1, wp20_ref[...], bp20_ref[...],
                        ap20_ref[...])
         c = prelu(conv9(pj, 0, 1, (-1, 0, 1), rows)
                   + bc20_ref[...].astype(f32), ac20_ref[...]).astype(dt)
         e = mm(c, we20_ref[...]) + be20_ref[...].astype(f32)
 
-        xf = flat(x_ref[0, r0:r1])
+        xf = flat(read_x(r0, r1))
         pooled = mm(xf, sel8_ref[0])
         swf = jnp.zeros_like(pooled)
         for ph in range(1, 4):
@@ -1995,35 +2066,36 @@ def fused_mid_stage23_w(x1: jnp.ndarray, packed: dict, meta,
         raise ValueError(f"W/8={w8} not divisible by wpack=4")
     w4 = w8 // 4
     rc = min(rc, h8)
-    x = x1.astype(out_dtype)
-    x_s2d = (x.reshape(n, h8, 2, w8, 2, 64)
-             .transpose(0, 1, 3, 2, 4, 5).reshape(n, h8, w8, 256)
-             .reshape(n, h8, w4, 1024))
+    # RAW stage-1 features: only the free minor-dim merge happens in
+    # XLA; the s2d(2) row-pair lane merge runs inside the B2_0 kernel
+    # (see pack_enet_mid_w's xmerge)
+    x_raw = x1.astype(out_dtype).reshape(n, hq, w4, 512)
 
     def const_spec(arr):
         nd = arr.ndim
         return pl.BlockSpec(arr.shape, lambda i: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    def block_spec(ch):
-        return pl.BlockSpec((1, h8, w4, ch), lambda i: (i, 0, 0, 0),
+    def block_spec(ch, rows=h8):
+        return pl.BlockSpec((1, rows, w4, ch), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
-    b20_consts = [packed[k] for k in
+    b20_consts = [packed["xmerge"]] + [packed[k] for k in
                   ("wp20", "bp20", "ap20", "bc20", "ac20", "we20",
                    "be20", "ar20")] + [packed["taps"][:9],
                                        packed["sel8"], packed["pad128"]]
     cur, sw = pl.pallas_call(
         functools.partial(_mid_w_b20_kernel, rc=rc),
         grid=(n,),
-        in_specs=[block_spec(1024)] + [const_spec(a) for a in b20_consts],
+        in_specs=[block_spec(512, rows=hq)]
+        + [const_spec(a) for a in b20_consts],
         out_specs=[block_spec(512), block_spec(256)],
         out_shape=[jax.ShapeDtypeStruct((n, h8, w4, 512), out_dtype),
                    jax.ShapeDtypeStruct((n, h8, w4, 256), jnp.int8)],
         compiler_params=params, interpret=interpret,
-    )(x_s2d, *b20_consts)
+    )(x_raw, *b20_consts)
 
     n_taps = lambda m: 8 if m[0] == "asym" else 3 * len(m[3])
     blocks = list(meta[1:])
