@@ -204,8 +204,11 @@ class ENet(nn.Module):
         fully kernelized: the W-packed front (image -> stage 1), the
         W-packed mid section (stages 2/3), and the eighth-grid tail
         (stage 4 + stage 5 + Final + entropy) — full/half-resolution
-        activations and lane-padded logits never exist in HBM at all.
-        Measured on v5e batch-16 bf16 1024x2048: 199.4 img/s/chip vs
+        activations and lane-padded logits never exist in HBM at all,
+        and every kernel consumes RAW row layouts (free reshapes only;
+        the packed lane layouts are built in VMEM, so XLA never
+        materializes a strided relayout at the custom-call boundary).
+        Measured on v5e batch-16 bf16 1024x2048: 306.5 img/s/chip vs
         154.0 for front+decoder-only and 126.2 for round-2's kernels.
         The ``fuse_*`` flags keep each stage independently toggleable
         (used by the probe tools and as measured fallbacks); widths not
