@@ -209,7 +209,8 @@ class ICNet(nn.Module):
 
     def __call__(self, x, training: bool = False,
                  multiscale: bool = False,
-                 return_pre_logits: bool = False):
+                 return_pre_logits: bool = False,
+                 return_features8: bool = False):
         n, h, w, _c = x.shape
         if h % 32 or w % 32:
             raise ValueError(
@@ -234,6 +235,13 @@ class ICNet(nn.Module):
         fused16, aux16 = self.cff1(f3, f2, training)
         fused8, aux8 = self.cff2(fused16, f1, training)
 
+        if return_features8:
+            # 1/8-res fused features for the fully-fused scoring head
+            # (pallas_kernels.fused_head8_entropy_score): the 1x1
+            # classifier commutes with the bilinear resizes, so the
+            # whole head runs in-kernel off these features.
+            return fused8
+
         # Head: 1/8 -> 1/4 -> classify (fp32 logits) -> full res
         up4 = _resize_bilinear(fused8, (h // 4, w // 4))
         cls4 = self.classifier(up4.astype(jnp.float32))
@@ -251,17 +259,41 @@ class ICNet(nn.Module):
             return logits
         return logits, (cls4, aux8, aux16)
 
+    def fuse_from_front(self, f1, x_half, training: bool = False):
+        """Stem -> tail -> cascade fusion from precomputed Branch1
+        features and the half-res image (both produced by the Pallas
+        front kernel, ops/pallas_kernels.fused_icnet_front)."""
+        f2 = self.stem(x_half, training)
+        f3 = _resize_bilinear(f2, (f2.shape[1] // 2, f2.shape[2] // 2))
+        f3 = self.tail(f3, training)
+        fused16, _ = self.cff1(f3, f2, training)
+        fused8, _ = self.cff2(fused16, f1, training)
+        return fused8
+
     def fused_score(self, variables, image, measure: str,
                     use_pallas: bool = False, interpret: bool = False):
         """Acquisition scoring without materializing full-res logits
         (the AL pool-ranking hot loop, reference
         active_learning.py:229-263)."""
         from ..ops import acquisition, pallas_kernels
+        if use_pallas and measure == "entropy":
+            # Front: Branch1 + half-res downsample in one kernel over
+            # the raw image (the dominant full-res costs). Head:
+            # classifier + 2x + 4x upsample + entropy in one kernel
+            # over the 1/8-res features — the 1/4-res fp32 logits (and
+            # shifted copies) never exist in HBM.
+            dt = self.dtype if self.dtype is not None else jnp.float32
+            packed = pallas_kernels.pack_icnet_front(variables)
+            f1, x_half = pallas_kernels.fused_icnet_front(
+                image.astype(dt), packed, interpret=interpret)
+            fused8 = self.apply(variables, f1, x_half, training=False,
+                                method=ICNet.fuse_from_front)
+            cls_p = variables["params"]["Classifier"]
+            return pallas_kernels.fused_head8_entropy_score(
+                fused8, cls_p["kernel"][0, 0].astype(jnp.float32),
+                cls_p["bias"].astype(jnp.float32), self.num_classes,
+                interpret=interpret)
         cls4 = self.apply(variables, image, training=False,
                           return_pre_logits=True)
-        if use_pallas and measure == "entropy":
-            return pallas_kernels.fused_upsample_entropy_score(
-                cls4.astype(jnp.float32), 4, self.num_classes,
-                interpret=interpret)
         return acquisition.chunked_upsample_mean_confidence(
             cls4, 4, measure, self.num_classes)

@@ -95,115 +95,133 @@ def _score_kernel(x_ref, halo_ref, kx_ref, kxu_ref, kxl_ref, kxul_ref,
     out_ref[i, j] = pixels + neg_entropy_sum / log_c
 
 
-def _upsample_kernel(x_ref, xu_ref, xd_ref, ml_ref, m0_ref, mr_ref,
-                     seg_ref, out_ref, *, num_classes: int):
-    """Bilinear 4x upsample (16 polyphases) + softmax + entropy of a
-    low-res logits tile, accumulated as one scalar per grid cell.
+# Composed resize2x -> resize4x polyphase row weights: output row
+# 8i+t draws on 1/8-res rows (i-1, i, i+1) with these tent weights —
+# the exact composition of jax.image.resize's half-pixel-center
+# bilinear stages, a[2i] = (y[i-1] + 3 y[i])/4, a[2i+1] =
+# (3 y[i] + y[i+1])/4 followed by the 4x tent phases b[4j+r] drawing
+# on (a[j-1], a[j]) with (3/8, 5/8), (1/8, 7/8) for r in {0, 1} and on
+# (a[j], a[j+1]) with (7/8, 1/8), (5/8, 3/8) for r in {2, 3}.
+# Columns use the same triples.
+_HEAD8_W = np.array(
+    [[14, 18, 0], [10, 22, 0], [7, 24, 1], [5, 24, 3],
+     [3, 24, 5], [1, 24, 7], [0, 22, 10], [0, 18, 14]],
+    np.float32) / 32.0
 
-    Polyphase weights (tent, positions (j+0.5)/4-0.5): output row
-    4i+r draws on rows (i-1, i) for r in {0,1} with weights
-    (3/8, 5/8), (1/8, 7/8), and on rows (i, i+1) for r in {2,3} with
-    (7/8, 1/8), (5/8, 3/8); columns identically. Edge clamping is
-    provided by the caller's edge-replicated shifted copies (rows) and
-    in-register clamped shifts (columns), reproducing
-    ``jax.image.resize`` exactly.
 
-    The four COLUMN phases of each row-phase tensor are packed into
-    one ``[TH*Wl, 4*C]`` tensor by MXU matmuls against scaled
-    block-identity matrices, and per-phase softmax statistics come
-    from segment-sum matmuls — one exp pass per row-phase at 4C/128
-    lane utilization instead of four at C/128 (see _score_kernel)."""
-    x = x_ref[0].astype(jnp.float32)      # [TH, Wl, C]
-    xu = xu_ref[0].astype(jnp.float32)    # row i-1 (edge-clamped)
-    xd = xd_ref[0].astype(jnp.float32)    # row i+1 (edge-clamped)
+def _head8_kernel(x_ref, xu_ref, xd_ref, wcls_ref, bcls_ref,
+                  ml_ref, m0_ref, mr_ref, seg_ref, out_ref,
+                  *, num_classes: int):
+    """ICNet head, fully fused: 1x1 classifier (moved in front of the
+    resizes — a 1x1 conv commutes with bilinear upsampling, bias
+    included since tent weights sum to 1) + composed 8x polyphase
+    upsample + softmax + normalized entropy of a 1/8-res feature tile,
+    accumulated as one scalar per grid cell. Reads 128-channel bf16
+    FEATURES rather than logits, so the lane-padded 1/4-res fp32
+    logits (and their shifted copies) never exist in HBM. Column
+    phases are packed into one ``[TH*Wl, 8*C]`` tensor by MXU matmuls
+    against scaled block-identity matrices, and per-phase softmax
+    statistics come from segment-sum matmuls."""
+    x = x_ref[0]                           # [TH, Wl, Cf] (bf16)
+    xu = xu_ref[0]                         # row i-1 (edge-clamped)
+    xd = xd_ref[0]                         # row i+1 (edge-clamped)
     i, j = pl.program_id(0), pl.program_id(1)
+    f32 = jnp.float32
 
-    rows = (0.375 * xu + 0.625 * x, 0.125 * xu + 0.875 * x,
-            0.875 * x + 0.125 * xd, 0.625 * x + 0.375 * xd)
+    th, wl, cf = x.shape
+    wcls = wcls_ref[...].astype(x.dtype)   # [Cf, C]
+    bcls = bcls_ref[...].astype(f32)       # [1, C]
+    cls = lambda a: (jnp.dot(a.reshape(th * wl, cf), wcls,
+                             preferred_element_type=f32)
+                     + bcls).reshape(th, wl, -1)
+    y, yu, yd = cls(x), cls(xu), cls(xd)   # [TH, Wl, C] fp32 logits
 
-    th, wl, c = x.shape
+    c = y.shape[-1]
     flat = lambda a: a.reshape(th * wl, c)
-    ml = ml_ref[...].astype(jnp.float32)   # [C, 4*C]
-    m0 = m0_ref[...].astype(jnp.float32)
-    mr = mr_ref[...].astype(jnp.float32)
-    seg = seg_ref[...].astype(jnp.float32)  # [4*C, 4]
+    ml = ml_ref[...].astype(f32)           # [C, 8*C]
+    m0 = m0_ref[...].astype(f32)
+    mr = mr_ref[...].astype(f32)
+    seg = seg_ref[...].astype(f32)         # [8*C, 8]
 
     log_c = jnp.log(jnp.float32(num_classes))
     neg_entropy_sum = jnp.float32(0.0)
-    for y in rows:
-        yl = jnp.concatenate([y[:, :1], y[:, :-1]], axis=1)   # col j-1
-        yr = jnp.concatenate([y[:, 1:], y[:, -1:]], axis=1)   # col j+1
-        lp = (jnp.dot(flat(yl), ml, preferred_element_type=jnp.float32)
-              + jnp.dot(flat(y), m0, preferred_element_type=jnp.float32)
-              + jnp.dot(flat(yr), mr,
-                        preferred_element_type=jnp.float32))
+    for t in range(8):
+        w = _HEAD8_W[t]
+        r = w[0] * yu + w[1] * y + w[2] * yd
+        rl = jnp.concatenate([r[:, :1], r[:, :-1]], axis=1)   # col j-1
+        rr = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=1)   # col j+1
+        lp = (jnp.dot(flat(rl), ml, preferred_element_type=f32)
+              + jnp.dot(flat(r), m0, preferred_element_type=f32)
+              + jnp.dot(flat(rr), mr, preferred_element_type=f32))
         m = jnp.max(lp, axis=-1, keepdims=True)
         lshift = lp - m
         e = jnp.exp(lshift)
-        z = jnp.dot(e, seg, preferred_element_type=jnp.float32)
-        s = jnp.dot(e * lshift, seg, preferred_element_type=jnp.float32)
+        z = jnp.dot(e, seg, preferred_element_type=f32)
+        s = jnp.dot(e * lshift, seg, preferred_element_type=f32)
         neg_entropy_sum = neg_entropy_sum + jnp.sum(s / z - jnp.log(z))
-    pixels = jnp.float32(16 * th * wl)
+    pixels = jnp.float32(64 * th * wl)
     out_ref[i, j] = pixels + neg_entropy_sum / log_c
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "num_classes", "tile_h",
-                                    "interpret"))
-def fused_upsample_entropy_score(logits_low: jnp.ndarray, scale: int,
-                                 num_classes: int, tile_h: int = 4,
-                                 interpret: bool = False) -> jnp.ndarray:
-    """Per-image mean entropy-confidence of bilinearly upsampled low-res
-    logits — the ICNet scoring tail (models/icnet.py classifies at 1/4
-    resolution; the reference scored full-res logits,
-    active_learning.py:240-263). Full-res lane-padded logits never exist
-    in HBM.
+                   static_argnames=("num_classes", "tile_h", "interpret"))
+def fused_head8_entropy_score(features8: jnp.ndarray, wcls: jnp.ndarray,
+                              bcls: jnp.ndarray, num_classes: int,
+                              tile_h: int = 4,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Per-image mean entropy-confidence of the full ICNet head —
+    ``classifier(resize2x(features8))`` upsampled 4x to full
+    resolution, softmaxed and reduced — in one Pallas pass over the
+    1/8-resolution 128-channel features (models/icnet.py head; the
+    reference scored materialized full-res logits,
+    active_learning.py:240-263).
 
-    :param logits_low: ``[N, Hl, Wl, C]`` low-resolution logits
-    :param scale:      must be 4 (the polyphase decomposition)
-    :returns: ``[N]`` float32 — identical math to
-              ``acquisition.mean_confidence(resize(logits_low, 4x),
-              "entropy", C)``
+    Exactness: a 1x1 conv commutes with bilinear resizing, and the
+    composed 2x-then-4x upsample is the fixed 8-phase tent filter
+    ``_HEAD8_W`` over rows/columns (i-1, i, i+1) — including at image
+    edges, where the edge-replicated shifted copies reproduce both
+    resize stages' clamping (verified against the two-stage oracle in
+    tests/test_icnet.py).
+
+    :param features8: ``[N, H8, W8, Cf]`` 1/8-res fused features
+    :param wcls:      ``[Cf, C]`` classifier kernel (1x1, squeezed)
+    :param bcls:      ``[C]`` classifier bias
+    :returns: ``[N]`` float32 — identical math to scoring
+              ``resize4x(classifier(resize2x(features8)))``
     """
-    if scale != 4:
-        raise NotImplementedError("fused upsample kernel is 4x only")
-    n, hl, wl, c = logits_low.shape
-    if hl % tile_h != 0:
-        tile_h = hl
-    grid_h = hl // tile_h
+    n, h8, w8, cf = features8.shape
+    if h8 % tile_h != 0:
+        tile_h = h8
+    grid_h = h8 // tile_h
+    c = num_classes
 
-    # edge-clamped row-shifted copies: xu[i] = x[i-1], xd[i] = x[i+1]
-    xu = jnp.concatenate([logits_low[:, :1], logits_low[:, :-1]], axis=1)
-    xd = jnp.concatenate([logits_low[:, 1:], logits_low[:, -1:]], axis=1)
+    xu = jnp.concatenate([features8[:, :1], features8[:, :-1]], axis=1)
+    xd = jnp.concatenate([features8[:, 1:], features8[:, -1:]], axis=1)
 
-    # Column-phase packing matrices [C, 4*C]: scaled identity blocks
-    # per phase; phase weights (yl, y, yr) = (3/8,5/8,0), (1/8,7/8,0),
-    # (0,7/8,1/8), (0,5/8,3/8).
     eye = jnp.eye(c, dtype=jnp.float32)
-    zero = jnp.zeros((c, c), jnp.float32)
-    ml = jnp.concatenate([0.375 * eye, 0.125 * eye, zero, zero], axis=-1)
-    m0 = jnp.concatenate([0.625 * eye, 0.875 * eye, 0.875 * eye,
-                          0.625 * eye], axis=-1)
-    mr = jnp.concatenate([zero, zero, 0.125 * eye, 0.375 * eye], axis=-1)
-    seg = jnp.repeat(jnp.eye(4, dtype=jnp.float32), c, axis=0)
+    ml = jnp.concatenate([w[0] * eye for w in _HEAD8_W], axis=-1)
+    m0 = jnp.concatenate([w[1] * eye for w in _HEAD8_W], axis=-1)
+    mr = jnp.concatenate([w[2] * eye for w in _HEAD8_W], axis=-1)
+    seg = jnp.repeat(jnp.eye(8, dtype=jnp.float32), c, axis=0)
 
-    spec = pl.BlockSpec((1, tile_h, wl, c), lambda i, j: (i, j, 0, 0),
+    spec = pl.BlockSpec((1, tile_h, w8, cf), lambda i, j: (i, j, 0, 0),
                         memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((c, 4 * c), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    wcls2 = wcls.reshape(cf, c)
+    bcls2 = bcls.reshape(1, c)
     partial_sums = pl.pallas_call(
-        functools.partial(_upsample_kernel, num_classes=num_classes),
+        functools.partial(_head8_kernel, num_classes=num_classes),
         grid=(n, grid_h),
-        in_specs=[spec, spec, spec, mspec, mspec, mspec,
-                  pl.BlockSpec((4 * c, 4), lambda i, j: (0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[spec, spec, spec, const(wcls2), const(bcls2),
+                  const(ml), const(m0), const(mr), const(seg)],
         out_specs=pl.BlockSpec((n, grid_h), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n, grid_h), jnp.float32),
         interpret=interpret,
-    )(logits_low, xu, xd, ml, m0, mr, seg)
+    )(features8, xu, xd, wcls2, bcls2, ml, m0, mr, seg)
 
-    return jnp.sum(partial_sums, axis=1) / jnp.float32(16 * hl * wl)
+    return jnp.sum(partial_sums, axis=1) / jnp.float32(64 * h8 * w8)
 
 
 @functools.partial(jax.jit,
@@ -2645,3 +2663,293 @@ def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
     )(y, y, y, sw, sw, sw, m1, m1, m1, *consts)
 
     return jnp.sum(partial_sums, axis=1) / jnp.float32(64 * h8 * w8)
+
+
+# ============================================================
+# ICNet front kernel: Branch1 (three conv-BN-ReLU, each 3x3/s2,
+# models/icnet.py Branch1_1..Branch1_3) fused with the half-res
+# bilinear downsample that feeds the shared stem — one pass over the
+# raw full-resolution image (the two dominant full-res costs of the
+# ICNet scoring path, reference hot loop active_learning.py:229-263).
+#
+# Layouts (all RAW or free reshapes of NHWC — no XLA relayout at the
+# custom-call boundary):
+#   image  [N, H, W, 3]    -> [N, H,    wq, 96]   (32 px x 3 ch lanes)
+#   f1     [N, H/8, W/8, 64] = [N, H/8, wq, 256]  (4 px x 64 ch)
+#   x_half [N, H/2, W/2, 3]  = [N, H/2, wq, 48]   (16 px x 3 ch)
+# with wq = W // 32; every stage keeps one lane-block per 32 input px.
+#
+# Stride-2 SAME convs (pad_low 0, taps at src 2q+dx, dx in {0,1,2} —
+# verified against flax.linen.Conv) are lifted to packed matmuls by
+# _wpack_taps_s2; the packing halves per stage: (32 px, 3 ch) ->
+# (16, 32) -> (8, 32) -> (4, 64). Row taps read even/odd image rows
+# directly from the (prev, cur, next) raw blocks; conv1/conv2 results
+# round-trip VMEM scratch split by row parity so the stride-2 row
+# selection of the next stage reads contiguous scratch slices.
+#
+# The 2x downsample matches jax.image.resize(..., "bilinear")
+# EXACTLY: antialiased 4-tap tent (1/8, 3/8, 3/8, 1/8) on rows/cols
+# (2i-1 .. 2i+2), with boundary weights renormalized over the valid
+# taps — (3/7, 3/7, 1/7) at the leading edge, mirrored at the
+# trailing edge (measured from resize weight matrices; resize
+# renormalizes rather than clamps for down-scaling kernels).
+# ============================================================
+
+
+def _wpack_taps_s2(taps_by_dx, p_in: int):
+    """Lift per-column taps ``{dx: [cin, cout]}`` of a stride-2 SAME
+    conv (out col q draws src col 2q+dx, dx in {0,1,2}; XLA pads low 0
+    high 1) to packed matmul kernels ``{dj: [p_in*cin, p_in//2*cout]}``
+    on the (col_phase, channel) lane layout."""
+    out = {}
+    for dx, w in taps_by_dx.items():
+        sels = {}
+        for q in range(p_in // 2):
+            dj, pb = divmod(2 * q + dx, p_in)
+            sels.setdefault(dj, np.zeros((p_in, p_in // 2),
+                                         np.float32))[pb, q] = 1.0
+        for dj, s in sels.items():
+            t = jnp.kron(jnp.asarray(s), w)
+            out[dj] = out[dj] + t if dj in out else t
+    return out
+
+
+def _lift3_s2(kernel, p_in: int):
+    """3x3/s2 conv kernel -> stacked lifted matmuls ``[6, ...]``
+    ordered (dy, dj) row-major, dy in (0, 1, 2) reading image rows
+    (2k, 2k+1, 2k+2), dj in (0, 1) reading (unshifted, next-block)."""
+    ks = []
+    for dy in range(3):
+        lifted = _wpack_taps_s2({0: kernel[dy, 0], 1: kernel[dy, 1],
+                                 2: kernel[dy, 2]}, p_in)
+        zero = jnp.zeros_like(lifted[0])
+        ks.extend(lifted.get(dj, zero) for dj in (0, 1))
+    return jnp.stack(ks)
+
+
+def pack_icnet_front(variables):
+    """Fold BN and build the packed matmul kernels for
+    :func:`fused_icnet_front` from an ICNet variables pytree."""
+    p = variables["params"]
+    bs = variables["batch_stats"]
+    f32 = lambda a: a.astype(jnp.float32)
+
+    def conv_bn(name):
+        k, b = _fold_bn(f32(p[name]["conv"]["kernel"]),
+                        jax.tree.map(f32, p[name]["bn"]),
+                        jax.tree.map(f32, bs[name]["bn"]))
+        return k, b
+
+    k1, b1 = conv_bn("Branch1_1")                 # [3,3,3,32]
+    k2, b2 = conv_bn("Branch1_2")                 # [3,3,32,32]
+    k3, b3 = conv_bn("Branch1_3")                 # [3,3,32,64]
+    tile = lambda v, ph: jnp.concatenate([v] * ph)[None, :]
+
+    # half-res downsample column matrices [96, 48]: out px p draws
+    # src px (2p-1 .. 2p+2) with (1/8, 3/8, 3/8, 1/8); bm/bp carry the
+    # taps that cross into the previous/next 32-px block, f0/fl the
+    # boundary renormalization deltas for the image's first/last col.
+    bm = np.zeros((96, 48), np.float32)
+    b0 = np.zeros((96, 48), np.float32)
+    bp = np.zeros((96, 48), np.float32)
+    for px in range(16):
+        for c in range(3):
+            o = px * 3 + c
+            for s, wt in ((2 * px - 1, .125), (2 * px, .375),
+                          (2 * px + 1, .375), (2 * px + 2, .125)):
+                if s < 0:
+                    bm[(32 + s) * 3 + c, o] += wt
+                elif s > 31:
+                    bp[(s - 32) * 3 + c, o] += wt
+                else:
+                    b0[s * 3 + c, o] += wt
+    f0 = np.zeros((96, 48), np.float32)
+    fl = np.zeros((96, 48), np.float32)
+    for c in range(3):
+        f0[0 * 3 + c, c] += 3 / 7 - .375       # out px 0: renorm over
+        f0[1 * 3 + c, c] += 3 / 7 - .375       # valid srcs (0, 1, 2)
+        f0[2 * 3 + c, c] += 1 / 7 - .125
+        o = 15 * 3 + c                         # last out px: (29,30,31)
+        fl[29 * 3 + c, o] += 1 / 7 - .125
+        fl[30 * 3 + c, o] += 3 / 7 - .375
+        fl[31 * 3 + c, o] += 3 / 7 - .375
+
+    return dict(
+        w1=_lift3_s2(k1, 32), b1=tile(b1, 16),    # [6,96,512], [1,512]
+        w2=_lift3_s2(k2, 16), b2=tile(b2, 8),     # [6,512,256], [1,256]
+        w3=_lift3_s2(k3, 8), b3=tile(b3, 4),      # [6,256,256], [1,256]
+        bm=jnp.asarray(bm), b0=jnp.asarray(b0), bp=jnp.asarray(bp),
+        f0=jnp.asarray(f0), fl=jnp.asarray(fl))
+
+
+def _icnet_front_kernel(rawp_ref, rawc_ref, rawn_ref,
+                        w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                        bm_ref, b0_ref, bp_ref, f0_ref, fl_ref,
+                        f1_ref, xh_ref, s1e, s1o, s2e, s2o, *, h: int):
+    """ICNet front kernel; see the section comment. Each grid cell
+    produces 4 rows of f1 (= 32 image rows) and 16 rows of x_half."""
+    t = pl.program_id(1)
+    f32 = jnp.float32
+    dt = s1e.dtype
+    wq = rawc_ref.shape[2]
+    tl = h // 32 - 1
+
+    def mm(a2d, w):
+        return jnp.dot(a2d, w.astype(a2d.dtype),
+                       preferred_element_type=f32)
+
+    def img_row(local):
+        """One raw image row [wq, 96], local index in [-8, 40) relative
+        to this tile's 32-row window; rows outside [0, H) read zeros
+        (the SAME conv zero padding)."""
+        if local < 0:
+            v = rawp_ref[0, 32 + local]
+        elif local < 32:
+            v = rawc_ref[0, local]
+        else:
+            v = rawn_ref[0, local - 32]
+        g = 32 * t + local
+        return jnp.where((g >= 0) & (g < h), v, jnp.zeros((), v.dtype))
+
+    def shift_n(a3d):    # next 32-px block (zeros in: right image edge)
+        return jnp.concatenate([a3d[:, 1:], jnp.zeros_like(a3d[:, :1])],
+                               axis=1)
+
+    flat = lambda a: a.reshape(a.shape[0] * wq, a.shape[2])
+
+    def conv_rows(rows_by_dy, w_ref, b_ref, gbase, glimit):
+        """One chunk of a lifted stride-2 conv: ``rows_by_dy[dy]`` is
+        the [m, wq, lanes] operand for row tap dy; masks out rows whose
+        global index gbase+r >= glimit (SAME zero rows past the edge
+        carry folded-BN bias otherwise)."""
+        acc = None
+        for dy, x in enumerate(rows_by_dy):
+            a = mm(flat(x), w_ref[2 * dy]) \
+                + mm(flat(shift_n(x)), w_ref[2 * dy + 1])
+            acc = a if acc is None else acc + a
+        m = rows_by_dy[0].shape[0]
+        out = jnp.maximum(acc + b_ref[...].astype(f32),
+                          jnp.zeros((), f32))
+        out = out.reshape(m, wq, out.shape[-1]).astype(dt)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (m, 1, 1), 0) + gbase
+        return jnp.where(rows < glimit, out, jnp.zeros((), dt))
+
+    # --- conv1: rows k_local 0..18 (k = 16t + k_local), taps at image
+    # rows 2k+dy; even k_local -> s1e[k_local/2], odd -> s1o[...] ---
+    def c1_operands(a, m):
+        return [jnp.stack([img_row(2 * k + dy)
+                           for k in range(a, a + m)])
+                for dy in (0, 1, 2)]
+
+    for c in range(9):
+        out = conv_rows(c1_operands(2 * c, 2), w1_ref, b1_ref,
+                        16 * t + 2 * c, h // 2)
+        s1e[c] = out[0]
+        s1o[c] = out[1]
+    s1e[9] = conv_rows(c1_operands(18, 1), w1_ref, b1_ref,
+                       16 * t + 18, h // 2)[0]
+
+    # --- conv2: rows j_local 0..8 (j = 8t + j_local), taps at conv1
+    # rows 2j+dy -> (s1e[j_local], s1o[j_local], s1e[j_local+1]) ---
+    def c2_operands(a, m):
+        return [s1e[a:a + m], s1o[a:a + m], s1e[a + 1:a + m + 1]]
+
+    for c in range(4):
+        out = conv_rows(c2_operands(2 * c, 2), w2_ref, b2_ref,
+                        8 * t + 2 * c, h // 4)
+        s2e[c] = out[0]
+        s2o[c] = out[1]
+    s2e[4] = conv_rows(c2_operands(8, 1), w2_ref, b2_ref,
+                       8 * t + 8, h // 4)[0]
+
+    # --- conv3 -> f1: rows r_local 0..3, taps (s2e[r], s2o[r],
+    # s2e[r+1]); all four rows are valid (glimit 4 disables the mask)
+    f1_ref[0] = conv_rows([s2e[0:4], s2o[0:4], s2e[1:5]],
+                          w3_ref, b3_ref, 0, 4)
+
+    # --- x_half: 16 half rows; 4-tap antialiased tent over image rows
+    # 2i-1..2i+2 with renormalized weights at the top/bottom edge ---
+    rows = []
+    for il in range(16):
+        rm1 = img_row(2 * il - 1)
+        r0 = img_row(2 * il)
+        rp1 = img_row(2 * il + 1)
+        rp2 = img_row(2 * il + 2)
+        row = .125 * rm1 + .375 * r0 + .375 * rp1 + .125 * rp2
+        if il == 0:
+            row = jnp.where(t == 0,
+                            (3 / 7) * r0 + (3 / 7) * rp1 + (1 / 7) * rp2,
+                            row)
+        if il == 15:
+            row = jnp.where(t == tl,
+                            (1 / 7) * rm1 + (3 / 7) * r0 + (3 / 7) * rp1,
+                            row)
+        rows.append(row)
+    x = jnp.stack(rows)                                  # [16, wq, 96]
+    xm = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+    xp = shift_n(x)
+    xh = (mm(flat(xm), bm_ref[...]) + mm(flat(x), b0_ref[...])
+          + mm(flat(xp), bp_ref[...]))
+    bidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    zero = jnp.zeros((), x.dtype)
+    xh = xh + mm(flat(jnp.where(bidx == 0, x, zero)), f0_ref[...])
+    xh = xh + mm(flat(jnp.where(bidx == wq - 1, x, zero)), fl_ref[...])
+    xh_ref[0] = xh.reshape(16, wq, 48).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_icnet_front(image: jnp.ndarray, packed: dict,
+                      interpret: bool = False):
+    """Branch1 + half-res downsample in one Pallas pass over the raw
+    image (models/icnet.py:220-227). Returns ``(f1, x_half)`` —
+    ``[N, H/8, W/8, 64]`` and ``[N, H/2, W/2, 3]`` — exactly matching
+    the flax Branch1_* stack and ``jax.image.resize(x, H/2 x W/2)``.
+
+    :param image: ``[N, H, W, 3]``, H % 32 == W % 32 == 0, already cast
+                  to the model compute dtype
+    """
+    n, h, w, _c = image.shape
+    wq = w // 32
+    raw = image.reshape(n, h, wq, 96)
+    grid = (n, h // 32)
+    tl = h // 32 - 1
+
+    blk = lambda im: pl.BlockSpec((1, 32, wq, 96), im,
+                                  memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    cdt = image.dtype
+    consts = [packed["w1"].astype(cdt), packed["b1"],
+              packed["w2"].astype(cdt), packed["b2"],
+              packed["w3"].astype(cdt), packed["b3"],
+              packed["bm"].astype(cdt), packed["b0"].astype(cdt),
+              packed["bp"].astype(cdt), packed["f0"].astype(cdt),
+              packed["fl"].astype(cdt)]
+
+    f1, xh = pl.pallas_call(
+        functools.partial(_icnet_front_kernel, h=h),
+        grid=grid,
+        in_specs=[blk(lambda i, j: (i, jnp.maximum(j - 1, 0), 0, 0)),
+                  blk(lambda i, j: (i, j, 0, 0)),
+                  blk(lambda i, j: (i, jnp.minimum(j + 1, tl), 0, 0))]
+        + [const(a) for a in consts],
+        out_specs=[pl.BlockSpec((1, 4, wq, 256),
+                                lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 16, wq, 48),
+                                lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((n, h // 8, wq, 256), cdt),
+                   jax.ShapeDtypeStruct((n, h // 2, wq, 48), cdt)],
+        scratch_shapes=[pltpu.VMEM((10, wq, 512), cdt),
+                        pltpu.VMEM((9, wq, 512), cdt),
+                        pltpu.VMEM((5, wq, 256), cdt),
+                        pltpu.VMEM((4, wq, 256), cdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(raw, raw, raw, *consts)
+
+    return (f1.reshape(n, h // 8, w // 8, 64),
+            xh.reshape(n, h // 2, w // 2, 3))

@@ -103,17 +103,65 @@ class TestICNetScoring:
         want = np.asarray(acquisition.mean_confidence(full, "entropy", C))
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
-    def test_pallas_upsample_kernel_matches(self):
-        """Interpreted Pallas kernel == resize+entropy oracle."""
+    def test_pallas_head8_kernel_matches(self):
+        """Interpreted fused-head kernel == the two-stage oracle
+        (resize2x -> 1x1 classifier -> resize4x -> entropy), covering
+        both the polyphase composition and the classifier commute at
+        a multi-tile grid (h8=8, tile_h=4 -> grid_h=2)."""
         from semanticsegmentationactivelearning_tpu.ops import (
             acquisition, pallas_kernels)
         rng = np.random.default_rng(3)
-        low = jnp.asarray(rng.normal(size=(2, 8, 16, C)), jnp.float32)
-        got = np.asarray(pallas_kernels.fused_upsample_entropy_score(
-            low, 4, C, interpret=True))
-        full = jax.image.resize(low, (2, 32, 64, C), method="bilinear")
+        cf = 16
+        feats = jnp.asarray(rng.normal(size=(2, 8, 16, cf)), jnp.float32)
+        wcls = jnp.asarray(rng.normal(size=(cf, C)), jnp.float32)
+        bcls = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+        got = np.asarray(pallas_kernels.fused_head8_entropy_score(
+            feats, wcls, bcls, C, interpret=True))
+        up4 = jax.image.resize(feats, (2, 16, 32, cf), method="bilinear")
+        cls4 = up4 @ wcls + bcls
+        full = jax.image.resize(cls4, (2, 64, 128, C), method="bilinear")
         want = np.asarray(acquisition.mean_confidence(full, "entropy", C))
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_pallas_front_kernel_matches(self, icnet_and_vars):
+        """Interpreted front kernel == flax Branch1 stack + the
+        half-res jax.image.resize, at a multi-tile grid (H=64 ->
+        grid_h=2, so the cross-tile row halo and the top/bottom
+        renormalized resize edges are all exercised)."""
+        from semanticsegmentationactivelearning_tpu.models.icnet import \
+            _resize_bilinear
+        from semanticsegmentationactivelearning_tpu.ops import \
+            pallas_kernels
+        model, variables = icnet_and_vars
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(size=(2, *HW, 3)), jnp.float32)
+        packed = pallas_kernels.pack_icnet_front(variables)
+        f1, xh = pallas_kernels.fused_icnet_front(x, packed,
+                                                  interpret=True)
+
+        def oracle(mdl, xx):
+            f = mdl.branch1_3(
+                mdl.branch1_2(mdl.branch1_1(xx, False), False), False)
+            return f, _resize_bilinear(
+                xx, (xx.shape[1] // 2, xx.shape[2] // 2))
+
+        want_f1, want_xh = model.apply(variables, x, method=oracle)
+        assert f1.shape == want_f1.shape and xh.shape == want_xh.shape
+        np.testing.assert_allclose(np.asarray(xh), np.asarray(want_xh),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(want_f1),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fused_score_pallas_matches_direct(self, icnet_and_vars):
+        """Model-level fused_score(use_pallas=True) in interpret mode
+        == direct full-res scoring (wiring check on CPU)."""
+        model, variables = icnet_and_vars
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(size=(1, *HW, 3)), jnp.float32)
+        got = np.asarray(model.fused_score(
+            variables, x, "entropy", use_pallas=True, interpret=True))
+        want = self._direct_score(model, variables, x, "entropy")
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
     def test_score_step_uses_fused_path(self, icnet_and_vars):
         """make_score_step on ICNet routes through fused_score and
