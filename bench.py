@@ -67,13 +67,17 @@ def main():
     # measured 126.1 vs 123.4 img/s at group 4
     group = int(os.environ.get("BENCH_GROUP", 8))
 
-    # opt-in deeper fusion knobs (ENet): BENCH_FUSE="mid,tail" etc.
+    # opt-in fusion knobs: ENet BENCH_FUSE="mid,tail" etc.; ICNet
+    # BENCH_FUSE="nostem" falls back to the front-only kernel (the
+    # stem's conv1_1..maxpool runs in XLA off the kernel's x_half)
     fuse = set(filter(None, os.environ.get("BENCH_FUSE", "")
                       .split(",")))
     fuse_kwargs = {}
     if fuse and model_name == "ENet":
         fuse_kwargs = {"fuse_mid": "mid" in fuse,
                        "fuse_tail": "tail" in fuse}
+    if model_name == "ICNet":
+        fuse_kwargs = {"fuse_stem": "nostem" not in fuse}
 
     def score_one(variables, image):
         # model-specific fused tail (Pallas): full-res logits never

@@ -134,19 +134,30 @@ class SharedStem(nn.Module):
 
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, training: bool):
+    def setup(self):
         dt = self.dtype
-        h = ConvBN(32, 3, strides=2, dtype=dt, name="conv1_1")(x, training)
-        h = ConvBN(32, 3, dtype=dt, name="conv1_2")(h, training)
-        h = ConvBN(64, 3, dtype=dt, name="conv1_3")(h, training)
+        self.conv1_1 = ConvBN(32, 3, strides=2, dtype=dt, name="conv1_1")
+        self.conv1_2 = ConvBN(32, 3, dtype=dt, name="conv1_2")
+        self.conv1_3 = ConvBN(64, 3, dtype=dt, name="conv1_3")
+        self.res2 = [ResBottleneck(128, dtype=dt, name=f"res2_{i + 1}")
+                     for i in range(3)]
+        self.res3_1 = ResBottleneck(256, strides=2, dtype=dt,
+                                    name="res3_1")
+
+    def __call__(self, x, training: bool):
+        h = self.conv1_1(x, training)
+        h = self.conv1_2(h, training)
+        h = self.conv1_3(h, training)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
-        for i in range(3):
-            h = ResBottleneck(128, dtype=dt,
-                              name=f"res2_{i + 1}")(h, training)
-        h = ResBottleneck(256, strides=2, dtype=dt,
-                          name="res3_1")(h, training)
-        return h
+        return self.from_pool(h, training)
+
+    def from_pool(self, h, training: bool):
+        """Res-blocks from the pooled 1/4(-of-branch-input) features —
+        the entry point for the Pallas front+stem kernel, which emits
+        these directly (ops/pallas_kernels.fused_icnet_front_stem)."""
+        for blk in self.res2:
+            h = blk(h, training)
+        return self.res3_1(h, training)
 
 
 class LowResTail(nn.Module):
@@ -270,24 +281,48 @@ class ICNet(nn.Module):
         fused8, _ = self.cff2(fused16, f1, training)
         return fused8
 
+    def fuse_from_stem1(self, f1, stem1, training: bool = False):
+        """Stem res-blocks -> tail -> cascade fusion from precomputed
+        Branch1 features and pooled stem-front features (both produced
+        by the Pallas front+stem kernel,
+        ops/pallas_kernels.fused_icnet_front_stem)."""
+        f2 = self.stem.from_pool(stem1, training)
+        f3 = _resize_bilinear(f2, (f2.shape[1] // 2, f2.shape[2] // 2))
+        f3 = self.tail(f3, training)
+        fused16, _ = self.cff1(f3, f2, training)
+        fused8, _ = self.cff2(fused16, f1, training)
+        return fused8
+
     def fused_score(self, variables, image, measure: str,
-                    use_pallas: bool = False, interpret: bool = False):
+                    use_pallas: bool = False, fuse_stem: bool = True,
+                    interpret: bool = False):
         """Acquisition scoring without materializing full-res logits
         (the AL pool-ranking hot loop, reference
         active_learning.py:229-263)."""
         from ..ops import acquisition, pallas_kernels
         if use_pallas and measure == "entropy":
-            # Front: Branch1 + half-res downsample in one kernel over
-            # the raw image (the dominant full-res costs). Head:
-            # classifier + 2x + 4x upsample + entropy in one kernel
-            # over the 1/8-res features — the 1/4-res fp32 logits (and
-            # shifted copies) never exist in HBM.
+            # Front: Branch1 + half-res downsample (+ the stem's
+            # conv1_1..maxpool when fuse_stem) in one kernel over the
+            # raw image — the dominant full-res/low-channel costs; the
+            # half-res image never exists in HBM. Head: classifier +
+            # 2x + 4x upsample + entropy in one kernel over the
+            # 1/8-res features — the 1/4-res fp32 logits (and shifted
+            # copies) never exist in HBM.
             dt = self.dtype if self.dtype is not None else jnp.float32
-            packed = pallas_kernels.pack_icnet_front(variables)
-            f1, x_half = pallas_kernels.fused_icnet_front(
-                image.astype(dt), packed, interpret=interpret)
-            fused8 = self.apply(variables, f1, x_half, training=False,
-                                method=ICNet.fuse_from_front)
+            if fuse_stem:
+                packed = pallas_kernels.pack_icnet_front_stem(variables)
+                f1, stem1 = pallas_kernels.fused_icnet_front_stem(
+                    image.astype(dt), packed, interpret=interpret)
+                fused8 = self.apply(variables, f1, stem1,
+                                    training=False,
+                                    method=ICNet.fuse_from_stem1)
+            else:
+                packed = pallas_kernels.pack_icnet_front(variables)
+                f1, x_half = pallas_kernels.fused_icnet_front(
+                    image.astype(dt), packed, interpret=interpret)
+                fused8 = self.apply(variables, f1, x_half,
+                                    training=False,
+                                    method=ICNet.fuse_from_front)
             cls_p = variables["params"]["Classifier"]
             return pallas_kernels.fused_head8_entropy_score(
                 fused8, cls_p["kernel"][0, 0].astype(jnp.float32),

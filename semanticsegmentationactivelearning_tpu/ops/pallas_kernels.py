@@ -2953,3 +2953,273 @@ def fused_icnet_front(image: jnp.ndarray, packed: dict,
 
     return (f1.reshape(n, h // 8, w // 8, 64),
             xh.reshape(n, h // 2, w // 2, 3))
+
+
+def pack_icnet_front_stem(variables):
+    """:func:`pack_icnet_front` plus the folded/lifted SharedStem front
+    (conv1_1 s2 -> conv1_2 -> conv1_3 -> maxpool 3x3/s2,
+    models/icnet.py SharedStem) for :func:`fused_icnet_front_stem`."""
+    packed = dict(pack_icnet_front(variables))
+    p = variables["params"]["SharedStem"]
+    bs = variables["batch_stats"]["SharedStem"]
+    f32 = lambda a: a.astype(jnp.float32)
+
+    def conv_bn(name):
+        return _fold_bn(f32(p[name]["conv"]["kernel"]),
+                        jax.tree.map(f32, p[name]["bn"]),
+                        jax.tree.map(f32, bs[name]["bn"]))
+
+    k1, b1 = conv_bn("conv1_1")                   # [3,3,3,32]
+    k2, b2 = conv_bn("conv1_2")                   # [3,3,32,32]
+    k3, b3 = conv_bn("conv1_3")                   # [3,3,32,64]
+    tile = lambda v, ph: jnp.concatenate([v] * ph)[None, :]
+
+    # maxpool 3x3/s2 column routing on the (8 qtr-px, 64 ch) lane
+    # layout: out phase e draws qtr phases 2e+dx, dx in {0,1,2}; the
+    # dx=2 tap at e=3 crosses into the next block's phase 0 (s2n reads
+    # the shift_n operand; disjoint lanes, so s2+s2n sum = union).
+    s0 = np.zeros((512, 256), np.float32)
+    s1 = np.zeros((512, 256), np.float32)
+    s2 = np.zeros((512, 256), np.float32)
+    s2n = np.zeros((512, 256), np.float32)
+    for e in range(4):
+        for c in range(64):
+            s0[(2 * e) * 64 + c, e * 64 + c] = 1.0
+            s1[(2 * e + 1) * 64 + c, e * 64 + c] = 1.0
+            if e < 3:
+                s2[(2 * e + 2) * 64 + c, e * 64 + c] = 1.0
+            else:
+                s2n[c, e * 64 + c] = 1.0
+    packed.update(
+        sw1=_lift3_s2(k1, 16), sb1=tile(b1, 8),   # [6,48,256], [1,256]
+        sw2=_wpack_conv3(k2, 8), sb2=tile(b2, 8),  # [9,256,256]
+        sw3=_wpack_conv3(k3, 8), sb3=tile(b3, 8),  # [9,256,512], [1,512]
+        s0=jnp.asarray(s0), s1=jnp.asarray(s1),
+        s2=jnp.asarray(s2), s2n=jnp.asarray(s2n))
+    return packed
+
+
+def _icnet_front_stem_kernel(rawp_ref, rawc_ref, rawn_ref,
+                             w1_ref, b1_ref, w2_ref, b2_ref,
+                             w3_ref, b3_ref,
+                             bm_ref, b0_ref, bp_ref, f0_ref, fl_ref,
+                             sw1_ref, sb1_ref, sw2_ref, sb2_ref,
+                             sw3_ref, sb3_ref,
+                             p0_ref, p1_ref, p2_ref, p2n_ref,
+                             f1_ref, st_ref,
+                             s1e, s1o, s2e, s2o, sc1, sc2, sc3,
+                             *, h: int):
+    """ICNet front+stem kernel: Branch1 (as in _icnet_front_kernel)
+    plus the SharedStem front, with the half-res image consumed
+    entirely in VMEM. Each grid cell (32 image rows) produces 4 rows
+    of f1 and 4 rows of the pooled stem features (both 1/8 res)."""
+    t = pl.program_id(1)
+    f32 = jnp.float32
+    dt = s1e.dtype
+    wq = rawc_ref.shape[2]
+    h2, h4 = h // 2, h // 4
+
+    def mm(a2d, w):
+        return jnp.dot(a2d, w.astype(a2d.dtype),
+                       preferred_element_type=f32)
+
+    def img_row(local):
+        """One raw image row [wq, 96], local index in [-32, 64)
+        relative to this tile's 32-row window; rows outside [0, H)
+        read zeros (the SAME conv zero padding)."""
+        if local < 0:
+            v = rawp_ref[0, 32 + local]
+        elif local < 32:
+            v = rawc_ref[0, local]
+        else:
+            v = rawn_ref[0, local - 32]
+        g = 32 * t + local
+        return jnp.where((g >= 0) & (g < h), v, jnp.zeros((), v.dtype))
+
+    def shift_n(a3d):    # next 32-px block (zeros in: right image edge)
+        return jnp.concatenate([a3d[:, 1:], jnp.zeros_like(a3d[:, :1])],
+                               axis=1)
+
+    def shift_p(a3d):    # previous block (zeros in: left image edge)
+        return jnp.concatenate([jnp.zeros_like(a3d[:, :1]), a3d[:, :-1]],
+                               axis=1)
+
+    flat = lambda a: a.reshape(a.shape[0] * wq, a.shape[2])
+
+    def finish(acc, m, b_ref, gbase, glimit):
+        """Bias + ReLU + row masking shared by the lifted convs: rows
+        whose global index falls outside [0, glimit) are SAME zero
+        padding and must not carry relu(bias)."""
+        out = jnp.maximum(acc + b_ref[...].astype(f32),
+                          jnp.zeros((), f32))
+        out = out.reshape(m, wq, out.shape[-1]).astype(dt)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (m, 1, 1), 0) + gbase
+        return jnp.where((rows >= 0) & (rows < glimit), out,
+                         jnp.zeros((), dt))
+
+    def conv_rows(rows_by_dy, w_ref, b_ref, gbase, glimit):
+        """One chunk of a lifted stride-2 conv (dj in (0, 1))."""
+        acc = None
+        for dy, x in enumerate(rows_by_dy):
+            a = mm(flat(x), w_ref[2 * dy]) \
+                + mm(flat(shift_n(x)), w_ref[2 * dy + 1])
+            acc = a if acc is None else acc + a
+        return finish(acc, rows_by_dy[0].shape[0], b_ref, gbase, glimit)
+
+    def conv_s1(rows_by_dy, w_ref, b_ref, gbase, glimit):
+        """One chunk of a lifted stride-1 3x3 conv (dj in (-1, 0, 1),
+        _wpack_conv3 order)."""
+        acc = None
+        for dy, x in enumerate(rows_by_dy):
+            a = (mm(flat(shift_p(x)), w_ref[3 * dy])
+                 + mm(flat(x), w_ref[3 * dy + 1])
+                 + mm(flat(shift_n(x)), w_ref[3 * dy + 2]))
+            acc = a if acc is None else acc + a
+        return finish(acc, rows_by_dy[0].shape[0], b_ref, gbase, glimit)
+
+    # --- Branch1 (identical to _icnet_front_kernel) ---
+    def c1_operands(a, m):
+        return [jnp.stack([img_row(2 * k + dy)
+                           for k in range(a, a + m)])
+                for dy in (0, 1, 2)]
+
+    for c in range(9):
+        out = conv_rows(c1_operands(2 * c, 2), w1_ref, b1_ref,
+                        16 * t + 2 * c, h2)
+        s1e[c] = out[0]
+        s1o[c] = out[1]
+    s1e[9] = conv_rows(c1_operands(18, 1), w1_ref, b1_ref,
+                       16 * t + 18, h2)[0]
+
+    def c2_operands(a, m):
+        return [s1e[a:a + m], s1o[a:a + m], s1e[a + 1:a + m + 1]]
+
+    for c in range(4):
+        out = conv_rows(c2_operands(2 * c, 2), w2_ref, b2_ref,
+                        8 * t + 2 * c, h4)
+        s2e[c] = out[0]
+        s2o[c] = out[1]
+    s2e[4] = conv_rows(c2_operands(8, 1), w2_ref, b2_ref,
+                       8 * t + 8, h4)[0]
+
+    f1_ref[0] = conv_rows([s2e[0:4], s2o[0:4], s2e[1:5]],
+                          w3_ref, b3_ref, 0, 4)
+
+    # --- stem: half rows il in [-4, 22] (conv1_1 halo), 4-tap
+    # antialiased tent over image rows 2i-1..2i+2, renormalized at the
+    # top/bottom image edge, zero outside [0, H/2) ---
+    def half_row(il):
+        g = 16 * t + il
+        rm1 = img_row(2 * il - 1)
+        r0 = img_row(2 * il)
+        rp1 = img_row(2 * il + 1)
+        rp2 = img_row(2 * il + 2)
+        row = .125 * rm1 + .375 * r0 + .375 * rp1 + .125 * rp2
+        row = jnp.where(g == 0, (3 / 7) * r0 + (3 / 7) * rp1
+                        + (1 / 7) * rp2, row)
+        row = jnp.where(g == h2 - 1, (1 / 7) * rm1 + (3 / 7) * r0
+                        + (3 / 7) * rp1, row)
+        return jnp.where((g >= 0) & (g < h2), row,
+                         jnp.zeros((), row.dtype))
+
+    def cols_half(x):
+        """Column 2x downsample [m, wq, 96] -> [m, wq, 48] with the
+        first/last-image-column renormalization (as in
+        _icnet_front_kernel)."""
+        m = x.shape[0]
+        v = (mm(flat(shift_p(x)), bm_ref[...]) + mm(flat(x), b0_ref[...])
+             + mm(flat(shift_n(x)), bp_ref[...]))
+        bidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        zero = jnp.zeros((), x.dtype)
+        v = v + mm(flat(jnp.where(bidx == 0, x, zero)), f0_ref[...])
+        v = v + mm(flat(jnp.where(bidx == wq - 1, x, zero)), fl_ref[...])
+        return v.reshape(m, wq, 48).astype(dt)
+
+    # even/odd parity stacks so conv1_1's stride-2 row taps are
+    # contiguous slices: she[u] = half row 2u-4, sho[u] = half row 2u-3
+    she = cols_half(jnp.stack([half_row(2 * u - 4) for u in range(14)]))
+    sho = cols_half(jnp.stack([half_row(2 * u - 3) for u in range(13)]))
+
+    # conv1_1 (s2): quarter rows k in [-2, 10], taps at half rows
+    # 2k+dy -> (she[k+2], sho[k+2], she[k+3])
+    sc1[...] = conv_rows([she[0:13], sho[0:13], she[1:14]],
+                         sw1_ref, sb1_ref, 8 * t - 2, h4)
+    # conv1_2: quarter rows j in [-1, 9], taps sc1 rows j-1..j+1
+    sc2[...] = conv_s1([sc1[0:11], sc1[1:12], sc1[2:13]],
+                       sw2_ref, sb2_ref, 8 * t - 1, h4)
+    # conv1_3: quarter rows r in [0, 8], taps sc2 rows r-1..r+1
+    sc3[...] = conv_s1([sc2[0:9], sc2[1:10], sc2[2:11]],
+                       sw3_ref, sb3_ref, 8 * t, h4)
+
+    # maxpool 3x3/s2: rows max over conv1_3 rows 2m..2m+2 (zero rows
+    # past the edge are max-neutral on post-ReLU values), then column
+    # routing matmuls + elementwise max for the three column taps
+    v = jnp.stack([jnp.maximum(jnp.maximum(sc3[2 * m], sc3[2 * m + 1]),
+                               sc3[2 * m + 2]) for m in range(4)])
+    r = jnp.maximum(jnp.maximum(mm(flat(v), p0_ref[...]),
+                                mm(flat(v), p1_ref[...])),
+                    mm(flat(v), p2_ref[...])
+                    + mm(flat(shift_n(v)), p2n_ref[...]))
+    st_ref[0] = r.reshape(4, wq, 256).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_icnet_front_stem(image: jnp.ndarray, packed: dict,
+                           interpret: bool = False):
+    """Branch1 + half-res downsample + SharedStem front in one Pallas
+    pass over the raw image (models/icnet.py:220-228 and SharedStem
+    conv1_1..maxpool). Returns ``(f1, stem1)`` — both
+    ``[N, H/8, W/8, 64]`` — exactly matching the flax Branch1_* stack
+    and ``max_pool(conv1_3(conv1_2(conv1_1(resize(x, H/2 x W/2)))))``.
+    The half-res image lives only in VMEM; neither it nor the stem's
+    low-channel intermediates ever exist in HBM.
+
+    :param image: ``[N, H, W, 3]``, H % 32 == W % 32 == 0, already cast
+                  to the model compute dtype
+    """
+    n, h, w, _c = image.shape
+    wq = w // 32
+    raw = image.reshape(n, h, wq, 96)
+    grid = (n, h // 32)
+    tl = h // 32 - 1
+
+    blk = lambda im: pl.BlockSpec((1, 32, wq, 96), im,
+                                  memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    cdt = image.dtype
+    fp32_keys = {"b1", "b2", "b3", "sb1", "sb2", "sb3"}
+    names = ("w1", "b1", "w2", "b2", "w3", "b3",
+             "bm", "b0", "bp", "f0", "fl",
+             "sw1", "sb1", "sw2", "sb2", "sw3", "sb3",
+             "s0", "s1", "s2", "s2n")
+    consts = [packed[k] if k in fp32_keys else packed[k].astype(cdt)
+              for k in names]
+
+    out8 = lambda: pl.BlockSpec((1, 4, wq, 256), lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+    f1, st = pl.pallas_call(
+        functools.partial(_icnet_front_stem_kernel, h=h),
+        grid=grid,
+        in_specs=[blk(lambda i, j: (i, jnp.maximum(j - 1, 0), 0, 0)),
+                  blk(lambda i, j: (i, j, 0, 0)),
+                  blk(lambda i, j: (i, jnp.minimum(j + 1, tl), 0, 0))]
+        + [const(a) for a in consts],
+        out_specs=[out8(), out8()],
+        out_shape=[jax.ShapeDtypeStruct((n, h // 8, wq, 256), cdt),
+                   jax.ShapeDtypeStruct((n, h // 8, wq, 256), cdt)],
+        scratch_shapes=[pltpu.VMEM((10, wq, 512), cdt),
+                        pltpu.VMEM((9, wq, 512), cdt),
+                        pltpu.VMEM((5, wq, 256), cdt),
+                        pltpu.VMEM((4, wq, 256), cdt),
+                        pltpu.VMEM((13, wq, 256), cdt),
+                        pltpu.VMEM((11, wq, 256), cdt),
+                        pltpu.VMEM((9, wq, 512), cdt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(raw, raw, raw, *consts)
+
+    return (f1.reshape(n, h // 8, w // 8, 64),
+            st.reshape(n, h // 8, w // 8, 64))

@@ -152,14 +152,56 @@ class TestICNetScoring:
         np.testing.assert_allclose(np.asarray(f1), np.asarray(want_f1),
                                    rtol=1e-4, atol=1e-5)
 
-    def test_fused_score_pallas_matches_direct(self, icnet_and_vars):
+    def test_pallas_front_stem_kernel_matches(self, icnet_and_vars):
+        """Interpreted front+stem kernel == flax Branch1 stack + the
+        stem front (conv1_1 s2 -> conv1_2 -> conv1_3 -> maxpool) on
+        the half-res resize, at a multi-tile grid (H=64 -> grid_h=2,
+        exercising the cross-tile halos of all three stem convs, the
+        renormalized resize edges, and the pool's row/column edge
+        masking)."""
+        import flax.linen as nn
+        from semanticsegmentationactivelearning_tpu.models.icnet import \
+            _resize_bilinear
+        from semanticsegmentationactivelearning_tpu.ops import \
+            pallas_kernels
+        model, variables = icnet_and_vars
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.uniform(size=(2, *HW, 3)), jnp.float32)
+        packed = pallas_kernels.pack_icnet_front_stem(variables)
+        f1, stem1 = pallas_kernels.fused_icnet_front_stem(
+            x, packed, interpret=True)
+
+        def oracle(mdl, xx):
+            f = mdl.branch1_3(
+                mdl.branch1_2(mdl.branch1_1(xx, False), False), False)
+            xh = _resize_bilinear(
+                xx, (xx.shape[1] // 2, xx.shape[2] // 2))
+            s = mdl.stem.conv1_3(
+                mdl.stem.conv1_2(
+                    mdl.stem.conv1_1(xh, False), False), False)
+            return f, nn.max_pool(s, (3, 3), strides=(2, 2),
+                                  padding="SAME")
+
+        want_f1, want_st = model.apply(variables, x, method=oracle)
+        assert f1.shape == want_f1.shape and stem1.shape == want_st.shape
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(want_f1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stem1),
+                                   np.asarray(want_st),
+                                   rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("fuse_stem", [True, False])
+    def test_fused_score_pallas_matches_direct(self, icnet_and_vars,
+                                               fuse_stem):
         """Model-level fused_score(use_pallas=True) in interpret mode
-        == direct full-res scoring (wiring check on CPU)."""
+        == direct full-res scoring (wiring check on CPU), for both the
+        front+stem and the front-only kernel paths."""
         model, variables = icnet_and_vars
         rng = np.random.default_rng(4)
         x = jnp.asarray(rng.uniform(size=(1, *HW, 3)), jnp.float32)
         got = np.asarray(model.fused_score(
-            variables, x, "entropy", use_pallas=True, interpret=True))
+            variables, x, "entropy", use_pallas=True,
+            fuse_stem=fuse_stem, interpret=True))
         want = self._direct_score(model, variables, x, "entropy")
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
