@@ -59,7 +59,7 @@ def make_sharded_conv(mesh: Mesh, kernel_w: int, axis_name: str = "space",
     when ``W_local`` is divisible by the stride.
     """
     halo = (kernel_w - 1) // 2
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     def _local(x, kernel):
         padded = halo_exchange_width(x, axis_name, halo) if halo else x

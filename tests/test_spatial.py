@@ -37,8 +37,8 @@ class TestShardedConv:
     def test_halo_exchange_boundaries(self, mesh):
         """Global edges receive zero halos, interior shards receive
         their neighbors' columns."""
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+        shard_map = jax.shard_map
 
         x = jnp.arange(16, dtype=jnp.float32).reshape(1, 1, 16, 1)
 
