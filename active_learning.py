@@ -185,8 +185,19 @@ def main(args, logger):
 
     train_sampler = sampler.IndexSampler(
         train_examples, rng=np.random.default_rng(args.seed + 1))
+    # Extra modality channels (e.g. Freiburg NIR via `-m nir`) stack
+    # after the RGB planes, matching the reference decoder
+    # (tensortools/input.py:265-269) and train.py's plumbing.
+    modalities = tuple(m for m in (getattr(args, "modalities", None)
+                                   or ())
+                       if m not in ("rgb", "image"))
     train_loader = loader.RecordLoader(train_examples, batch_size,
-                                       min_hw=in_hw)
+                                       min_hw=in_hw,
+                                       modalities=modalities)
+    in_channels = train_loader.channels
+    if modalities:
+        logger.info("Stacking modalities %s -> %d input channels",
+                    list(modalities), in_channels)
     # Pool-ranking loader: same records, no label plane — acquisition
     # scoring never reads labels (reference pool pass sess.run's only
     # the image/logits tensors, active_learning.py:687-700), so the
@@ -195,12 +206,14 @@ def main(args, logger):
     rank_loader = loader.RecordLoader(
         train_examples, batch_size, min_hw=in_hw,
         storage_hw=train_loader.storage_hw,
-        channels=train_loader.channels, with_label=False)
+        channels=in_channels, modalities=modalities, with_label=False)
     val_loader = loader.RecordLoader(val_examples, batch_size,
-                                     min_hw=in_hw) \
+                                     min_hw=in_hw,
+                                     modalities=modalities) \
         if len(val_examples) else None
     test_loader = loader.RecordLoader(test_examples, batch_size,
-                                      min_hw=in_hw) \
+                                      min_hw=in_hw,
+                                      modalities=modalities) \
         if len(test_examples) else None
 
     # Model / optimizer / state
@@ -214,6 +227,7 @@ def main(args, logger):
     optimizer = optim.make_optimizer(hparams)
     tstate = create_train_state(model, optimizer,
                                 jax.random.PRNGKey(args.seed), in_hw,
+                                channels=in_channels,
                                 multiscale=multiscale)
 
     if args.checkpoint is not None:
@@ -230,7 +244,8 @@ def main(args, logger):
         tstate = ckpt.restore_checkpoint(restore_from, tstate)
         if args.reinitialize_output:
             tstate = ckpt.reinitialize_final_layer(
-                tstate, model, jax.random.PRNGKey(args.seed + 7), in_hw)
+                tstate, model, jax.random.PRNGKey(args.seed + 7), in_hw,
+                channels=in_channels)
     elif state["checkpoint"] is not None:
         logger.info("Resuming from checkpoint \"%s\"",
                     state["checkpoint"])
@@ -307,7 +322,7 @@ def main(args, logger):
         b = next(iter(train_loader.batches(order)))
         raw, _img, _lbl, _msk = pipeline.augment_batch(
             b["stack"], b["heights"], b["widths"], jax.random.PRNGKey(0),
-            crop_hw=in_hw)
+            crop_hw=in_hw, channels=in_channels)
 
         @jax.jit
         def _pseudo(tstate, image):
@@ -339,7 +354,7 @@ def main(args, logger):
             k_aug, k_drop = jax.random.split(jax.random.PRNGKey(seed))
             raw, image, label, mask = pipeline.augment_batch(
                 b["stack"], b["heights"], b["widths"], k_aug,
-                crop_hw=in_hw)
+                crop_hw=in_hw, channels=in_channels)
             tstate, m = train_step(tstate, {
                 "image": image, "image_raw": raw, "label": label,
                 "mask": mask,
@@ -357,7 +372,8 @@ def main(args, logger):
                                total=data_loader.num_batches())
         for b in batches:
             image, label, mask = pipeline.eval_batch(
-                b["stack"], b["heights"], b["widths"], crop_hw=in_hw)
+                b["stack"], b["heights"], b["widths"], crop_hw=in_hw,
+                channels=in_channels)
             acc.update(eval_step(tstate, {
                 "image": image, "label": label, "mask": mask,
                 "valid": b["valid"].astype(np.float32)}))
@@ -466,7 +482,8 @@ def main(args, logger):
             seed = int(aug_rng.integers(0, 2 ** 31 - 1))
             raw = pipeline.score_batch(
                 b["stack"], b["heights"], b["widths"],
-                jax.random.PRNGKey(seed), crop_hw=in_hw)
+                jax.random.PRNGKey(seed), crop_hw=in_hw,
+                channels=in_channels)
             buf_raw.append(raw)
             buf_idx.append(b["index"])
             buf_valid.append(b["valid"])

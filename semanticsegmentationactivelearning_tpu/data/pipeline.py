@@ -107,10 +107,11 @@ def augment_batch(stack: jnp.ndarray, heights: jnp.ndarray,
     return image, image_dist, label, mask
 
 
-@functools.partial(jax.jit, static_argnames=("crop_hw",))
+@functools.partial(jax.jit, static_argnames=("crop_hw", "channels"))
 def score_batch(stack: jnp.ndarray, heights: jnp.ndarray,
                 widths: jnp.ndarray, key: jax.Array,
-                crop_hw: Tuple[int, int]) -> jnp.ndarray:
+                crop_hw: Tuple[int, int],
+                channels: int | None = None) -> jnp.ndarray:
     """Acquisition-scoring preprocessing: the train path's *raw*
     (undistorted) crop, computed from a label-free stack.
 
@@ -121,8 +122,16 @@ def score_batch(stack: jnp.ndarray, heights: jnp.ndarray,
     stacks and returns only ``image_raw``. For the same ``key`` the
     result equals ``augment_batch(...)[0]`` on the labelled stack —
     the crop/flip PRNG path is shared (``_random_crop_flip``).
+
+    :param channels: image channels to keep (default: every stack
+                     plane — label-free stacks carry image/modality
+                     planes only). Pass the model's input channel
+                     count, like ``augment_batch``, to guard against
+                     an oversized stack.
     """
     crops, _ = _random_crop_flip(stack, heights, widths, key, crop_hw)
+    if channels is not None:
+        crops = crops[..., :channels]
     return crops.astype(jnp.float32) / 255.0
 
 

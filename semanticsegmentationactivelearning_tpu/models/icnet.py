@@ -300,6 +300,13 @@ class ICNet(nn.Module):
         (the AL pool-ranking hot loop, reference
         active_learning.py:229-263)."""
         from ..ops import acquisition, pallas_kernels
+        _n, h, w, _c = image.shape
+        if h % 32 or w % 32:
+            # same guard as __call__ — the Pallas front kernels reshape
+            # the image into 32-px column blocks and would otherwise
+            # die with an opaque reshape error
+            raise ValueError(
+                f"ICNet input dims must be divisible by 32, got {h}x{w}")
         if use_pallas and measure == "entropy":
             # Front: Branch1 + half-res downsample (+ the stem's
             # conv1_1..maxpool when fuse_stem) in one kernel over the

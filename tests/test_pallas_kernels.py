@@ -104,11 +104,26 @@ class TestFusedDecoderEntropyScore:
 
     def test_fused_score_entrypoint(self, model_and_inputs):
         # The model-level entry point used by bench.py /
-        # active_learning, with the REAL production wiring
-        # (fuse_front + fuse_decoder composition, mask threading) run
-        # through the Pallas interpreter — a wiring mistake here would
-        # otherwise only surface on hardware.
+        # active_learning at shapes where W % 32 != 0 and H/8 < 6:
+        # the v1 front + v1 mid + decoder fallback composition, run
+        # through the Pallas interpreter.
         model, variables, x = model_and_inputs
+        got = np.asarray(model.fused_score(
+            variables, x, "entropy", use_pallas=True, interpret=True))
+        want = self._want(model, variables, x)
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+    def test_fused_score_production_path(self, model_and_inputs):
+        # The PRODUCTION composition (W-packed front -> W-packed mid ->
+        # eighth-grid tail with RAW mask1 threading) requires
+        # W % 32 == 0 and H/8 >= 6; ENet is fully convolutional, so the
+        # fixture's variables apply at any size. A wiring mistake in
+        # this branch of ENet.fused_score would otherwise only surface
+        # on hardware.
+        model, variables, _ = model_and_inputs
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3))
+                        .astype(np.float32))
         got = np.asarray(model.fused_score(
             variables, x, "entropy", use_pallas=True, interpret=True))
         want = self._want(model, variables, x)

@@ -104,6 +104,21 @@ class TestScoreBatch:
             np.testing.assert_array_equal(np.asarray(scored),
                                           np.asarray(raw))
 
+    def test_channels_slice_guards_oversized_stack(self):
+        """An explicit channels arg keeps parity with augment_batch
+        even when the scoring stack carries extra planes."""
+        stack = _make_stack()  # 4 planes: 3 image + label
+        h = np.array([16, 12], np.int32)
+        w = np.array([24, 20], np.int32)
+        key = jax.random.PRNGKey(3)
+        raw, _d, _l, _m = pipeline.augment_batch(
+            stack, h, w, key, crop_hw=(8, 12))
+        scored = pipeline.score_batch(
+            stack, h, w, key, crop_hw=(8, 12), channels=3)
+        assert scored.shape == (2, 8, 12, 3)
+        np.testing.assert_array_equal(np.asarray(scored),
+                                      np.asarray(raw))
+
 
 class TestEvalBatch:
     def test_center_crop(self):
