@@ -109,7 +109,7 @@ _HEAD8_W = np.array(
     np.float32) / 32.0
 
 
-def _head8_kernel(x_ref, xu_ref, xd_ref, wcls_ref, bcls_ref,
+def _head8_kernel(x_ref, ru_ref, rd_ref, wcls_ref, bcls_ref,
                   ml_ref, m0_ref, mr_ref, seg_ref, out_ref,
                   *, num_classes: int):
     """ICNet head, fully fused: 1x1 classifier (moved in front of the
@@ -118,13 +118,18 @@ def _head8_kernel(x_ref, xu_ref, xd_ref, wcls_ref, bcls_ref,
     upsample + softmax + normalized entropy of a 1/8-res feature tile,
     accumulated as one scalar per grid cell. Reads 128-channel bf16
     FEATURES rather than logits, so the lane-padded 1/4-res fp32
-    logits (and their shifted copies) never exist in HBM. Column
-    phases are packed into one ``[TH*Wl, 8*C]`` tensor by MXU matmuls
-    against scaled block-identity matrices, and per-phase softmax
-    statistics come from segment-sum matmuls."""
+    logits never exist in HBM; the row-shifted neighbours come from
+    single-row halo BlockSpecs (``ru``/``rd``) whose clipped index
+    maps reproduce the resizes' edge clamping, so no shifted copy of
+    the feature map exists in HBM either. Column phases are packed
+    into one ``[TH*Wl, 8*C]`` tensor by MXU matmuls against scaled
+    block-identity matrices, and per-phase softmax statistics come
+    from segment-sum matmuls."""
     x = x_ref[0]                           # [TH, Wl, Cf] (bf16)
-    xu = xu_ref[0]                         # row i-1 (edge-clamped)
-    xd = xd_ref[0]                         # row i+1 (edge-clamped)
+    ru = ru_ref[0]                         # [1, Wl, Cf] row above tile
+    rd = rd_ref[0]                         # [1, Wl, Cf] row below tile
+    xu = jnp.concatenate([ru, x[:-1]], axis=0)   # rows i-1 (clamped)
+    xd = jnp.concatenate([x[1:], rd], axis=0)    # rows i+1 (clamped)
     i, j = pl.program_id(0), pl.program_id(1)
     f32 = jnp.float32
 
@@ -179,7 +184,7 @@ def fused_head8_entropy_score(features8: jnp.ndarray, wcls: jnp.ndarray,
     Exactness: a 1x1 conv commutes with bilinear resizing, and the
     composed 2x-then-4x upsample is the fixed 8-phase tent filter
     ``_HEAD8_W`` over rows/columns (i-1, i, i+1) — including at image
-    edges, where the edge-replicated shifted copies reproduce both
+    edges, where the clipped halo-row index maps reproduce both
     resize stages' clamping (verified against the two-stage oracle in
     tests/test_icnet.py).
 
@@ -195,9 +200,6 @@ def fused_head8_entropy_score(features8: jnp.ndarray, wcls: jnp.ndarray,
     grid_h = h8 // tile_h
     c = num_classes
 
-    xu = jnp.concatenate([features8[:, :1], features8[:, :-1]], axis=1)
-    xd = jnp.concatenate([features8[:, 1:], features8[:, -1:]], axis=1)
-
     eye = jnp.eye(c, dtype=jnp.float32)
     ml = jnp.concatenate([w[0] * eye for w in _HEAD8_W], axis=-1)
     m0 = jnp.concatenate([w[1] * eye for w in _HEAD8_W], axis=-1)
@@ -206,6 +208,17 @@ def fused_head8_entropy_score(features8: jnp.ndarray, wcls: jnp.ndarray,
 
     spec = pl.BlockSpec((1, tile_h, w8, cf), lambda i, j: (i, j, 0, 0),
                         memory_space=pltpu.VMEM)
+    # single-row halos: the rows just above/below this tile; clipping
+    # at the image edges replicates the boundary row, exactly the
+    # bilinear resizes' edge clamp
+    up_spec = pl.BlockSpec(
+        (1, 1, w8, cf),
+        lambda i, j: (i, jnp.clip(j * tile_h - 1, 0, h8 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    dn_spec = pl.BlockSpec(
+        (1, 1, w8, cf),
+        lambda i, j: (i, jnp.clip(j * tile_h + tile_h, 0, h8 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
     wcls2 = wcls.reshape(cf, c)
@@ -213,13 +226,13 @@ def fused_head8_entropy_score(features8: jnp.ndarray, wcls: jnp.ndarray,
     partial_sums = pl.pallas_call(
         functools.partial(_head8_kernel, num_classes=num_classes),
         grid=(n, grid_h),
-        in_specs=[spec, spec, spec, const(wcls2), const(bcls2),
+        in_specs=[spec, up_spec, dn_spec, const(wcls2), const(bcls2),
                   const(ml), const(m0), const(mr), const(seg)],
         out_specs=pl.BlockSpec((n, grid_h), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n, grid_h), jnp.float32),
         interpret=interpret,
-    )(features8, xu, xd, wcls2, bcls2, ml, m0, mr, seg)
+    )(features8, features8, features8, wcls2, bcls2, ml, m0, mr, seg)
 
     return jnp.sum(partial_sums, axis=1) / jnp.float32(64 * h8 * w8)
 
