@@ -34,6 +34,7 @@ import numpy as np
 from semanticsegmentationactivelearning_tpu.data import (device_prefetch,
                                                          loader, pipeline,
                                                          sampler)
+from semanticsegmentationactivelearning_tpu import parallel
 from semanticsegmentationactivelearning_tpu.models import get_model
 from semanticsegmentationactivelearning_tpu.ops import metrics as xmetrics
 from semanticsegmentationactivelearning_tpu.train import (
@@ -224,7 +225,13 @@ def main(args, logger):
         model_kwargs["dtype"] = jnp.bfloat16
     model = get_model(params["network"]["model"], dataset.num_classes,
                       **model_kwargs)
-    optimizer = optim.make_optimizer(hparams)
+    # decay_steps = batches per epoch over the initially-labelled set
+    # (the reference *intended* per-epoch inverse-time decay like
+    # train.py but its `train_batches` was undefined in this file —
+    # NameError whenever learning_rate_decay > 0, reference
+    # active_learning.py:316-318; all shipped AL confs use 0.0)
+    optimizer = optim.make_optimizer(
+        hparams, train_loader.num_batches(max(len(labelled), 1)))
     tstate = create_train_state(model, optimizer,
                                 jax.random.PRNGKey(args.seed), in_hw,
                                 channels=in_channels,
@@ -255,9 +262,7 @@ def main(args, logger):
                   "threshold": alparams["threshold"]}
     mesh = None
     if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
-        from semanticsegmentationactivelearning_tpu.parallel import \
-            make_mesh
-        mesh = make_mesh()
+        mesh = parallel.make_mesh()
         logger.info("Data-parallel over %d devices", jax.device_count())
     train_step = make_train_step(model, optimizer, dataset.num_classes,
                                  hparams, pseudo_cfg=pseudo_cfg,
@@ -268,10 +273,9 @@ def main(args, logger):
     # per-conv halo exchanges; parallel.make_mesh_auto).
     score_mesh = mesh
     if mesh is not None:
-        from semanticsegmentationactivelearning_tpu.parallel import \
-            make_mesh_auto
         dtype_bytes = 2 if "dtype" in model_kwargs else 4
-        auto = make_mesh_auto(batch_size, in_hw, dtype_bytes=dtype_bytes)
+        auto = parallel.make_mesh_auto(batch_size, in_hw,
+                                       dtype_bytes=dtype_bytes)
         if "space" in auto.axis_names:
             score_mesh = auto
             logger.info("Spatially-sharded scoring engaged: mesh %s",
@@ -301,10 +305,8 @@ def main(args, logger):
     aug_rng = np.random.default_rng(args.seed + 2)
     # double-buffered H2D upload of the uint8 stacks (pre-sharded over
     # the mesh) so transfer overlaps the in-flight step's compute
-    stack_sharding = None
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        stack_sharding = NamedSharding(mesh, P("data"))
+    stack_sharding = parallel.data_sharded(mesh) if mesh is not None \
+        else None
 
     def _prefetched(batches):
         return device_prefetch.device_prefetch(batches,
@@ -466,9 +468,17 @@ def main(args, logger):
         def flush():
             if not buf_raw:
                 return
-            if pool_score_step is not None and len(buf_raw) > 1:
+            n_rows = sum(r.shape[0] for r in buf_raw)
+            if pool_score_step is not None:
+                # pad a short tail group by repeating the last
+                # micro-batch: every dispatch then reuses the one
+                # compiled group shape (a fresh shape costs a
+                # multi-minute remote compile through the relay);
+                # padded rows are cut before the valid-mask scatter
+                while len(buf_raw) < score_group:
+                    buf_raw.append(buf_raw[-1])
                 scores = pool_score_step(
-                    tstate, jnp.concatenate(buf_raw, axis=0))
+                    tstate, jnp.concatenate(buf_raw, axis=0))[:n_rows]
             else:
                 scores = jnp.concatenate([
                     score_step(tstate, {"image": r}) for r in buf_raw])

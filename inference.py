@@ -81,16 +81,28 @@ def main(args):
     # the record dims before writing.
     div = getattr(model, "input_divisor", 1)
     store_hw = (-(-height // div) * div, -(-width // div) * div)
+    # extra modality planes (`-m nir ...`) stack after RGB, matching
+    # the train-time decoder — a checkpoint trained with modalities
+    # needs the same input channel count here or restore would keep a
+    # shape-mismatched (random) stem
+    modalities = tuple(m for m in (getattr(args, "modalities", None)
+                                   or ())
+                       if m not in ("rgb", "image"))
     rec_loader = loader.RecordLoader(files, args.batch_size,
                                      storage_hw=store_hw,
-                                     channels=3)
+                                     modalities=modalities,
+                                     with_label=False)
+    in_channels = rec_loader.channels
+    if modalities:
+        logger.info("Stacking modalities %s -> %d input channels",
+                    list(modalities), in_channels)
 
     # Build + restore state (params/batch_stats only are used)
     from semanticsegmentationactivelearning_tpu.train import (
         create_train_state, optim)
     state = create_train_state(
         model, optim.make_optimizer({}), jax.random.PRNGKey(0),
-        store_hw)
+        store_hw, channels=in_channels)
     logger.info("Loading checkpoint %s", args.ckpt)
     state = ckpt.restore_checkpoint(args.ckpt, state)
     logger.info("Checkpoint loaded")
@@ -106,7 +118,7 @@ def main(args):
 
     @jax.jit
     def predict(stack):
-        image = stack[..., :3].astype(jnp.float32) / 255.0
+        image = stack[..., :in_channels].astype(jnp.float32) / 255.0
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             image, training=False)
@@ -217,6 +229,11 @@ def parse_arguments(argv=None):
                         help="Size of the output images.")
     parser.add_argument("--color", action="store_true", required=False,
                         default=False, dest="color")
+    parser.add_argument("--modalities", type=str, nargs="+",
+                        default=[], dest="modalities", required=False,
+                        help="Extra record modalities stacked after "
+                             "RGB (must match training, e.g. "
+                             "nir_gray).")
     parser.add_argument("-b", "--batch-size", type=int, default=1,
                         dest="batch_size", required=False)
     parser.add_argument("--view", action="store_true", default=False,

@@ -67,7 +67,7 @@ def load_stack(path: str, storage_hw: Tuple[int, int], channels: int = 3,
         img = np.repeat(img[:, :, :1], img_ch, axis=2)
     h = min(img.shape[0], sh)
     w = min(img.shape[1], sw)
-    if (img.shape[0], img.shape[1]) > (sh, sw):
+    if img.shape[0] > sh or img.shape[1] > sw:
         logger.warning("Example %s (%dx%d) exceeds storage %dx%d; cropping",
                        ex.file_id, img.shape[0], img.shape[1], sh, sw)
     stack[:h, :w, :img_ch] = img[:h, :w, :img_ch]
@@ -298,26 +298,46 @@ class RecordLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error_holder = []
+        # Set when the consumer abandons the generator mid-iteration
+        # (break / exception between yields): without it the producer
+        # would block forever on the full queue, pinning its thread,
+        # the worker pool, and ~prefetch decoded stacks.
+        stop = threading.Event()
+
+        def bounded_put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 with concurrent.futures.ThreadPoolExecutor(
                         self.num_workers) as pool:
                     for chunk in chunks:
-                        out_q.put(self._assemble(chunk, pool))
+                        if stop.is_set() or \
+                                not bounded_put(self._assemble(chunk,
+                                                               pool)):
+                            return
             except BaseException as exc:  # propagate to consumer
                 error_holder.append(exc)
             finally:
-                out_q.put(sentinel)
+                bounded_put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            thread.join()
         if error_holder:
             raise error_holder[0]
 

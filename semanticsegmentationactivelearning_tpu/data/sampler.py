@@ -45,14 +45,19 @@ class IndexSampler:
             self._sample_prob = None
             return
         self._indices = np.asarray(indices, dtype=np.int64)
+        # probabilities never outlive the sample set they were sized for
+        self._sample_prob = None
         if sample_indices is None:
             self._sample_set = self._full_range[
                 np.isin(self._full_range, self._indices, invert=True)]
         else:
             self._sample_set = np.asarray(sample_indices, dtype=np.int64)
-            if sample_prob is not None and \
-                    len(sample_prob) == len(self._sample_set):
-                self._sample_prob = np.asarray(sample_prob)
+        if sample_prob is not None:
+            if len(sample_prob) != len(self._sample_set):
+                raise ValueError(
+                    f"sample_prob length {len(sample_prob)} != sample "
+                    f"set size {len(self._sample_set)}")
+            self._sample_prob = np.asarray(sample_prob)
 
     def set_sample_size(self, size: int) -> int:
         self._sample_size = int(size)

@@ -131,7 +131,9 @@ def make_mesh(num_devices: Optional[int] = None,
     :param axis_names: 1-D ``("data",)`` (default) or 2-D
                        ``("data", "space")``
     :param shape:      explicit mesh shape; defaults to all devices on
-                       one axis
+                       one axis (1-D) or a balanced split whose space
+                       degree is the largest power-of-2 divisor of
+                       ``n`` not exceeding sqrt(n) (2-D)
     """
     devices = jax.devices()
     n = num_devices if num_devices is not None else len(devices)
@@ -139,8 +141,11 @@ def make_mesh(num_devices: Optional[int] = None,
         raise ValueError(
             f"Requested {n} devices but only {len(devices)} available")
     if shape is None:
-        shape = (n,) if len(axis_names) == 1 else \
-            (n // _largest_pow2_leq(n, n), _largest_pow2_leq(n, n))
+        if len(axis_names) == 1:
+            shape = (n,)
+        else:
+            space = _largest_pow2_divisor(n, int(np.sqrt(n)))
+            shape = (n // space, space)
     mesh_devices = np.array(devices[:n]).reshape(shape)
     return Mesh(mesh_devices, tuple(axis_names))
 
@@ -198,9 +203,10 @@ def make_mesh_auto(batch_size: int, input_hw: Sequence[int],
         else make_mesh(1)
 
 
-def _largest_pow2_leq(n: int, cap: int) -> int:
+def _largest_pow2_divisor(n: int, cap: int) -> int:
+    """Largest power of 2 that divides ``n`` and is <= ``cap``."""
     p = 1
-    while p * 2 <= min(n, cap):
+    while p * 2 <= cap and n % (p * 2) == 0:
         p *= 2
     return p
 
@@ -212,6 +218,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def data_sharded(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the ``data`` mesh axis."""
     return NamedSharding(mesh, P("data"))
+
+
+def image_sharded(mesh: Mesh) -> NamedSharding:
+    """Sharding for NHWC image tensors: batch over ``data``, plus W
+    over ``space`` when the mesh has a spatial axis."""
+    if "space" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", None, "space"))
+    return data_sharded(mesh)
 
 
 def check_batch_divisible(batch_size: int, mesh: Mesh) -> None:

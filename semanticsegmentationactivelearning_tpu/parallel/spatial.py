@@ -24,30 +24,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def halo_exchange_width(x: jnp.ndarray, axis_name: str,
-                        halo: int) -> jnp.ndarray:
-    """Pad a width-sharded block with ``halo`` columns from each
-    neighbor (zeros at the global edges).
+                        halo: int, halo_right: int | None = None
+                        ) -> jnp.ndarray:
+    """Pad a width-sharded block with neighbor columns (zeros at the
+    global edges): ``halo`` columns from the left neighbor and
+    ``halo_right`` (default: ``halo``) from the right neighbor.
 
     Runs inside ``shard_map``; ``x`` is the per-device block
-    ``[N, H, W_local, C]``; returns ``[N, H, W_local + 2*halo, C]``.
+    ``[N, H, W_local, C]``; returns
+    ``[N, H, halo + W_local + halo_right, C]``.
     """
-    idx = jax.lax.axis_index(axis_name)
+    if halo_right is None:
+        halo_right = halo
     n_dev = jax.lax.axis_size(axis_name)
-
-    left_edge = x[:, :, :halo]        # columns this device sends right
-    right_edge = x[:, :, -halo:]      # columns this device sends left
 
     # receive the right edge of the left neighbor / left edge of the
     # right neighbor; ppermute fills unmatched targets with zeros,
     # which is exactly SAME-padding behavior at the global boundary
-    from_left = jax.lax.ppermute(
-        right_edge, axis_name,
-        [(i, i + 1) for i in range(n_dev - 1)])
-    from_right = jax.lax.ppermute(
-        left_edge, axis_name,
-        [(i + 1, i) for i in range(n_dev - 1)])
-    del idx
-    return jnp.concatenate([from_left, x, from_right], axis=2)
+    parts = []
+    if halo:
+        parts.append(jax.lax.ppermute(
+            x[:, :, -halo:], axis_name,
+            [(i, i + 1) for i in range(n_dev - 1)]))
+    parts.append(x)
+    if halo_right:
+        parts.append(jax.lax.ppermute(
+            x[:, :, :halo_right], axis_name,
+            [(i + 1, i) for i in range(n_dev - 1)]))
+    return jnp.concatenate(parts, axis=2) if len(parts) > 1 else x
+
+
+def _same_pads(size: int, k: int, s: int) -> Tuple[int, int]:
+    """XLA's SAME padding pair for one dimension."""
+    out = -(-size // s)
+    pad = max((out - 1) * s + k - size, 0)
+    lo = pad // 2
+    return lo, pad - lo
 
 
 def make_sharded_conv(mesh: Mesh, kernel_w: int, axis_name: str = "space",
@@ -55,17 +67,36 @@ def make_sharded_conv(mesh: Mesh, kernel_w: int, axis_name: str = "space",
     """Build a width-sharded SAME conv: halo exchange + local conv.
 
     The local convolution runs VALID over the halo-extended block in W
-    (and SAME in H), which reproduces the global SAME result exactly
-    when ``W_local`` is divisible by the stride.
+    (with XLA's asymmetric SAME padding split across the halos) and
+    explicit SAME padding in H, which reproduces the global SAME result
+    exactly provided each device's ``W_local`` is divisible by the W
+    stride and ``kernel_w >= stride``.
     """
-    halo = (kernel_w - 1) // 2
+    s_h, s_w = strides
+    if kernel_w < s_w:
+        raise ValueError(
+            f"kernel_w ({kernel_w}) must be >= the W stride ({s_w})")
+    # With W_local (hence global W) divisible by s_w, the global SAME
+    # W padding is exactly (kernel_w - s_w) total, split lo/hi like
+    # XLA: lo = total // 2. The left shard's ppermute zero-fill
+    # provides pad_lo, the right shard's provides pad_hi, and interior
+    # windows align because pad_lo columns of halo shift every local
+    # VALID window to the global grid.
+    halo_l = (kernel_w - s_w) // 2
+    halo_r = (kernel_w - s_w) - halo_l
     shard_map = jax.shard_map
 
     def _local(x, kernel):
-        padded = halo_exchange_width(x, axis_name, halo) if halo else x
+        if x.shape[2] % s_w:
+            raise ValueError(
+                f"W_local ({x.shape[2]}) must be divisible by the W "
+                f"stride ({s_w}) for a width-sharded conv")
+        padded = halo_exchange_width(x, axis_name, halo_l, halo_r) \
+            if (halo_l or halo_r) else x
         return jax.lax.conv_general_dilated(
             padded, kernel, window_strides=strides,
-            padding=((kernel.shape[0] // 2,) * 2, (0, 0)),
+            padding=(_same_pads(x.shape[1], kernel.shape[0], s_h),
+                     (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     in_specs = (P(None, None, axis_name, None), P())

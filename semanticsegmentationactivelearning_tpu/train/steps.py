@@ -65,7 +65,7 @@ def create_train_state(model, optimizer: optax.GradientTransformation,
                       epoch=jnp.zeros((), jnp.int32))
 
 
-def _mesh_shardings(mesh, num_batch_args: int = 1):
+def _mesh_shardings(mesh):
     """jit sharding kwargs for a step over a ``("data",)`` (or
     ``("data", "space")``) mesh: state and PRNG keys replicated, batch
     leaves sharded on the batch axis; with a ``space`` axis, NHWC
@@ -75,16 +75,12 @@ def _mesh_shardings(mesh, num_batch_args: int = 1):
     §5 long-context analogue). With no mesh, plain single-device jit."""
     if mesh is None:
         return {}
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    out = {"repl": repl, "data": data}
-    if "space" in mesh.axis_names:
-        # batch on data, W on space: full-res images whose activations
-        # exceed per-chip HBM split their spatial work across the mesh
-        out["image"] = NamedSharding(mesh, P("data", None, "space"))
-    else:
-        out["image"] = data
+    from ..parallel import mesh as pmesh
+    out = {"repl": pmesh.replicated(mesh),
+           "data": pmesh.data_sharded(mesh)}
+    # batch on data, W on space: full-res images whose activations
+    # exceed per-chip HBM split their spatial work across the mesh
+    out["image"] = pmesh.image_sharded(mesh)
     return out
 
 

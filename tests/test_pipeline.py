@@ -218,6 +218,21 @@ class TestRecordLoader:
             np.testing.assert_array_equal(bl["stack"],
                                           bf["stack"][..., :3])
 
+    def test_abandoned_iterator_reaps_producer(self, record_dir):
+        """Closing batches() mid-iteration must unblock and join the
+        producer thread (it used to stay parked forever in a full
+        queue's put, pinning the worker pool and prefetched stacks)."""
+        import threading
+        files = sorted(str(p) for p in record_dir.glob("*.tfrecord"))
+        ld = loader.RecordLoader(files, batch_size=1, prefetch=1)
+        before = set(threading.enumerate())
+        it = ld.batches()
+        next(it)          # producer now blocked on the full out_q
+        it.close()        # GeneratorExit -> stop event + join
+        leaked = [t for t in threading.enumerate()
+                  if t not in before and t.is_alive()]
+        assert not leaked, f"producer threads leaked: {leaked}"
+
     def test_order_respected(self, record_dir):
         files = sorted(str(p) for p in record_dir.glob("*.tfrecord"))
         ld = loader.RecordLoader(files, batch_size=2)

@@ -34,6 +34,27 @@ class TestShardedConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
 
+    @pytest.mark.parametrize("kernel_w,strides", [
+        (3, (2, 2)), (5, (2, 2)), (2, (2, 2)), (3, (1, 2)), (3, (2, 1))])
+    def test_strided_matches_unsharded(self, mesh, kernel_w, strides):
+        """Strided SAME needs XLA's asymmetric padding split across the
+        halos; W_local (64/8 = 8) is divisible by every stride here."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 8, 64, 4)).astype(np.float32))
+        k = jnp.asarray(rng.normal(
+            size=(3, kernel_w, 4, 6)).astype(np.float32))
+        want = jax.lax.conv_general_dilated(
+            x, k, window_strides=strides, padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        conv = spatial.make_sharded_conv(mesh, kernel_w, strides=strides)
+        got = conv(spatial.shard_width(x, mesh), k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_kernel_smaller_than_stride_raises(self, mesh):
+        with pytest.raises(ValueError, match="must be >="):
+            spatial.make_sharded_conv(mesh, 1, strides=(1, 2))
+
     def test_halo_exchange_boundaries(self, mesh):
         """Global edges receive zero halos, interior shards receive
         their neighbors' columns."""
