@@ -88,10 +88,17 @@ def read_example(path: str) -> SegExample:
     return parse_example(data)
 
 
+def image_channels(ex: SegExample) -> int:
+    """Channel count of the base ``image`` plane from a parsed
+    example's header (legacy records without an ``image/channels``
+    field default to RGB). Single home for the header convention —
+    shared by ``peek_dims`` and the loader's ``probe_channels``."""
+    return ex.modalities.get("image", (b"", "", 3))[2] \
+        if ex.modalities else 3
+
+
 def peek_dims(path: str) -> Tuple[int, int, int]:
     """Peek (height, width, channels) of the first record without decoding
     image payloads (reference: inference.py:75-83)."""
     ex = read_example(path)
-    channels = ex.modalities.get("image", (b"", "", 3))[2] \
-        if ex.modalities else 3
-    return ex.height, ex.width, channels
+    return ex.height, ex.width, image_channels(ex)

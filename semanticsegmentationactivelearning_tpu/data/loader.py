@@ -85,6 +85,14 @@ def load_stack(path: str, storage_hw: Tuple[int, int], channels: int = 3,
             raise ValueError(
                 f"Record {path}: modality channels exceed total "
                 f"{channels}")
+        if marr.shape[:2] != img.shape[:2]:
+            # mirror the ETL's cross-modality shape check (reference
+            # generate_dataset.py:189-195) instead of a raw numpy
+            # broadcast error from deep inside the worker pool
+            raise ValueError(
+                f"Record {path}: modality '{mod}' is "
+                f"{marr.shape[0]}x{marr.shape[1]} but the image plane "
+                f"is {img.shape[0]}x{img.shape[1]}")
         stack[:h, :w, c0:c0 + mc] = marr[:h, :w]
         c0 += mc
     if modalities and c0 != channels:
@@ -105,7 +113,7 @@ def probe_channels(path: str, modalities: Sequence[str] = ()) -> int:
     record's header — no image decode."""
     ex = example.read_example(path)
     mods = ex.modalities or {}
-    total = mods.get("image", (None, None, 3))[2]
+    total = example.image_channels(ex)
     for m in modalities:
         if m not in mods:
             raise ValueError(f"Record {path} has no '{m}' modality")

@@ -218,6 +218,12 @@ class ENet(nn.Module):
         # the eighth-grid tail kernel's halo window needs >= 6 eighth
         # rows; tiny inputs take the stage4+decoder path instead
         fuse_tail = fuse_tail and image.shape[1] // 8 >= 6
+        # both front kernels window 6 quarter-res rows of halo, so
+        # inputs under 24 px tall fall back to the eighth-res decoder
+        # kernel over a full XLA encoder instead of dying in read_img
+        # (probed in interpret mode: H>=24 works at every width, H<=16
+        # crashes; the decoder-only path is exact down to 8x16)
+        fuse_front = fuse_front and image.shape[1] >= 24
         if use_pallas and measure == "entropy" and fuse_decoder:
             if fuse_front:
                 # image -> stage1 and stage5 -> entropy run as fused

@@ -118,3 +118,34 @@ def test_train_cli_four_channels(records, tmp_path):
              (log_dir / "metrics.jsonl").read_text().splitlines()]
     assert any(l["split"] == "train" for l in lines)
     assert (log_dir / "model-1.ckpt").exists()
+
+def test_loader_modality_dim_mismatch_raises(tmp_path):
+    """A modality plane whose dimensions differ from the image plane
+    must raise the loader's descriptive ValueError (mirroring the ETL's
+    cross-modality shape check, reference generate_dataset.py:189-195),
+    not a numpy broadcast error from inside the worker pool."""
+    import io
+
+    from PIL import Image as PILImage
+
+    from semanticsegmentationactivelearning_tpu.data import (
+        example, loader, tfrecord)
+
+    def png(arr):
+        buf = io.BytesIO()
+        PILImage.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rng = np.random.default_rng(3)
+    img = png(rng.integers(0, 255, (32, 48, 3)).astype(np.uint8))
+    nir = png(rng.integers(0, 255, (16, 48)).astype(np.uint8))  # wrong H
+    ex = example.SegExample(
+        file_id="bad", height=32, width=48,
+        label=png(np.zeros((32, 48), np.uint8)),
+        modalities={"image": (img, "png", 3), "nir": (nir, "png", 1)})
+    path = tmp_path / "bad.tfrecord"
+    tfrecord.write_record_file(str(path), example.make_example(ex))
+
+    with pytest.raises(ValueError, match="nir.*16x48|16x48.*nir"):
+        loader.load_stack(str(path), (32, 48), channels=4,
+                          modalities=("nir",))

@@ -129,6 +129,21 @@ class TestFusedDecoderEntropyScore:
         want = self._want(model, variables, x)
         np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
+    def test_fused_score_tiny_input_fallback(self, model_and_inputs):
+        # Inputs under 24 px tall are below the front kernels' halo
+        # window: fused_score must degrade to the eighth-res decoder
+        # kernel over an XLA encoder (exactly), not crash in read_img.
+        model, variables, _ = model_and_inputs
+        rng = np.random.default_rng(11)
+        for h, w in ((16, 32), (8, 16)):
+            x = jnp.asarray(rng.uniform(size=(1, h, w, 3))
+                            .astype(np.float32))
+            got = np.asarray(model.fused_score(
+                variables, x, "entropy", use_pallas=True,
+                interpret=True))
+            want = self._want(model, variables, x)
+            np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
     def test_single_tile_fallback(self, model_and_inputs):
         model, variables, x = model_and_inputs
         f4, sw1 = model.apply(variables, x, training=False,
