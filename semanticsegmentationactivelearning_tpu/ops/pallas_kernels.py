@@ -2795,26 +2795,29 @@ def pack_icnet_front(variables):
         f0=jnp.asarray(f0), fl=jnp.asarray(fl))
 
 
-def _icnet_front_kernel(rawp_ref, rawc_ref, rawn_ref,
-                        w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                        bm_ref, b0_ref, bp_ref, f0_ref, fl_ref,
-                        f1_ref, xh_ref, s1e, s1o, s2e, s2o, *, h: int):
-    """ICNet front kernel; see the section comment. Each grid cell
-    produces 4 rows of f1 (= 32 image rows) and 16 rows of x_half."""
-    t = pl.program_id(1)
+def _make_icnet_front_ops(rawp_ref, rawc_ref, rawn_ref, t, h, dt,
+                          bm_ref, b0_ref, bp_ref, f0_ref, fl_ref):
+    """Shared body of the two ICNet front kernels
+    (:func:`_icnet_front_kernel` / :func:`_icnet_front_stem_kernel`):
+    raw-image row access with SAME zero padding, 32-px block shifts,
+    lifted stride-2/stride-1 conv row chunks, the 4-tap antialiased
+    half-res tent row with top/bottom edge renormalization, and the
+    half-res column downsample with left/right edge renormalization.
+    One home for the resize weights, edge handling, and conv row
+    masking so the fuse_stem=True/False paths cannot diverge (cf.
+    :func:`_make_mid_ops_w` for the ENet mid kernels)."""
     f32 = jnp.float32
-    dt = s1e.dtype
     wq = rawc_ref.shape[2]
-    tl = h // 32 - 1
+    h2, h4 = h // 2, h // 4
 
     def mm(a2d, w):
         return jnp.dot(a2d, w.astype(a2d.dtype),
                        preferred_element_type=f32)
 
     def img_row(local):
-        """One raw image row [wq, 96], local index in [-8, 40) relative
-        to this tile's 32-row window; rows outside [0, H) read zeros
-        (the SAME conv zero padding)."""
+        """One raw image row [wq, 96], local index in [-32, 64)
+        relative to this tile's 32-row window; rows outside [0, H)
+        read zeros (the SAME conv zero padding)."""
         if local < 0:
             v = rawp_ref[0, 32 + local]
         elif local < 32:
@@ -2828,87 +2831,140 @@ def _icnet_front_kernel(rawp_ref, rawc_ref, rawn_ref,
         return jnp.concatenate([a3d[:, 1:], jnp.zeros_like(a3d[:, :1])],
                                axis=1)
 
+    def shift_p(a3d):    # previous block (zeros in: left image edge)
+        return jnp.concatenate([jnp.zeros_like(a3d[:, :1]), a3d[:, :-1]],
+                               axis=1)
+
     flat = lambda a: a.reshape(a.shape[0] * wq, a.shape[2])
 
-    def conv_rows(rows_by_dy, w_ref, b_ref, gbase, glimit):
-        """One chunk of a lifted stride-2 conv: ``rows_by_dy[dy]`` is
-        the [m, wq, lanes] operand for row tap dy; masks out rows whose
-        global index gbase+r >= glimit (SAME zero rows past the edge
-        carry folded-BN bias otherwise)."""
-        acc = None
-        for dy, x in enumerate(rows_by_dy):
-            a = mm(flat(x), w_ref[2 * dy]) \
-                + mm(flat(shift_n(x)), w_ref[2 * dy + 1])
-            acc = a if acc is None else acc + a
-        m = rows_by_dy[0].shape[0]
+    def finish(acc, m, b_ref, gbase, glimit):
+        """Bias + ReLU + row masking shared by the lifted convs: rows
+        whose global index falls outside [0, glimit) are SAME zero
+        padding and must not carry relu(bias)."""
         out = jnp.maximum(acc + b_ref[...].astype(f32),
                           jnp.zeros((), f32))
         out = out.reshape(m, wq, out.shape[-1]).astype(dt)
         rows = jax.lax.broadcasted_iota(
             jnp.int32, (m, 1, 1), 0) + gbase
-        return jnp.where(rows < glimit, out, jnp.zeros((), dt))
+        return jnp.where((rows >= 0) & (rows < glimit), out,
+                         jnp.zeros((), dt))
 
-    # --- conv1: rows k_local 0..18 (k = 16t + k_local), taps at image
-    # rows 2k+dy; even k_local -> s1e[k_local/2], odd -> s1o[...] ---
-    def c1_operands(a, m):
-        return [jnp.stack([img_row(2 * k + dy)
-                           for k in range(a, a + m)])
-                for dy in (0, 1, 2)]
+    def conv_rows(rows_by_dy, w_ref, b_ref, gbase, glimit):
+        """One chunk of a lifted stride-2 conv (dj in (0, 1)):
+        ``rows_by_dy[dy]`` is the [m, wq, lanes] operand for row tap
+        dy."""
+        acc = None
+        for dy, x in enumerate(rows_by_dy):
+            a = mm(flat(x), w_ref[2 * dy]) \
+                + mm(flat(shift_n(x)), w_ref[2 * dy + 1])
+            acc = a if acc is None else acc + a
+        return finish(acc, rows_by_dy[0].shape[0], b_ref, gbase, glimit)
 
-    for c in range(9):
-        out = conv_rows(c1_operands(2 * c, 2), w1_ref, b1_ref,
-                        16 * t + 2 * c, h // 2)
-        s1e[c] = out[0]
-        s1o[c] = out[1]
-    s1e[9] = conv_rows(c1_operands(18, 1), w1_ref, b1_ref,
-                       16 * t + 18, h // 2)[0]
+    def conv_s1(rows_by_dy, w_ref, b_ref, gbase, glimit):
+        """One chunk of a lifted stride-1 3x3 conv (dj in (-1, 0, 1),
+        _wpack_conv3 order)."""
+        acc = None
+        for dy, x in enumerate(rows_by_dy):
+            a = (mm(flat(shift_p(x)), w_ref[3 * dy])
+                 + mm(flat(x), w_ref[3 * dy + 1])
+                 + mm(flat(shift_n(x)), w_ref[3 * dy + 2]))
+            acc = a if acc is None else acc + a
+        return finish(acc, rows_by_dy[0].shape[0], b_ref, gbase, glimit)
 
-    # --- conv2: rows j_local 0..8 (j = 8t + j_local), taps at conv1
-    # rows 2j+dy -> (s1e[j_local], s1o[j_local], s1e[j_local+1]) ---
-    def c2_operands(a, m):
-        return [s1e[a:a + m], s1o[a:a + m], s1e[a + 1:a + m + 1]]
-
-    for c in range(4):
-        out = conv_rows(c2_operands(2 * c, 2), w2_ref, b2_ref,
-                        8 * t + 2 * c, h // 4)
-        s2e[c] = out[0]
-        s2o[c] = out[1]
-    s2e[4] = conv_rows(c2_operands(8, 1), w2_ref, b2_ref,
-                       8 * t + 8, h // 4)[0]
-
-    # --- conv3 -> f1: rows r_local 0..3, taps (s2e[r], s2o[r],
-    # s2e[r+1]); all four rows are valid (glimit 4 disables the mask)
-    f1_ref[0] = conv_rows([s2e[0:4], s2o[0:4], s2e[1:5]],
-                          w3_ref, b3_ref, 0, 4)
-
-    # --- x_half: 16 half rows; 4-tap antialiased tent over image rows
-    # 2i-1..2i+2 with renormalized weights at the top/bottom edge ---
-    rows = []
-    for il in range(16):
+    def half_row(il, edges=True):
+        """Half-res row il (local to this tile): 4-tap antialiased tent
+        over image rows 2i-1..2i+2, with renormalized weights at the
+        top/bottom image edge and zeros outside [0, H/2). Callers that
+        know il is strictly interior pass edges=False to skip the edge
+        selects."""
+        g = 16 * t + il
         rm1 = img_row(2 * il - 1)
         r0 = img_row(2 * il)
         rp1 = img_row(2 * il + 1)
         rp2 = img_row(2 * il + 2)
         row = .125 * rm1 + .375 * r0 + .375 * rp1 + .125 * rp2
-        if il == 0:
-            row = jnp.where(t == 0,
-                            (3 / 7) * r0 + (3 / 7) * rp1 + (1 / 7) * rp2,
-                            row)
-        if il == 15:
-            row = jnp.where(t == tl,
-                            (1 / 7) * rm1 + (3 / 7) * r0 + (3 / 7) * rp1,
-                            row)
-        rows.append(row)
-    x = jnp.stack(rows)                                  # [16, wq, 96]
-    xm = jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
-    xp = shift_n(x)
-    xh = (mm(flat(xm), bm_ref[...]) + mm(flat(x), b0_ref[...])
-          + mm(flat(xp), bp_ref[...]))
-    bidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    zero = jnp.zeros((), x.dtype)
-    xh = xh + mm(flat(jnp.where(bidx == 0, x, zero)), f0_ref[...])
-    xh = xh + mm(flat(jnp.where(bidx == wq - 1, x, zero)), fl_ref[...])
-    xh_ref[0] = xh.reshape(16, wq, 48).astype(dt)
+        if not edges:
+            return row
+        row = jnp.where(g == 0, (3 / 7) * r0 + (3 / 7) * rp1
+                        + (1 / 7) * rp2, row)
+        row = jnp.where(g == h2 - 1, (1 / 7) * rm1 + (3 / 7) * r0
+                        + (3 / 7) * rp1, row)
+        return jnp.where((g >= 0) & (g < h2), row,
+                         jnp.zeros((), row.dtype))
+
+    def cols_half(x):
+        """Column 2x downsample [m, wq, 96] -> [m, wq, 48] with the
+        first/last-image-column renormalization."""
+        m = x.shape[0]
+        v = (mm(flat(shift_p(x)), bm_ref[...]) + mm(flat(x), b0_ref[...])
+             + mm(flat(shift_n(x)), bp_ref[...]))
+        bidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        zero = jnp.zeros((), x.dtype)
+        v = v + mm(flat(jnp.where(bidx == 0, x, zero)), f0_ref[...])
+        v = v + mm(flat(jnp.where(bidx == wq - 1, x, zero)), fl_ref[...])
+        return v.reshape(m, wq, 48).astype(dt)
+
+    def branch1(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                s1e, s1o, s2e, s2o):
+        """Branch1 conv1 -> conv2 -> conv3 over one 32-row tile;
+        returns the tile's [4, wq, 256] f1 block.
+
+        conv1: rows k_local 0..18 (k = 16t + k_local), taps at image
+        rows 2k+dy; even k_local -> s1e[k_local/2], odd -> s1o[...].
+        conv2: rows j_local 0..8 (j = 8t + j_local), taps at conv1
+        rows 2j+dy -> (s1e[j_local], s1o[j_local], s1e[j_local+1]).
+        conv3: rows r_local 0..3, taps (s2e[r], s2o[r], s2e[r+1]); all
+        four rows are valid (glimit 4 disables the mask)."""
+        def c1_operands(a, m):
+            return [jnp.stack([img_row(2 * k + dy)
+                               for k in range(a, a + m)])
+                    for dy in (0, 1, 2)]
+
+        for c in range(9):
+            out = conv_rows(c1_operands(2 * c, 2), w1_ref, b1_ref,
+                            16 * t + 2 * c, h2)
+            s1e[c] = out[0]
+            s1o[c] = out[1]
+        s1e[9] = conv_rows(c1_operands(18, 1), w1_ref, b1_ref,
+                           16 * t + 18, h2)[0]
+
+        def c2_operands(a, m):
+            return [s1e[a:a + m], s1o[a:a + m], s1e[a + 1:a + m + 1]]
+
+        for c in range(4):
+            out = conv_rows(c2_operands(2 * c, 2), w2_ref, b2_ref,
+                            8 * t + 2 * c, h4)
+            s2e[c] = out[0]
+            s2o[c] = out[1]
+        s2e[4] = conv_rows(c2_operands(8, 1), w2_ref, b2_ref,
+                           8 * t + 8, h4)[0]
+
+        return conv_rows([s2e[0:4], s2o[0:4], s2e[1:5]],
+                         w3_ref, b3_ref, 0, 4)
+
+    return (mm, img_row, shift_n, shift_p, flat, conv_rows, conv_s1,
+            half_row, cols_half, branch1)
+
+
+def _icnet_front_kernel(rawp_ref, rawc_ref, rawn_ref,
+                        w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                        bm_ref, b0_ref, bp_ref, f0_ref, fl_ref,
+                        f1_ref, xh_ref, s1e, s1o, s2e, s2o, *, h: int):
+    """ICNet front kernel; see the section comment. Each grid cell
+    produces 4 rows of f1 (= 32 image rows) and 16 rows of x_half."""
+    t = pl.program_id(1)
+    (_mm, _img_row, _shn, _shp, _flat, _conv_rows, _conv_s1,
+     half_row, cols_half, branch1) = _make_icnet_front_ops(
+        rawp_ref, rawc_ref, rawn_ref, t, h, s1e.dtype,
+        bm_ref, b0_ref, bp_ref, f0_ref, fl_ref)
+
+    f1_ref[0] = branch1(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                        s1e, s1o, s2e, s2o)
+
+    # x_half: this tile's 16 half rows; all of il 1..14 are interior
+    # (only the first/last row of the image renormalize)
+    xh_ref[0] = cols_half(jnp.stack(
+        [half_row(il, edges=il in (0, 15)) for il in range(16)]))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -3022,135 +3078,26 @@ def _icnet_front_stem_kernel(rawp_ref, rawc_ref, rawn_ref,
                              f1_ref, st_ref,
                              s1e, s1o, s2e, s2o, sc1, sc2, sc3,
                              *, h: int):
-    """ICNet front+stem kernel: Branch1 (as in _icnet_front_kernel)
-    plus the SharedStem front, with the half-res image consumed
-    entirely in VMEM. Each grid cell (32 image rows) produces 4 rows
-    of f1 and 4 rows of the pooled stem features (both 1/8 res)."""
+    """ICNet front+stem kernel: Branch1 (shared with
+    _icnet_front_kernel via _make_icnet_front_ops) plus the SharedStem
+    front, with the half-res image consumed entirely in VMEM. Each
+    grid cell (32 image rows) produces 4 rows of f1 and 4 rows of the
+    pooled stem features (both 1/8 res)."""
     t = pl.program_id(1)
-    f32 = jnp.float32
     dt = s1e.dtype
     wq = rawc_ref.shape[2]
-    h2, h4 = h // 2, h // 4
+    h4 = h // 4
+    (mm, _img_row, shift_n, _shp, flat, conv_rows, conv_s1,
+     half_row, cols_half, branch1) = _make_icnet_front_ops(
+        rawp_ref, rawc_ref, rawn_ref, t, h, dt,
+        bm_ref, b0_ref, bp_ref, f0_ref, fl_ref)
 
-    def mm(a2d, w):
-        return jnp.dot(a2d, w.astype(a2d.dtype),
-                       preferred_element_type=f32)
+    f1_ref[0] = branch1(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                        s1e, s1o, s2e, s2o)
 
-    def img_row(local):
-        """One raw image row [wq, 96], local index in [-32, 64)
-        relative to this tile's 32-row window; rows outside [0, H)
-        read zeros (the SAME conv zero padding)."""
-        if local < 0:
-            v = rawp_ref[0, 32 + local]
-        elif local < 32:
-            v = rawc_ref[0, local]
-        else:
-            v = rawn_ref[0, local - 32]
-        g = 32 * t + local
-        return jnp.where((g >= 0) & (g < h), v, jnp.zeros((), v.dtype))
-
-    def shift_n(a3d):    # next 32-px block (zeros in: right image edge)
-        return jnp.concatenate([a3d[:, 1:], jnp.zeros_like(a3d[:, :1])],
-                               axis=1)
-
-    def shift_p(a3d):    # previous block (zeros in: left image edge)
-        return jnp.concatenate([jnp.zeros_like(a3d[:, :1]), a3d[:, :-1]],
-                               axis=1)
-
-    flat = lambda a: a.reshape(a.shape[0] * wq, a.shape[2])
-
-    def finish(acc, m, b_ref, gbase, glimit):
-        """Bias + ReLU + row masking shared by the lifted convs: rows
-        whose global index falls outside [0, glimit) are SAME zero
-        padding and must not carry relu(bias)."""
-        out = jnp.maximum(acc + b_ref[...].astype(f32),
-                          jnp.zeros((), f32))
-        out = out.reshape(m, wq, out.shape[-1]).astype(dt)
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (m, 1, 1), 0) + gbase
-        return jnp.where((rows >= 0) & (rows < glimit), out,
-                         jnp.zeros((), dt))
-
-    def conv_rows(rows_by_dy, w_ref, b_ref, gbase, glimit):
-        """One chunk of a lifted stride-2 conv (dj in (0, 1))."""
-        acc = None
-        for dy, x in enumerate(rows_by_dy):
-            a = mm(flat(x), w_ref[2 * dy]) \
-                + mm(flat(shift_n(x)), w_ref[2 * dy + 1])
-            acc = a if acc is None else acc + a
-        return finish(acc, rows_by_dy[0].shape[0], b_ref, gbase, glimit)
-
-    def conv_s1(rows_by_dy, w_ref, b_ref, gbase, glimit):
-        """One chunk of a lifted stride-1 3x3 conv (dj in (-1, 0, 1),
-        _wpack_conv3 order)."""
-        acc = None
-        for dy, x in enumerate(rows_by_dy):
-            a = (mm(flat(shift_p(x)), w_ref[3 * dy])
-                 + mm(flat(x), w_ref[3 * dy + 1])
-                 + mm(flat(shift_n(x)), w_ref[3 * dy + 2]))
-            acc = a if acc is None else acc + a
-        return finish(acc, rows_by_dy[0].shape[0], b_ref, gbase, glimit)
-
-    # --- Branch1 (identical to _icnet_front_kernel) ---
-    def c1_operands(a, m):
-        return [jnp.stack([img_row(2 * k + dy)
-                           for k in range(a, a + m)])
-                for dy in (0, 1, 2)]
-
-    for c in range(9):
-        out = conv_rows(c1_operands(2 * c, 2), w1_ref, b1_ref,
-                        16 * t + 2 * c, h2)
-        s1e[c] = out[0]
-        s1o[c] = out[1]
-    s1e[9] = conv_rows(c1_operands(18, 1), w1_ref, b1_ref,
-                       16 * t + 18, h2)[0]
-
-    def c2_operands(a, m):
-        return [s1e[a:a + m], s1o[a:a + m], s1e[a + 1:a + m + 1]]
-
-    for c in range(4):
-        out = conv_rows(c2_operands(2 * c, 2), w2_ref, b2_ref,
-                        8 * t + 2 * c, h4)
-        s2e[c] = out[0]
-        s2o[c] = out[1]
-    s2e[4] = conv_rows(c2_operands(8, 1), w2_ref, b2_ref,
-                       8 * t + 8, h4)[0]
-
-    f1_ref[0] = conv_rows([s2e[0:4], s2o[0:4], s2e[1:5]],
-                          w3_ref, b3_ref, 0, 4)
-
-    # --- stem: half rows il in [-4, 22] (conv1_1 halo), 4-tap
-    # antialiased tent over image rows 2i-1..2i+2, renormalized at the
-    # top/bottom image edge, zero outside [0, H/2) ---
-    def half_row(il):
-        g = 16 * t + il
-        rm1 = img_row(2 * il - 1)
-        r0 = img_row(2 * il)
-        rp1 = img_row(2 * il + 1)
-        rp2 = img_row(2 * il + 2)
-        row = .125 * rm1 + .375 * r0 + .375 * rp1 + .125 * rp2
-        row = jnp.where(g == 0, (3 / 7) * r0 + (3 / 7) * rp1
-                        + (1 / 7) * rp2, row)
-        row = jnp.where(g == h2 - 1, (1 / 7) * rm1 + (3 / 7) * r0
-                        + (3 / 7) * rp1, row)
-        return jnp.where((g >= 0) & (g < h2), row,
-                         jnp.zeros((), row.dtype))
-
-    def cols_half(x):
-        """Column 2x downsample [m, wq, 96] -> [m, wq, 48] with the
-        first/last-image-column renormalization (as in
-        _icnet_front_kernel)."""
-        m = x.shape[0]
-        v = (mm(flat(shift_p(x)), bm_ref[...]) + mm(flat(x), b0_ref[...])
-             + mm(flat(shift_n(x)), bp_ref[...]))
-        bidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        zero = jnp.zeros((), x.dtype)
-        v = v + mm(flat(jnp.where(bidx == 0, x, zero)), f0_ref[...])
-        v = v + mm(flat(jnp.where(bidx == wq - 1, x, zero)), fl_ref[...])
-        return v.reshape(m, wq, 48).astype(dt)
-
-    # even/odd parity stacks so conv1_1's stride-2 row taps are
-    # contiguous slices: she[u] = half row 2u-4, sho[u] = half row 2u-3
+    # --- stem: half rows il in [-4, 22] (conv1_1 halo); even/odd
+    # parity stacks so conv1_1's stride-2 row taps are contiguous
+    # slices: she[u] = half row 2u-4, sho[u] = half row 2u-3 ---
     she = cols_half(jnp.stack([half_row(2 * u - 4) for u in range(14)]))
     sho = cols_half(jnp.stack([half_row(2 * u - 3) for u in range(13)]))
 
