@@ -52,6 +52,64 @@ class TestProtoCodec:
         np.testing.assert_allclose(feat["floats"].float_list.value[:],
                                    [1.5, -2.25])
 
+    def test_wire_edge_cases(self):
+        """int64 extremes, empty byte strings, nonfinite floats, and an
+        empty value list all survive the round trip."""
+        feats = {
+            "imin": [-(1 << 63)],
+            "imax": [(1 << 63) - 1],
+            "zeros": [0, -1, 1],
+            "empty_bytes": [b"", b"x", b""],
+            "nonfinite": [float("inf"), float("-inf"), 0.0],
+            "nan": [float("nan")],
+            "nothing": [],
+        }
+        dec = proto.decode_example(proto.encode_example(feats))
+        assert dec["imin"] == [-(1 << 63)]
+        assert dec["imax"] == [(1 << 63) - 1]
+        assert dec["zeros"] == [0, -1, 1]
+        assert dec["empty_bytes"] == [b"", b"x", b""]
+        assert dec["nonfinite"] == [float("inf"), float("-inf"), 0.0]
+        assert np.isnan(dec["nan"]).all()
+        assert dec["nothing"] == []
+
+    @pytest.mark.skipif(not HAVE_TF, reason="needs TF oracle")
+    def test_fuzz_roundtrip_vs_tf(self):
+        """Randomized feature dicts: our bytes must self-round-trip,
+        parse identically under tf.train.Example, and TF's own
+        serialization of the same message must parse back identically
+        under our decoder (both directions of byte interop, beyond the
+        fixed vectors above)."""
+        rng = np.random.default_rng(42)
+        for trial in range(40):
+            feats = {}
+            for k in range(int(rng.integers(1, 8))):
+                name = f"t{trial}/k{k}"
+                kind = int(rng.integers(0, 3))
+                n = int(rng.integers(1, 6))
+                if kind == 0:
+                    feats[name] = [rng.bytes(int(rng.integers(0, 3000)))
+                                   for _ in range(n)]
+                elif kind == 1:
+                    feats[name] = [int(v) for v in rng.integers(
+                        -(1 << 62), 1 << 62, size=n)]
+                else:
+                    # fp32-representable so equality is exact end to end
+                    feats[name] = [float(np.float32(v)) for v in
+                                   rng.normal(scale=1e12, size=n)]
+            blob = proto.encode_example(feats)
+            assert proto.decode_example(blob) == feats
+
+            ex = tf.train.Example.FromString(blob)
+            for name, want in feats.items():
+                f = ex.features.feature[name]
+                got = (list(f.bytes_list.value) or
+                       [int(v) for v in f.int64_list.value] or
+                       [float(v) for v in f.float_list.value])
+                assert got == want, name
+
+            assert proto.decode_example(ex.SerializeToString()) == feats
+
     @pytest.mark.skipif(not HAVE_TF, reason="needs TF oracle")
     def test_we_parse_tf_bytes(self):
         ex = tf.train.Example(features=tf.train.Features(feature={
