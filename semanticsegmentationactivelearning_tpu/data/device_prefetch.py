@@ -30,13 +30,19 @@ def device_prefetch(batches: Iterable[dict],
     :param batches:  iterator of dict batches (host numpy)
     :param keys:     dict entries to transfer (the large arrays; small
                      metadata stays host-side)
-    :param depth:    how many batches to keep in flight (2 = classic
-                     double buffering)
+    :param depth:    how many transfers to keep in flight ahead of the
+                     batch being consumed — up to depth+1 stacks are
+                     device-resident at steady state (the measured
+                     default 2 overlaps upload with compute; see the
+                     module docstring)
     :param sharding: optional ``jax.sharding.Sharding`` for the
                      transferred arrays (e.g. batch-sharded over a
                      ``("data",)`` mesh)
     """
     import jax
+
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
 
     def _put(b: dict) -> dict:
         out = dict(b)
@@ -51,14 +57,23 @@ def device_prefetch(batches: Iterable[dict],
     it = iter(batches)
     queue: "collections.deque" = collections.deque()
     try:
-        for _ in range(max(1, depth)):
-            queue.append(_put(next(it)))
-    except StopIteration:
-        pass
-    while queue:
-        batch = queue.popleft()
         try:
-            queue.append(_put(next(it)))
+            for _ in range(depth):
+                queue.append(_put(next(it)))
         except StopIteration:
             pass
-        yield batch
+        while queue:
+            batch = queue.popleft()
+            try:
+                queue.append(_put(next(it)))
+            except StopIteration:
+                pass
+            yield batch
+    finally:
+        # deterministic shutdown of a wrapped generator (e.g.
+        # RecordLoader.batches, whose close() stops its producer
+        # thread) when the consumer abandons this iterator early —
+        # don't leave that to GC finalization
+        close = getattr(it, "close", None)
+        if close is not None:
+            close()

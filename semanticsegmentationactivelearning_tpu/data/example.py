@@ -88,17 +88,40 @@ def read_example(path: str) -> SegExample:
     return parse_example(data)
 
 
+def channels_or_rgb(ch: int) -> int:
+    """The ``image/channels`` header convention: legacy records missing
+    the field (``parse_example`` defaults it to -1, and filtered peeks
+    omit it entirely) count as RGB. Single home for the convention —
+    shared by ``image_channels``, ``peek_dims``, and the loader's
+    ``probe_channels``."""
+    return ch if ch > 0 else 3
+
+
 def image_channels(ex: SegExample) -> int:
     """Channel count of the base ``image`` plane from a parsed
     example's header (legacy records without an ``image/channels``
-    field default to RGB). Single home for the header convention —
-    shared by ``peek_dims`` and the loader's ``probe_channels``."""
-    return ex.modalities.get("image", (b"", "", 3))[2] \
-        if ex.modalities else 3
+    field default to RGB)."""
+    return channels_or_rgb(
+        ex.modalities.get("image", (b"", "", 3))[2]
+        if ex.modalities else 3)
+
+
+def peek_header(path: str, keys) -> "proto.ExampleDict":
+    """Filtered parse of the single example in ``path``: walks the wire
+    format but only materializes the requested ``keys``, so the
+    multi-MB encoded-image payloads are never copied (the loader's
+    startup scans call this for every record of a dataset)."""
+    data = tfrecord.read_record(path)
+    if data is None:
+        raise ValueError(f"Empty record file: {path}")
+    return proto.decode_example(data, keys=keys)
 
 
 def peek_dims(path: str) -> Tuple[int, int, int]:
-    """Peek (height, width, channels) of the first record without decoding
-    image payloads (reference: inference.py:75-83)."""
-    ex = read_example(path)
-    return ex.height, ex.width, image_channels(ex)
+    """Peek (height, width, channels) of the first record without
+    decoding — or copying — image payloads (reference:
+    inference.py:75-83)."""
+    feats = peek_header(path, ("height", "width", "image/channels"))
+    return ((feats.get("height") or [-1])[0],
+            (feats.get("width") or [-1])[0],
+            channels_or_rgb((feats.get("image/channels") or [3])[0]))

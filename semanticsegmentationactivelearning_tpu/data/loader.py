@@ -104,20 +104,30 @@ def load_stack(path: str, storage_hw: Tuple[int, int], channels: int = 3,
         lbl = etl.decode_image(ex.label)
         if lbl.ndim == 3:
             lbl = lbl[..., 0]
+        if lbl.shape[:2] != img.shape[:2]:
+            # same cross-plane shape contract as the modalities above
+            # (the ETL guarantees it; a hand-built record that violates
+            # it would otherwise broadcast-error or silently misalign)
+            raise ValueError(
+                f"Record {path}: label is {lbl.shape[0]}x{lbl.shape[1]} "
+                f"but the image plane is {img.shape[0]}x{img.shape[1]}")
         stack[:h, :w, channels] = lbl[:h, :w]
     return stack, h, w, has_label
 
 
 def probe_channels(path: str, modalities: Sequence[str] = ()) -> int:
     """Total input channels (image + requested modalities) from one
-    record's header — no image decode."""
-    ex = example.read_example(path)
-    mods = ex.modalities or {}
-    total = example.image_channels(ex)
+    record's header — filtered parse, no image decode or payload copy."""
+    feats = example.peek_header(
+        path, ("image/channels",)
+        + tuple(f"{m}/channels" for m in modalities))
+    total = example.channels_or_rgb(
+        (feats.get("image/channels") or [3])[0])
     for m in modalities:
-        if m not in mods:
+        ch = feats.get(f"{m}/channels")
+        if not ch:
             raise ValueError(f"Record {path} has no '{m}' modality")
-        total += mods[m][2]
+        total += ch[0]
     return total
 
 
@@ -154,12 +164,22 @@ class RecordLoader:
                         if len(self.filenames) else 3)
         self.channels = channels
         self.num_workers = num_workers
+        if prefetch < 1:
+            # Queue(maxsize=0) would mean UNBOUNDED, i.e. the producer
+            # decodes the whole epoch ahead of the consumer
+            raise ValueError(f"prefetch must be >= 1, got {prefetch}")
         self.prefetch = prefetch
         if use_native == "auto":
             from . import native
             self._native = native if native.available() else None
         elif use_native:
             from . import native
+            if not native.available():
+                # fail at construction, not from the producer thread at
+                # the first batch
+                raise ValueError(
+                    "use_native=True but the native IO library is "
+                    "unavailable (build it with `make -C csrc`)")
             self._native = native
         else:
             self._native = None
@@ -252,7 +272,7 @@ class RecordLoader:
                 heights[j], widths[j] = heights[n - 1], widths[n - 1]
         index = np.zeros(bs, dtype=np.int32)
         index[:n] = order
-        index[n:] = order[-1] if n else 0
+        index[n:] = order[-1]  # n >= 1 here (n == 0 returned above)
         return {"stack": stack, "heights": heights, "widths": widths,
                 "index": index, "has_label": has_label, "valid": valid}
 

@@ -208,8 +208,14 @@ def encode_example(features: ExampleDict) -> bytes:
     return bytes(example)
 
 
-def decode_example(data: bytes) -> ExampleDict:
-    """Parse ``tf.train.Example`` wire bytes into a feature dict."""
+def decode_example(data: bytes, keys=None) -> ExampleDict:
+    """Parse ``tf.train.Example`` wire bytes into a feature dict.
+
+    With ``keys`` (a collection of feature names), only those features'
+    values are decoded — other features' payloads are walked but never
+    copied, so header peeks over whole record directories skip the
+    multi-MB encoded-image memcpys.
+    """
     out: ExampleDict = {}
     buf = memoryview(data)
     for field, _wt, features_buf in _iter_fields(buf):
@@ -219,12 +225,13 @@ def decode_example(data: bytes) -> ExampleDict:
             if f2 != 1:
                 continue
             key = None
-            value = []
+            vpayload = None
             for f3, _wt3, payload in _iter_fields(entry):
                 if f3 == 1:
                     key = bytes(payload).decode()
                 elif f3 == 2:
-                    value = _decode_feature(payload)
-            if key is not None:
-                out[key] = value
+                    vpayload = payload
+            if key is not None and (keys is None or key in keys):
+                out[key] = (_decode_feature(vpayload)
+                            if vpayload is not None else [])
     return out

@@ -233,6 +233,63 @@ class TestRecordLoader:
                   if t not in before and t.is_alive()]
         assert not leaked, f"producer threads leaked: {leaked}"
 
+    def test_invalid_prefetch_rejected(self, record_dir):
+        """prefetch=0 would make the producer queue unbounded (decode
+        the whole epoch ahead); it must be rejected at construction."""
+        files = sorted(str(p) for p in record_dir.glob("*.tfrecord"))
+        with pytest.raises(ValueError, match="prefetch"):
+            loader.RecordLoader(files, batch_size=2, prefetch=0)
+
+    def test_forced_native_fails_fast(self, record_dir, monkeypatch):
+        """use_native=True without the library must fail at
+        construction, not from the producer thread at the first
+        batch."""
+        from semanticsegmentationactivelearning_tpu.data import native
+        monkeypatch.setattr(native, "available", lambda: False)
+        files = sorted(str(p) for p in record_dir.glob("*.tfrecord"))
+        with pytest.raises(ValueError, match="native"):
+            loader.RecordLoader(files, batch_size=2, use_native=True)
+
+    def test_label_dim_mismatch_raises(self, tmp_path):
+        """A label plane whose dimensions differ from the image must
+        raise the loader's descriptive error (same contract as the
+        modality planes), not broadcast-error or silently misalign."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (12, 18, 3), dtype=np.uint8)
+        lbl = rng.integers(0, 6, (6, 18), dtype=np.uint8)  # wrong H
+        blob = make_example(SegExample(
+            file_id="bad", height=12, width=18,
+            label=etl.encode_png(lbl),
+            modalities={"image": (etl.encode_png(img), "png", 3)}))
+        path = tmp_path / "bad.tfrecord"
+        tfrecord.write_record_file(str(path), blob)
+        with pytest.raises(ValueError, match="label.*6x18|6x18.*label"):
+            loader.load_stack(str(path), (12, 18))
+
+    def test_legacy_record_without_channels_header(self, tmp_path):
+        """Records missing the image/channels feature (legacy writers)
+        default to RGB in every header probe instead of poisoning the
+        loader with channels=-1."""
+        from semanticsegmentationactivelearning_tpu.data import (
+            example, proto)
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 255, (12, 18, 3), dtype=np.uint8)
+        blob = proto.encode_example({
+            "height": [12], "width": [18], "id": [b"legacy"],
+            "image/data": [etl.encode_png(img)],
+            "image/encoding": [b"png"],
+        })
+        path = tmp_path / "legacy.tfrecord"
+        tfrecord.write_record_file(str(path), blob)
+        assert example.peek_dims(str(path)) == (12, 18, 3)
+        assert loader.probe_channels(str(path)) == 3
+        assert example.image_channels(example.read_example(str(path))) == 3
+        ld = loader.RecordLoader([str(path)], batch_size=1,
+                                 use_native=False)
+        assert ld.channels == 3
+        batch = next(iter(ld.batches()))
+        assert batch["stack"].shape == (1, 12, 18, 4)
+
     def test_order_respected(self, record_dir):
         files = sorted(str(p) for p in record_dir.glob("*.tfrecord"))
         ld = loader.RecordLoader(files, batch_size=2)
@@ -306,6 +363,33 @@ class TestDevicePrefetch:
         from semanticsegmentationactivelearning_tpu.data import \
             device_prefetch
         assert list(device_prefetch.device_prefetch(iter([]))) == []
+
+    def test_invalid_depth_rejected(self):
+        from semanticsegmentationactivelearning_tpu.data import \
+            device_prefetch
+        with pytest.raises(ValueError, match="depth"):
+            next(device_prefetch.device_prefetch(iter([]), depth=0))
+
+    def test_early_exit_closes_wrapped_iterator(self):
+        """Abandoning device_prefetch mid-iteration must close() the
+        wrapped generator deterministically (RecordLoader.batches stops
+        its producer thread in response), not wait for GC."""
+        from semanticsegmentationactivelearning_tpu.data import \
+            device_prefetch
+        closed = []
+
+        def gen():
+            try:
+                for i in range(10):
+                    yield {"stack": np.zeros((1, 2, 2, 1), np.uint8),
+                           "i": i}
+            finally:
+                closed.append(True)
+
+        it = device_prefetch.device_prefetch(gen())
+        next(it)
+        it.close()
+        assert closed == [True]
 
     def test_sharded_prefetch(self):
         import jax

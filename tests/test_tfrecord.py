@@ -52,6 +52,19 @@ class TestProtoCodec:
         np.testing.assert_allclose(feat["floats"].float_list.value[:],
                                    [1.5, -2.25])
 
+    def test_filtered_decode(self):
+        """decode_example(keys=...) returns exactly the requested
+        features (values identical to a full decode) and skips the
+        rest — the loader's whole-dataset header scans rely on it to
+        avoid copying encoded-image payloads."""
+        blob = proto.encode_example(FEATURES)
+        full = proto.decode_example(blob)
+        got = proto.decode_example(
+            blob, keys=("height", "width", "image/channels", "absent"))
+        assert sorted(got) == ["height", "image/channels", "width"]
+        for k, v in got.items():
+            assert v == full[k]
+
     def test_wire_edge_cases(self):
         """int64 extremes, empty byte strings, nonfinite floats, and an
         empty value list all survive the round trip."""
