@@ -301,7 +301,9 @@ def main(args, logger):
                 micro_batch=batch_size // 2, mesh=score_mesh)
 
     ckpt_manager = ckpt.CheckpointManager(args.log_dir)
-    writer = cli.MetricsWriter(args.log_dir)
+    writer = cli.MetricsWriter(args.log_dir,
+                               tensorboard=getattr(args, "tensorboard",
+                                                   False))
     aug_rng = np.random.default_rng(args.seed + 2)
     # double-buffered H2D upload of the uint8 stacks (pre-sharded over
     # the mesh) so transfer overlaps the in-flight step's compute
@@ -341,7 +343,7 @@ def main(args, logger):
             args.log_dir, "pseudo-iter%d" % state["iteration"], epoch,
             np.asarray(raw), preds=np.asarray(lbl),
             masks=np.asarray(msk), colormap=dataset.colormap,
-            count=img_count)
+            count=img_count, event_writer=writer.tb)
 
     def run_train_epoch(tstate, epoch_desc):
         """One training epoch over the sampler's current set."""

@@ -80,6 +80,12 @@ def build_dataset_parser(prog: str, extra_optional=None,
                             help="Write a jax.profiler trace of the "
                                  "hot loop to this directory "
                                  "(view with tensorboard/xprof).")
+    opt_parser.add_argument("--tensorboard", action="store_true",
+                            dest="tensorboard", default=False,
+                            help="Also mirror metrics into a real "
+                                 "tfevents file under the log dir "
+                                 "(the reference's native format, "
+                                 "train.py:154-206).")
     if extra_optional is not None:
         extra_optional(opt_parser)
 
@@ -174,13 +180,24 @@ class MetricsWriter:
     (train.py:154-206). tools/ can convert to CSV/TB formats."""
 
     def __init__(self, log_dir: str, filename: str = "metrics.jsonl",
-                 enabled: bool = True):
+                 enabled: bool = True, tensorboard: bool = False):
         # enabled=False on non-zero hosts of a multi-host run: metrics
         # are replicated, so only process 0 writes
         self.enabled = enabled
         if enabled:
             os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, filename)
+        self._tb = None
+        if enabled and tensorboard:
+            from . import tb_events
+            self._tb = tb_events.EventWriter(log_dir)
+
+    @property
+    def tb(self):
+        """The live ``tb_events.EventWriter`` (None unless
+        ``tensorboard=True``) — callers mirror image summaries into
+        it (utils/images.dump_summaries)."""
+        return self._tb
 
     def write(self, record: dict) -> None:
         if not self.enabled:
@@ -189,6 +206,14 @@ class MetricsWriter:
         record.setdefault("wall_time", time.time())
         with open(self.path, "a") as fp:
             fp.write(json.dumps(record, default=_json_default) + "\n")
+        if self._tb is not None:
+            from . import tb_events
+            values = tb_events.record_to_values(
+                json.loads(json.dumps(record, default=_json_default)))
+            if values:
+                self._tb.add_event(tb_events.encode_event(
+                    record["wall_time"], tb_events.record_step(record),
+                    values))
 
 
 def _json_default(obj):

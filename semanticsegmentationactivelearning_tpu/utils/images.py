@@ -23,10 +23,12 @@ def colorize(label_map: np.ndarray, colormap: np.ndarray) -> np.ndarray:
     return np.asarray(colormap)[np.asarray(label_map).astype(np.uint8)]
 
 
-def _save(path: str, arr: np.ndarray) -> None:
+def _save(path: str, arr: np.ndarray) -> bytes:
     from ..data import etl
+    png = etl.encode_png(np.ascontiguousarray(arr))
     with open(path, "wb") as fp:
-        fp.write(etl.encode_png(np.ascontiguousarray(arr)))
+        fp.write(png)
+    return png
 
 
 def dump_summaries(log_dir: str, tag: str, epoch: int,
@@ -35,7 +37,7 @@ def dump_summaries(log_dir: str, tag: str, epoch: int,
                    preds: Optional[np.ndarray] = None,
                    masks: Optional[np.ndarray] = None,
                    colormap: Optional[np.ndarray] = None,
-                   count: int = 2) -> list:
+                   count: int = 2, event_writer=None) -> list:
     """Write up to ``count`` examples' input/label/prediction PNGs.
 
     :param images: float ``[B,H,W,3]`` in [0,1] (the network input)
@@ -45,6 +47,9 @@ def dump_summaries(log_dir: str, tag: str, epoch: int,
                    blacked out in the prediction dump (the reference
                    multiplied pseudo-labels by their confidence mask,
                    active_learning.py:374-380)
+    :param event_writer: optional ``tb_events.EventWriter``; every PNG
+                   is mirrored as a TB image summary at step=epoch
+                   (the reference's image summaries, train.py:178-206)
     :returns: list of written paths
     """
     out_dir = os.path.join(log_dir, "images")
@@ -58,18 +63,22 @@ def dump_summaries(log_dir: str, tag: str, epoch: int,
     for arr in (images, labels, preds):
         if arr is not None:
             n = min(count, len(arr)) if n == 0 else n
+    def _emit(i, kind, arr):
+        png = _save(_name(i, kind), arr)
+        written.append(_name(i, kind))
+        if event_writer is not None:
+            event_writer.image(f"{tag}/{i}/{kind}", png,
+                               arr.shape[0], arr.shape[1], step=epoch)
+
     for i in range(n):
         if images is not None:
             img = np.clip(np.asarray(images[i]) * 255.0, 0, 255)
-            _save(_name(i, "input"), img.astype(np.uint8))
-            written.append(_name(i, "input"))
+            _emit(i, "input", img.astype(np.uint8))
         if labels is not None and colormap is not None:
-            _save(_name(i, "label"), colorize(labels[i], colormap))
-            written.append(_name(i, "label"))
+            _emit(i, "label", colorize(labels[i], colormap))
         if preds is not None and colormap is not None:
             rgb = colorize(preds[i], colormap)
             if masks is not None:
                 rgb = rgb * (np.asarray(masks[i]) > 0)[..., None]
-            _save(_name(i, "pred"), rgb.astype(np.uint8))
-            written.append(_name(i, "pred"))
+            _emit(i, "pred", rgb.astype(np.uint8))
     return written

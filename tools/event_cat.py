@@ -1,28 +1,69 @@
 #!/usr/bin/env python
-"""Concatenate metrics.jsonl logs from multiple runs/rounds in step
-order (reference: tools/event_cat.py concatenated TB event files)."""
+"""Concatenate metrics logs from multiple runs/rounds in time order
+(reference: tools/event_cat.py concatenated TB event files).
+
+Accepts either the rebuild's native ``metrics.jsonl`` files or real
+TensorBoard ``tfevents`` files (the reference's format); the mode is
+chosen per the first input's name, and the output matches it.
+"""
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+
+def cat_jsonl(inputs, output):
+    records = []
+    for path in inputs:
+        with open(path) as fp:
+            for line in fp:
+                records.append(json.loads(line))
+    records.sort(key=lambda r: r.get("wall_time", 0))
+    with open(output, "w") as fp:
+        for rec in records:
+            fp.write(json.dumps(rec) + "\n")
+    return len(records)
+
+
+def cat_events(inputs, output):
+    """Merge tfevents files into one, time-ordered, with a single fresh
+    file-version header (reference: tools/event_cat.py:19-32)."""
+    from semanticsegmentationactivelearning_tpu.data.tfrecord import (
+        read_records, write_record)
+    from semanticsegmentationactivelearning_tpu.utils import tb_events
+
+    events = []
+    for path in inputs:
+        for raw in read_records(path):
+            ev = tb_events.decode_event(raw)
+            if "file_version" in ev:
+                continue
+            events.append((ev["wall_time"], raw))
+    events.sort(key=lambda e: e[0])
+    first_time = events[0][0] if events else 0.0
+    with open(output, "wb") as fp:
+        write_record(fp, tb_events.encode_event(
+            first_time, file_version="brain.Event:2"))
+        for _, raw in events:
+            write_record(fp, raw)
+    return len(events)
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("inputs", nargs="+",
-                        help="metrics.jsonl files, in order")
+                        help="metrics.jsonl or tfevents files, in order")
     parser.add_argument("-o", "--output", required=True)
     args = parser.parse_args()
 
-    records = []
-    for path in args.inputs:
-        with open(path) as fp:
-            for line in fp:
-                records.append(json.loads(line))
-    records.sort(key=lambda r: r.get("wall_time", 0))
-    with open(args.output, "w") as fp:
-        for rec in records:
-            fp.write(json.dumps(rec) + "\n")
-    print("%s: %d records" % (args.output, len(records)))
+    if "tfevents" in os.path.basename(args.inputs[0]):
+        count = cat_events(args.inputs, args.output)
+    else:
+        count = cat_jsonl(args.inputs, args.output)
+    print("%s: %d records" % (args.output, count))
     return 0
 
 

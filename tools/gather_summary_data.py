@@ -10,7 +10,44 @@ import argparse
 import csv
 import json
 import os
+import sys
 from collections import defaultdict
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+
+def gather_events(event_paths, output_dir, tags=None):
+    """Per-tag scalar CSVs from real tfevents files (the reference
+    tool's input format, tools/gather_summary_data.py:7-34)."""
+    from semanticsegmentationactivelearning_tpu.utils import tb_events
+
+    series = defaultdict(list)
+    for path in event_paths:
+        for ev in tb_events.iter_events(path):
+            for v in ev["values"]:
+                if "simple_value" not in v:
+                    continue
+                tag = v.get("tag", "")
+                split, _, key = tag.rpartition("/")
+                if tags and key not in tags:
+                    continue
+                series[(split or "default", key)].append(
+                    (ev["step"], ev["wall_time"], v["simple_value"]))
+    return _write_csvs(series, output_dir)
+
+
+def _write_csvs(series, output_dir):
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    for (split, key), rows in sorted(series.items()):
+        name = f"{split}.{key}.csv".replace("/", ".")
+        path = os.path.join(output_dir, name)
+        with open(path, "w", newline="") as fp:
+            w = csv.writer(fp)
+            w.writerow(["step", "wall_time", "value"])
+            w.writerows(rows)
+        written.append(path)
+    return written
 
 
 def gather(jsonl_path, output_dir, tags=None):
@@ -30,17 +67,7 @@ def gather(jsonl_path, output_dir, tags=None):
                 if tags and key not in tags:
                     continue
                 series[(split, key)].append((step, wall, value))
-
-    os.makedirs(output_dir, exist_ok=True)
-    written = []
-    for (split, key), rows in sorted(series.items()):
-        path = os.path.join(output_dir, f"{split}.{key}.csv")
-        with open(path, "w", newline="") as fp:
-            w = csv.writer(fp)
-            w.writerow(["step", "wall_time", "value"])
-            w.writerows(rows)
-        written.append(path)
-    return written
+    return _write_csvs(series, output_dir)
 
 
 def main():
@@ -55,10 +82,25 @@ def main():
     args = parser.parse_args()
 
     path = args.logdir
-    if os.path.isdir(path):
-        path = os.path.join(path, "metrics.jsonl")
-    output = args.output or os.path.join(os.path.dirname(path), "csv")
-    written = gather(path, output, args.tags)
+    event_paths = []
+    if os.path.isfile(path) and "tfevents" in os.path.basename(path):
+        event_paths = [path]
+    elif os.path.isdir(path):
+        jsonl = os.path.join(path, "metrics.jsonl")
+        if os.path.exists(jsonl):
+            path = jsonl
+        else:
+            from semanticsegmentationactivelearning_tpu.utils import (
+                tb_events)
+            event_paths = tb_events.find_event_files(path)
+    if event_paths:
+        output = args.output or os.path.join(
+            os.path.dirname(event_paths[0]), "csv")
+        written = gather_events(event_paths, output, args.tags)
+    else:
+        output = args.output or os.path.join(os.path.dirname(path),
+                                             "csv")
+        written = gather(path, output, args.tags)
     for p in written:
         print(p)
     return 0

@@ -167,7 +167,9 @@ def main(args):
 
     manager = ckpt.CheckpointManager(args.log_dir)
     # metrics/checkpoints are replicated across hosts: only 0 writes
-    writer = cli.MetricsWriter(args.log_dir, enabled=is_main)
+    writer = cli.MetricsWriter(args.log_dir, enabled=is_main,
+                               tensorboard=getattr(args, "tensorboard",
+                                                   False))
     # SPMD data parallelism over all local devices when the batch
     # divides evenly (the reference had no DP at all; SURVEY.md)
     mesh = None
@@ -210,7 +212,7 @@ def main(args):
         images.dump_summaries(
             args.log_dir, tag, epoch, np.asarray(image)[..., :3],
             np.asarray(label), preds, colormap=dataset.colormap,
-            count=img_count)
+            count=img_count, event_writer=writer.tb)
 
     aug_rng = np.random.default_rng(args.seed)
     order_rng = np.random.default_rng(args.seed + 1)
