@@ -604,6 +604,7 @@ def main(args, logger):
         state["checkpoint"] = checkpoint_path
         with open(state_filename, "w") as f:
             json.dump(state, f, indent=2)
+    writer.close()
     return 0
 
 

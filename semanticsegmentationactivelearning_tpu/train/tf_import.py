@@ -208,15 +208,70 @@ def jax_leaves(tree):
     return jax.tree_util.tree_leaves(tree)
 
 
+def _walk_leaves(tree, path=()):
+    if isinstance(tree, dict):
+        for key, val in tree.items():
+            yield from _walk_leaves(val, path + (str(key),))
+    else:
+        yield path, tree
+
+
+def merge_report(template, converted: dict) -> dict:
+    """Account for every converted leaf against a ``TrainState``
+    template: which would be DROPPED by the shape-checked merge
+    (``checkpoint._merge_state_dicts`` iterates template keys only, so
+    converted leaves missing from the template vanish silently without
+    this check — e.g. MultiscaleHead_* weights against a conf without
+    softmax.multiscale, or a whole ENet against an ICNet conf).
+
+    Returns ``{"missing": [path...], "mismatched": [(path, src_shape,
+    dst_shape)...], "merged": int}``.
+    """
+    import flax
+
+    report = {"missing": [], "mismatched": [], "merged": 0}
+    for collection in ("params", "batch_stats"):
+        tdict = flax.serialization.to_state_dict(
+            getattr(template, collection))
+        for path, leaf in _walk_leaves(converted[collection]):
+            node = tdict
+            for part in path:
+                if not isinstance(node, dict) or part not in node:
+                    node = None
+                    break
+                node = node[part]
+            name = collection + "/" + "/".join(path)
+            if node is None:
+                report["missing"].append(name)
+            elif getattr(node, "shape", None) != leaf.shape:
+                report["mismatched"].append(
+                    (name, tuple(leaf.shape),
+                     tuple(getattr(node, "shape", ()))))
+            else:
+                report["merged"] += 1
+    return report
+
+
 def to_train_state(converted: dict, template):
     """Merge a ``convert_reference_checkpoint`` result into a fresh
     ``TrainState`` (same partial-restore semantics as
-    checkpoint.restore_checkpoint: shape-checked leaf-wise merge)."""
+    checkpoint.restore_checkpoint: shape-checked leaf-wise merge).
+    Converted leaves the template can't absorb are logged as warnings;
+    callers needing hard failure should check ``merge_report`` first
+    (tools/import_reference_checkpoint.py does)."""
     import jax.numpy as jnp
 
     from .checkpoint import _merge_state_dicts
     import flax
 
+    report = merge_report(template, converted)
+    for name in report["missing"]:
+        logger.warning("converted leaf %s has no destination in the "
+                       "template model — DROPPED", name)
+    for name, src, dst in report["mismatched"]:
+        logger.warning("converted leaf %s shape %s does not match "
+                       "template %s — DROPPED (template init kept)",
+                       name, src, dst)
     params = _merge_state_dicts(
         flax.serialization.to_state_dict(template.params),
         converted["params"])

@@ -204,16 +204,31 @@ class MetricsWriter:
             return
         record = dict(record)
         record.setdefault("wall_time", time.time())
+        line = json.dumps(record, default=_json_default)
         with open(self.path, "a") as fp:
-            fp.write(json.dumps(record, default=_json_default) + "\n")
+            fp.write(line + "\n")
         if self._tb is not None:
             from . import tb_events
-            values = tb_events.record_to_values(
-                json.loads(json.dumps(record, default=_json_default)))
+            # Re-parse the already-serialized line: one decode both
+            # normalizes numpy scalars/arrays and reuses the encode
+            # the file write paid for.
+            plain = json.loads(line)
+            values = tb_events.record_to_values(plain)
             if values:
                 self._tb.add_event(tb_events.encode_event(
-                    record["wall_time"], tb_events.record_step(record),
+                    plain["wall_time"], tb_events.record_step(plain),
                     values))
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _json_default(obj):

@@ -38,13 +38,10 @@ import struct
 import time
 from typing import Dict, Iterator, List, Optional, Sequence
 
-from ..data.proto import (_iter_fields, _signed64, _write_len_delimited,
-                          _write_tag, _write_varint)
+from ..data.proto import (_WIRE_FIXED32, _WIRE_FIXED64, _WIRE_LEN,
+                          _WIRE_VARINT, _iter_fields, _signed64,
+                          _write_len_delimited, _write_tag, _write_varint)
 from ..data.tfrecord import write_record
-
-_WIRE_VARINT = 0
-_WIRE_FIXED64 = 1
-_WIRE_FIXED32 = 5
 
 _FILE_VERSION = "brain.Event:2"
 
@@ -156,13 +153,19 @@ class EventWriter:
     """Append TensorBoard events under ``log_dir``.
 
     File naming follows the TF convention TensorBoard globs for:
-    ``events.out.tfevents.<unix time>.<hostname>[suffix]``.
+    ``events.out.tfevents.<unix time>.<hostname>.<pid>.<seq>[suffix]``
+    (pid + per-process sequence uniquify writers created within the
+    same second, as TF's writer does).
     """
+
+    _seq = 0
 
     def __init__(self, log_dir: str, filename_suffix: str = ""):
         os.makedirs(log_dir, exist_ok=True)
-        name = "events.out.tfevents.%010d.%s%s" % (
-            int(time.time()), socket.gethostname(), filename_suffix)
+        EventWriter._seq += 1
+        name = "events.out.tfevents.%010d.%s.%d.%d%s" % (
+            int(time.time()), socket.gethostname(), os.getpid(),
+            EventWriter._seq, filename_suffix)
         self.path = os.path.join(log_dir, name)
         self._fp = open(self.path, "ab")
         self.add_event(encode_event(time.time(),
@@ -179,8 +182,9 @@ class EventWriter:
         """One Event carrying every (tag → float) in ``mapping``."""
         values = [scalar_value(t, v) for t, v in sorted(mapping.items())]
         if values:
-            self.add_event(encode_event(wall_time or time.time(),
-                                        step, values))
+            if wall_time is None:
+                wall_time = time.time()
+            self.add_event(encode_event(wall_time, step, values))
 
     def scalar(self, tag: str, value: float, step: int,
                wall_time: Optional[float] = None) -> None:
@@ -189,15 +193,19 @@ class EventWriter:
     def image(self, tag: str, encoded: bytes, height: int, width: int,
               step: int, colorspace: int = 3,
               wall_time: Optional[float] = None) -> None:
+        if wall_time is None:
+            wall_time = time.time()
         self.add_event(encode_event(
-            wall_time or time.time(), step,
+            wall_time, step,
             [image_value(tag, encoded, height, width, colorspace)]))
 
     def histogram(self, tag: str, counts: Sequence[float],
                   bin_edges: Sequence[float], step: int,
                   wall_time: Optional[float] = None) -> None:
+        if wall_time is None:
+            wall_time = time.time()
         self.add_event(encode_event(
-            wall_time or time.time(), step,
+            wall_time, step,
             [histogram_value(tag, counts, bin_edges)]))
 
     def flush(self) -> None:
@@ -271,20 +279,20 @@ def _decode_float_tensor(buf):
     for field, wt, payload in _iter_fields(buf):
         if field == 1 and wt == _WIRE_VARINT:
             dtype = payload
-        elif field == 4 and wt == 2:
+        elif field == 4 and wt == _WIRE_LEN:
             content = bytes(payload)
         elif field == 5:
             if wt == _WIRE_FIXED32:
                 float_vals.append(
                     struct.unpack("<f", bytes(payload))[0])
-            elif wt == 2:
+            elif wt == _WIRE_LEN:
                 n = len(payload) // 4
                 float_vals.extend(
                     struct.unpack("<%df" % n, bytes(payload)))
         elif field == 6:
             if wt == _WIRE_FIXED64:
                 float_vals.append(_read_double(payload))
-            elif wt == 2:
+            elif wt == _WIRE_LEN:
                 n = len(payload) // 8
                 float_vals.extend(
                     struct.unpack("<%dd" % n, bytes(payload)))
@@ -304,11 +312,11 @@ def _decode_value(buf) -> dict:
             out["tag"] = bytes(payload).decode()
         elif field == 2 and wt == _WIRE_FIXED32:
             out["simple_value"] = struct.unpack("<f", bytes(payload))[0]
-        elif field == 4 and wt == 2:
+        elif field == 4 and wt == _WIRE_LEN:
             out["image"] = _decode_image(payload)
-        elif field == 5 and wt == 2:
+        elif field == 5 and wt == _WIRE_LEN:
             out["histo"] = _decode_histo(payload)
-        elif field == 8 and wt == 2:
+        elif field == 8 and wt == _WIRE_LEN:
             scalar = _decode_float_tensor(payload)
             if scalar is not None:
                 out.setdefault("simple_value", scalar)
@@ -324,9 +332,9 @@ def decode_event(data: bytes) -> dict:
             out["wall_time"] = _read_double(payload)
         elif field == 2 and wt == _WIRE_VARINT:
             out["step"] = _signed64(payload)
-        elif field == 3 and wt == 2:
+        elif field == 3 and wt == _WIRE_LEN:
             out["file_version"] = bytes(payload).decode()
-        elif field == 5 and wt == 2:
+        elif field == 5 and wt == _WIRE_LEN:
             for f2, _wt2, vbuf in _iter_fields(payload):
                 if f2 == 1:
                     out["values"].append(_decode_value(vbuf))

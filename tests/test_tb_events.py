@@ -84,6 +84,24 @@ class TestWriterReadByTF:
         assert events[1]["values"] == [
             {"tag": "a/b", "simple_value": 2.5}]
 
+    def test_wall_time_zero_preserved(self, tmp_path):
+        # epoch-zero wall times are valid, not "missing"
+        with tb_events.EventWriter(str(tmp_path)) as w:
+            w.scalar("a", 1.0, step=0, wall_time=0.0)
+            w.histogram("h", [1.0], [0.0, 1.0], step=0, wall_time=0.0)
+            path = w.path
+        events = list(tb_events.iter_events(path))
+        assert events[1]["wall_time"] == 0.0
+        assert events[2]["wall_time"] == 0.0
+
+    def test_same_second_writers_get_distinct_files(self, tmp_path):
+        # pid+sequence uniquify files created within one second
+        w1 = tb_events.EventWriter(str(tmp_path))
+        w2 = tb_events.EventWriter(str(tmp_path))
+        assert w1.path != w2.path
+        w1.close(), w2.close()
+        assert len(os.listdir(tmp_path)) == 2
+
 
 class TestReaderReadsTFWritten:
     def test_tf2_tensor_scalars(self, tmp_path):
@@ -231,6 +249,61 @@ class TestToolsOnEvents:
         assert res.returncode == 0, res.stderr
         rows = (tmp_path / "csv" / "train.loss.csv").read_text()
         assert rows.splitlines()[1] == "1,10.0,2.0"
+
+    def test_gather_tags_filter_matches_metric_name(self, tmp_path):
+        # list-derived series export as <split>/<metric>/<i>; --tags
+        # filters on the metric name, catching the per-index children
+        jsonl = tmp_path / "metrics.jsonl"
+        jsonl.write_text(json.dumps(
+            {"split": "val", "step": 1, "mean_iou": 0.5,
+             "class_iou": [0.25, 0.75], "wall_time": 1.0}) + "\n")
+        evdir = tmp_path / "ev"
+        tb_events.jsonl_to_events(str(jsonl), str(evdir))
+        res = subprocess.run(
+            [sys.executable, "tools/gather_summary_data.py",
+             str(evdir), "-o", str(tmp_path / "csv"),
+             "-t", "class_iou"],
+            cwd=REPO, capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr
+        names = sorted(os.listdir(tmp_path / "csv"))
+        assert names == ["val.class_iou.0.csv", "val.class_iou.1.csv"]
+
+    def test_empty_logdir_clear_error(self, tmp_path):
+        empty = tmp_path / "empty-run"
+        empty.mkdir()
+        for tool in ("dump_summaries.py", "gather_summary_data.py"):
+            res = subprocess.run(
+                [sys.executable, "tools/" + tool, str(empty)],
+                cwd=REPO, capture_output=True, text=True)
+            assert res.returncode != 0
+            assert "neither metrics.jsonl nor tfevents" in res.stderr
+
+    def test_event_cat_rejects_mixed_inputs(self, tmp_path):
+        ev = self._make_events(tmp_path)
+        jsonl = tmp_path / "metrics.jsonl"
+        jsonl.write_text('{"step": 1, "loss": 1.0}\n')
+        res = subprocess.run(
+            [sys.executable, "tools/event_cat.py", str(jsonl), ev,
+             "-o", str(tmp_path / "out")],
+            cwd=REPO, capture_output=True, text=True)
+        assert res.returncode != 0
+        assert "mixed input formats" in res.stderr
+
+    def test_event_cat_sniffs_content_not_name(self, tmp_path):
+        # its own previous output, renamed arbitrarily, re-cats fine
+        a = self._make_events(tmp_path / "a", time0=10.0)
+        renamed = str(tmp_path / "merged.events")
+        res = subprocess.run(
+            [sys.executable, "tools/event_cat.py", a, "-o", renamed],
+            cwd=REPO, capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr
+        res = subprocess.run(
+            [sys.executable, "tools/event_cat.py", renamed,
+             "-o", str(tmp_path / "again")],
+            cwd=REPO, capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr
+        events = list(tb_events.iter_events(str(tmp_path / "again")))
+        assert len(events) == 3  # version + 2 records
 
     def test_event_cat(self, tmp_path):
         a = self._make_events(tmp_path / "a", offset=0.0, time0=10.0)

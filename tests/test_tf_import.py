@@ -208,3 +208,39 @@ class TestImportCLI:
         np.testing.assert_array_equal(
             np.asarray(state.params["Initial"]["conv"]["kernel"]),
             np.asarray(variables["params"]["Initial"]["conv"]["kernel"]))
+
+    def test_tool_rejects_mismatched_conf(self, saved_reference_ckpt,
+                                          tmp_path):
+        """A conf whose model can't absorb the converted weights must
+        abort instead of emitting a checkpoint with silently-dropped
+        (multiscale-head) weights and a wrong-shaped classifier."""
+        _model, _variables, prefix = saved_reference_ckpt
+        conf = tmp_path / "conf.json"
+        # no softmax.multiscale -> MultiscaleHead_* have nowhere to go;
+        # wrong --num-classes -> Final deconv shape mismatch
+        conf.write_text("""{
+            "batch_size": 4, "epochs": 1,
+            "hyperparams": {
+                "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
+                "learning_rate": 1e-3,
+                "optimizer": {"type": "Adam", "kwargs": {}},
+                "weight_reg": {"L2": 0.0, "L1": 0.0},
+                "softmax": {}},
+            "network": {"model": "ENet",
+                        "input": {"height": 32, "width": 48}}}""")
+        out = tmp_path / "imported"
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        args = [sys.executable, "tools/import_reference_checkpoint.py",
+                "--tf-checkpoint", prefix, "-t", "generic",
+                "--num-classes", str(NUM_CLASSES + 2),
+                "-p", str(conf), "-o", str(out)]
+        res = subprocess.run(args, cwd=REPO, env=env,
+                             capture_output=True, text=True)
+        assert res.returncode != 0
+        assert "no destination in the target model" in res.stderr
+        assert not out.exists()
+        # --allow-partial downgrades the abort to a warning
+        res = subprocess.run(args + ["--allow-partial"], cwd=REPO,
+                             env=env, capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr
+        assert "keep fresh initialization" in res.stderr

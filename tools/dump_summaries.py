@@ -109,6 +109,10 @@ def main():
             from semanticsegmentationactivelearning_tpu.utils import (
                 tb_events)
             event_paths = tb_events.find_event_files(path)
+            if not event_paths:
+                parser.error(
+                    "%s contains neither metrics.jsonl nor tfevents "
+                    "files" % path)
     if event_paths:
         output = args.output or os.path.join(
             os.path.dirname(event_paths[0]), "dump")

@@ -9,7 +9,6 @@ chosen per the first input's name, and the output matches it.
 
 import argparse
 import json
-import os
 import sys
 
 sys.path.insert(0, __file__.rsplit('/', 2)[0])
@@ -52,6 +51,16 @@ def cat_events(inputs, output):
     return len(events)
 
 
+def _sniff(path):
+    """'jsonl' or 'events', decided by content (a JSONL line starts
+    with '{'; a TFRecord event file starts with a binary length
+    header) — filenames aren't trustworthy: this tool's own -o output
+    can have any name."""
+    with open(path, "rb") as fp:
+        head = fp.read(1)
+    return "jsonl" if head in (b"{", b"") else "events"
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("inputs", nargs="+",
@@ -59,7 +68,11 @@ def main():
     parser.add_argument("-o", "--output", required=True)
     args = parser.parse_args()
 
-    if "tfevents" in os.path.basename(args.inputs[0]):
+    modes = {path: _sniff(path) for path in args.inputs}
+    if len(set(modes.values())) > 1:
+        parser.error("mixed input formats: " + ", ".join(
+            "%s (%s)" % kv for kv in modes.items()))
+    if modes[args.inputs[0]] == "events":
         count = cat_events(args.inputs, args.output)
     else:
         count = cat_jsonl(args.inputs, args.output)

@@ -28,10 +28,18 @@ def gather_events(event_paths, output_dir, tags=None):
                 if "simple_value" not in v:
                     continue
                 tag = v.get("tag", "")
-                split, _, key = tag.rpartition("/")
-                if tags and key not in tags:
+                # tb_events.record_to_values lays tags out as
+                # <split>/<metric>[/<i>]: split on the FIRST slash so
+                # --tags filters on the metric name, and per-index
+                # series still match their parent metric
+                split, _, key = tag.partition("/")
+                if not key:
+                    split, key = "default", split
+                if tags and not any(
+                        key == t or key.startswith(t + "/")
+                        for t in tags):
                     continue
-                series[(split or "default", key)].append(
+                series[(split, key)].append(
                     (ev["step"], ev["wall_time"], v["simple_value"]))
     return _write_csvs(series, output_dir)
 
@@ -93,6 +101,10 @@ def main():
             from semanticsegmentationactivelearning_tpu.utils import (
                 tb_events)
             event_paths = tb_events.find_event_files(path)
+            if not event_paths:
+                parser.error(
+                    "%s contains neither metrics.jsonl nor tfevents "
+                    "files" % path)
     if event_paths:
         output = args.output or os.path.join(
             os.path.dirname(event_paths[0]), "csv")

@@ -51,6 +51,10 @@ def main():
     parser.add_argument("--num-classes", type=int, default=None,
                         help="Override the dataset's class count "
                              "(required for -t generic)")
+    parser.add_argument("--allow-partial", action="store_true",
+                        help="Proceed even if some converted weights "
+                             "have no destination in the target model "
+                             "(wrong conf/dataset otherwise aborts)")
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -78,6 +82,25 @@ def main():
 
     converted = tf_import.convert_reference_checkpoint(
         args.tf_checkpoint)
+    # refuse to emit a "successful" checkpoint that silently dropped
+    # trained weights (e.g. conf without softmax.multiscale against a
+    # multiscale checkpoint, or a wrong -t/--num-classes head shape)
+    report = tf_import.merge_report(template, converted)
+    dropped = report["missing"] + [p for p, _, _ in report["mismatched"]]
+    if dropped:
+        for name in dropped[:10]:
+            logging.error("unmergeable converted weight: %s", name)
+        if len(dropped) > 10:
+            logging.error("... and %d more", len(dropped) - 10)
+        if not args.allow_partial:
+            parser.error(
+                "%d of %d converted weights have no destination in "
+                "the target model — the conf/-t/--num-classes "
+                "probably don't match the checkpoint. Re-run with "
+                "--allow-partial to import anyway."
+                % (len(dropped), len(dropped) + report["merged"]))
+        logging.warning("--allow-partial: continuing; %d weights "
+                        "keep fresh initialization", len(dropped))
     state = tf_import.to_train_state(converted, template)
 
     manager = ckpt.CheckpointManager(args.output)

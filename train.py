@@ -318,6 +318,7 @@ def main(args):
         logger.info("final val mIoU %.4f", vm["MeanIoU"])
     logger.info("Training successfully finished %d epochs",
                 params["epochs"])
+    writer.close()
     return 0
 
 
