@@ -119,4 +119,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # stdout closed early (e.g. piped to head)
+        import os
+        os._exit(0)
