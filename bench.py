@@ -29,6 +29,35 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _probe_devices(timeout_s):
+    """jax.devices() with a deadline: when the TPU relay is down the
+    backend probe blocks indefinitely, which would hang the whole
+    bench run — fail fast with a diagnosable message instead."""
+    import threading
+
+    import jax
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as exc:  # pragma: no cover - depends on env
+            result["error"] = exc
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        log(f"ERROR: jax.devices() did not return within {timeout_s}s "
+            "— TPU relay unreachable; no measurement possible")
+        sys.exit(3)
+    if "error" in result:
+        log(f"ERROR: jax.devices() failed: {result['error']}")
+        sys.exit(3)
+    return result["devices"]
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -47,7 +76,8 @@ def main():
     h, w = (int(v) for v in hw.split("x"))
     num_classes = 19
 
-    dev = jax.devices()[0]
+    dev = _probe_devices(
+        float(os.environ.get("BENCH_DEVICE_TIMEOUT", 120)))[0]
     log(f"device: {dev}, model={model_name}, batch={batch}, "
         f"iters={iters}, input={h}x{w}")
 
