@@ -33,6 +33,63 @@ from semanticsegmentationactivelearning_tpu.utils import cli
 logger = logging.getLogger(__name__)
 
 
+def make_predict_fn(model, state, lut, height, width, in_channels,
+                    out_hw=None):
+    """The jitted serving hot path: uint8 record stack -> uint8 label
+    (or colormap) maps, cropped back to the record dims.
+
+    On TPU the ENet forward runs the fully-kernelized predict chain
+    (W-packed front -> W-packed mid -> in-kernel-argmax tail; full-res
+    logits never hit HBM) when no resize is requested — softmax is
+    monotone, so argmax(logits) equals the reference's
+    argmax-after-softmax (reference inference.py:96-98) — and the input
+    is RGB (the front kernel packs 3 channels).
+    ``SSAL_FUSED_PREDICT=0`` forces the plain XLA forward (hardware
+    A/B); ``=1`` forces the kernels even on CPU (Pallas interpret mode,
+    so the e2e tests can drive this branch without a TPU).
+
+    Shared by the CLI and ``tools/bench_inference.py`` so the benchmark
+    measures exactly what serving runs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fused_env = os.environ.get("SSAL_FUSED_PREDICT", "").lower()
+    applicable = (out_hw is None and in_channels == 3
+                  and hasattr(model, "fused_predict"))
+    if fused_env in ("0", "off"):
+        use_fused = False
+    elif fused_env in ("1", "on"):
+        use_fused = applicable
+    else:
+        use_fused = (applicable
+                     and jax.default_backend() not in ("cpu",))
+    fused_interpret = use_fused and jax.default_backend() == "cpu"
+
+    @jax.jit
+    def predict(stack):
+        image = stack[..., :in_channels].astype(jnp.float32) / 255.0
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        if use_fused:
+            pred = model.fused_predict(variables, image,
+                                       use_pallas=True,
+                                       interpret=fused_interpret)
+            return lut[pred[:, :height, :width]]
+        logits = model.apply(variables, image, training=False)
+        # crop divisor padding back to the record dims
+        logits = logits[:, :height, :width]
+        prob = jax.nn.softmax(logits, axis=-1)
+        if out_hw is not None:
+            prob = jax.image.resize(
+                prob, (prob.shape[0], out_hw[0], out_hw[1],
+                       prob.shape[-1]), method="bilinear")
+        pred = jnp.argmax(prob, axis=-1)
+        return lut[pred]  # uint8 [B,h,w] or [B,h,w,3]
+
+    return predict, use_fused
+
+
 def main(args):
     import jax
     import jax.numpy as jnp
@@ -116,24 +173,19 @@ def main(args):
             # color-coded datasets reverse-embed to their colormap
             lut = jnp.asarray(dataset.colormap)
 
-    @jax.jit
-    def predict(stack):
-        image = stack[..., :in_channels].astype(jnp.float32) / 255.0
-        logits = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            image, training=False)
-        # crop divisor padding back to the record dims
-        logits = logits[:, :height, :width]
-        prob = jax.nn.softmax(logits, axis=-1)
-        if out_hw is not None:
-            prob = jax.image.resize(
-                prob, (prob.shape[0], out_hw[0], out_hw[1],
-                       prob.shape[-1]), method="bilinear")
-        pred = jnp.argmax(prob, axis=-1)
-        return lut[pred]  # uint8 [B,h,w] or [B,h,w,3]
+    predict, use_fused = make_predict_fn(model, state, lut, height,
+                                         width, in_channels, out_hw)
+    if use_fused:
+        logger.info("Fused Pallas predict chain enabled")
 
+    # overlap the next batch's H2D upload with the in-flight predict
+    # (same measured win as the train/AL loops: the relay serializes
+    # fresh-host-numpy uploads behind compute otherwise)
+    from semanticsegmentationactivelearning_tpu.data import (
+        device_prefetch)
+    batches = device_prefetch.device_prefetch(rec_loader.batches())
     written = []
-    for b in cli.progress(rec_loader.batches(), "inference",
+    for b in cli.progress(batches, "inference",
                           total=rec_loader.num_batches()):
         out = np.asarray(predict(b["stack"]))
         for j in range(len(out)):

@@ -307,3 +307,39 @@ class ENet(nn.Module):
                 interpret=interpret)
         return acquisition.chunked_deconv_mean_confidence(
             features, kernel, measure, self.num_classes)
+
+    def fused_predict(self, variables, image,
+                      use_pallas: bool = False,
+                      interpret: bool = False):
+        """Per-pixel argmax labels without materializing full-res
+        logits — the inference CLI's forward (reference
+        inference.py:90-98) through the same fully-kernelized chain as
+        :meth:`fused_score` (W-packed front -> W-packed mid -> fused
+        tail), with the tail ending in an in-kernel argmax. Returns
+        int32 ``[N, H, W]``.
+
+        Falls back to the plain XLA forward + argmax off-TPU, for
+        inputs too small for the kernels' halo windows (same limits as
+        fused_score), or widths not divisible by 32 (the predict tail
+        only pairs with the W-packed front/mid)."""
+        from ..ops import pallas_kernels
+        fused = (use_pallas and image.shape[1] >= 48
+                 and image.shape[1] % 8 == 0
+                 and image.shape[2] % 32 == 0)
+        if fused:
+            packed_f = pallas_kernels.pack_enet_front_w(variables)
+            x1, mask1 = pallas_kernels.fused_front_stage1_w(
+                image, packed_f, out_dtype=self.dtype,
+                interpret=interpret)
+            packed_m, meta = pallas_kernels.pack_enet_mid_w(variables)
+            y, sw2 = pallas_kernels.fused_mid_stage23_w(
+                x1, packed_m, meta, out_dtype=self.dtype,
+                interpret=interpret)
+            packed_t = pallas_kernels.pack_enet_tail(
+                variables, self.num_classes)
+            labels = pallas_kernels.fused_tail_predict(
+                y, sw2, mask1, packed_t, self.num_classes,
+                interpret=interpret)
+            return labels.astype(jnp.int32)
+        logits = self.apply(variables, image, training=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)

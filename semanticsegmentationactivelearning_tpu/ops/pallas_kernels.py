@@ -2402,9 +2402,15 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
                  ac51_ref, we51_ref, be51_ref, ar51_ref,
                  kf_ref, seg_ref, m1m_ref, out_ref, scr_a, scr_b,
                  *, num_classes: int, te: int, h8: int, fc: int,
-                 upto: str = "full"):
+                 upto: str = "full", mode: str = "entropy"):
     """See the section comment; eighth-grid row segments, per-stage
-    scratch round-trips, input-dtype matmuls."""
+    scratch round-trips, input-dtype matmuls.
+
+    ``mode="predict"`` swaps the entropy reduction for a per-pixel
+    argmax: ``out_ref`` is then an int8 ``(1, te, w8, 64)`` label tile
+    (s2d(8) phase layout) and ``kf_ref`` must be class-major (see
+    ``fused_tail_predict``). The ``upto`` probe truncations are
+    entropy-mode only."""
     i, j = pl.program_id(0), pl.program_id(1)
     f32 = jnp.float32
     e0 = j * te
@@ -2560,14 +2566,32 @@ def _tail_kernel(yp_ref, yc_ref, yn_ref, swp_ref, swc_ref, swn_ref,
         out_ref[i, j] = jnp.sum(flat(h51).astype(f32))
         return
 
-    # --- Final + entropy ---  output cells [0..TE)
+    # --- Final + entropy/argmax ---  output cells [0..TE)
     # Row-chunked: the full-tile logits at 64C lanes ([TE*W8, 1216]
     # f32, ~21 MB at te=16) can never live in VREGs — computing them
     # whole forces Mosaic through a vmem spill stack for every
     # elementwise op. Stage h51 in scratch and walk `fc`-row chunks so
     # each chunk's logits/exp temporaries stay small; only the scalar
-    # entropy sum survives the loop.
+    # entropy sum (or the int8 label tile) survives the loop.
     scr_a[0:te + 1] = h51
+    if mode == "predict":
+        # ``kf_ref`` is the CLASS-major permutation (c*64 + phase) of
+        # the packed Final kernel, so each class's 64 phase logits are
+        # one contiguous lane slice; the first-max running argmax
+        # matches XLA's lowest-index tie-breaking.
+        for r0 in range(0, te, fc):
+            r1 = min(r0 + fc, te)
+            lp = deconv4(scr_a[r0:r1 + 1], kf_ref, r0 - 1)
+            best = lp[:, 0:64]
+            idx = jnp.zeros_like(best, dtype=jnp.int32)
+            for c in range(1, num_classes):
+                v = lp[:, 64 * c:64 * (c + 1)]
+                idx = jnp.where(v > best, c, idx)
+                best = jnp.maximum(v, best)
+            out_ref[0, r0:r1] = idx.reshape(
+                r1 - r0, w8, 64).astype(jnp.int8)
+        return
+
     seg = seg_ref[...].astype(f32)
     neg_entropy_sum = jnp.float32(0.0)
     for r0 in range(0, te, fc):
@@ -2676,6 +2700,98 @@ def fused_tail_entropy_score(y: jnp.ndarray, switches2: jnp.ndarray,
     )(y, y, y, sw, sw, sw, m1, m1, m1, *consts)
 
     return jnp.sum(partial_sums, axis=1) / jnp.float32(64 * h8 * w8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "te", "fc",
+                                    "interpret"))
+def fused_tail_predict(y: jnp.ndarray, switches2: jnp.ndarray,
+                       mask1: jnp.ndarray, packed: dict,
+                       num_classes: int, te: int = 16, fc: int = 4,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Per-pixel argmax labels from stage-3 features: the same fused
+    stage4 + stage5 + Final kernel as :func:`fused_tail_entropy_score`
+    but ending in an in-kernel argmax instead of the entropy
+    reduction — the inference CLI's hot path (reference
+    inference.py:90-98) with full-resolution lane-padded logits never
+    existing in HBM.
+
+    Same inputs as the score variant; returns int8 ``[N, H, W]``
+    full-resolution class labels (unpacked from the kernel's s2d(8)
+    phase tiles by a free-for-int8 host-side reshape/transpose).
+    """
+    n, h8, w8, _ = y.shape
+    if te < 6 or h8 % te != 0:
+        te = h8
+    grid_h = h8 // te
+    fc = max(1, min(fc, te))
+
+    sw = switches2.astype(y.dtype)
+    m1 = mask1.reshape(n, 2 * h8, w8, 128).astype(y.dtype)
+
+    def tile_at(arr_ch, offs, rows=te):
+        return pl.BlockSpec(
+            (1, rows, w8, arr_ch),
+            lambda i, j, offs=offs: (
+                i, jnp.clip(j + offs, 0, grid_h - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def const_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(arr.shape, lambda i, j: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    # class-major permutation of the packed Final kernel: column
+    # c*64+phase <- phase*C+c, so each class's 64 phase logits are one
+    # contiguous lane slice for the in-kernel argmax sweep
+    c = num_classes
+    perm = (np.arange(64)[None, :] * c
+            + np.arange(c)[:, None]).reshape(-1)
+    kfp = packed["kf"][:, :, perm]
+
+    b41, b42 = packed["b41"], packed["b42"]
+    stk = lambda key: jnp.stack([b41[key], b42[key]])
+    consts = [packed["wp4"], packed["bp4"], packed["ap4"],
+              packed["kd4"], packed["bd4"], packed["ad4"],
+              packed["we4"], packed["be4"], packed["wr4"],
+              packed["ar4"],
+              stk("wp"), stk("bp"), stk("ap"),
+              jnp.concatenate([b41["cv"], b42["cv"]], axis=0),
+              stk("bc"), stk("ac"), stk("we"), stk("be"), stk("ar"),
+              packed["wp5"], packed["bp5"], packed["ap5"],
+              packed["kd5"], packed["bd5"], packed["ad5"],
+              packed["we5"], packed["be5"], packed["wr5"],
+              packed["x5"], packed["ar5"],
+              packed["wp51"], packed["bp51"], packed["ap51"],
+              packed["cv51"], packed["bc51"], packed["ac51"],
+              packed["we51"], packed["be51"], packed["ar51"],
+              kfp, packed["seg"], packed["m1merge"]]
+
+    labels8 = pl.pallas_call(
+        functools.partial(_tail_kernel, num_classes=num_classes, te=te,
+                          h8=h8, fc=fc, mode="predict"),
+        grid=(n, grid_h),
+        in_specs=[tile_at(128, -1), tile_at(128, 0), tile_at(128, 1),
+                  tile_at(64, -1), tile_at(64, 0), tile_at(64, 1),
+                  tile_at(128, -1, rows=2 * te),
+                  tile_at(128, 0, rows=2 * te),
+                  tile_at(128, 1, rows=2 * te)]
+        + [const_spec(a) for a in consts],
+        out_specs=pl.BlockSpec((1, te, w8, 64),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h8, w8, 64), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((te + 9, w8, 256), y.dtype),
+                        pltpu.VMEM((te + 9, w8, 256), y.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(y, y, y, sw, sw, sw, m1, m1, m1, *consts)
+
+    # s2d(8) phase layout (a*8+b) -> spatial: labels[., 8r+a, 8q+b]
+    return (labels8.reshape(n, h8, w8, 8, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n, h8 * 8, w8 * 8))
 
 
 # ============================================================

@@ -134,3 +134,48 @@ def test_explicit_model_flag_overrides(icnet_run, records, tmp_path):
                          extra=("-m", "ICNet"))
     assert res.returncode == 0, res.stdout + res.stderr
     assert "Model: ICNet" in res.stdout + res.stderr
+
+
+def test_fused_predict_path_matches_xla(enet_run, records_fused,
+                                        tmp_path):
+    """SSAL_FUSED_PREDICT=1 drives the fully-kernelized predict chain
+    (W-packed front -> mid -> in-kernel-argmax tail, Pallas interpret
+    mode on CPU) through the real CLI; its PNGs must agree with the
+    default XLA forward per-pixel up to argmax ties."""
+    outs = {}
+    for mode in ("0", "1"):
+        out = tmp_path / f"pred{mode}"
+        res = subprocess.run(
+            [sys.executable, "inference.py", "-c",
+             str(enet_run / "model-1.ckpt"), "-d", str(records_fused),
+             "-o", str(out), "-t", "cityscapes"],
+            cwd=REPO, env=dict(ENV, SSAL_FUSED_PREDICT=mode),
+            capture_output=True, text=True, timeout=900)
+        assert res.returncode == 0, res.stdout + res.stderr
+        pngs = sorted(out.glob("*.png"))
+        assert len(pngs) == 2
+        outs[mode] = [np.asarray(Image.open(p)) for p in pngs]
+    for xla, fused in zip(outs["0"], outs["1"]):
+        assert xla.shape == fused.shape == (64, 64)
+        # random-init logits have tiny margins; tolerate tie flips
+        assert (xla == fused).mean() > 0.99
+
+
+@pytest.fixture(scope="module")
+def records_fused(tmp_path_factory):
+    """64x64 records: tall/wide enough for the fused kernel gate
+    (H >= 48, W % 32 == 0)."""
+    from semanticsegmentationactivelearning_tpu.data import (example,
+                                                             tfrecord)
+    out = tmp_path_factory.mktemp("records_fused")
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        lbl = rng.integers(0, C, (64, 64)).astype(np.uint8)
+        ex = example.SegExample(
+            file_id=f"big{i:02d}", height=64, width=64,
+            label=_png_bytes(lbl),
+            modalities={"image": (_png_bytes(img), "png", 3)})
+        tfrecord.write_record_file(
+            str(out / f"big{i:02d}.tfrecord"), example.make_example(ex))
+    return out

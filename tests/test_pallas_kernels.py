@@ -469,3 +469,89 @@ class TestFusedTailEntropyScore:
         want = np.asarray(acquisition.mean_confidence(
             logits, "entropy", model.num_classes))
         np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+
+def _assert_labels_match(got, logits, atol=1e-4):
+    """Argmax labels must agree with the XLA argmax everywhere the
+    top-2 logit margin exceeds the kernels' numeric noise; pixels
+    inside the margin are implementation ties, not errors."""
+    logits = np.asarray(logits, dtype=np.float32)
+    want = np.argmax(logits, axis=-1)
+    top2 = np.sort(logits, axis=-1)[..., -2:]
+    decided = (top2[..., 1] - top2[..., 0]) > atol
+    assert decided.mean() > 0.99  # the test isn't vacuous
+    np.testing.assert_array_equal(np.asarray(got)[decided],
+                                  want[decided])
+
+
+class TestFusedTailPredict:
+    """The predict-mode tail kernel (stage4 + stage5 + Final + in-kernel
+    argmax) must reproduce the plain forward's per-pixel argmax, and the
+    model-level ``fused_predict`` entry point must wire the W-packed
+    front/mid/tail chain correctly (it only ever executes on TPU, so a
+    wiring bug would otherwise be invisible to CI)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from semanticsegmentationactivelearning_tpu.models import ENet
+        rng = np.random.default_rng(23)
+        model = ENet(num_classes=5)
+        # 128 rows -> h8=16: te=8 gives grid_h=2 (tile-halo path)
+        x = jnp.asarray(rng.uniform(size=(1, 128, 48, 3))
+                        .astype(np.float32))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(12),
+             "dropout": jax.random.PRNGKey(13)}, x, training=False)
+        stats = variables["batch_stats"]
+        noised = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(
+                np.abs(rng.normal(size=a.shape, scale=0.3))
+                .astype(np.float32)), stats)
+        variables = {**variables, "batch_stats": noised}
+        return model, variables, x
+
+    @pytest.mark.parametrize("te,fc", [(8, 4), (16, 3)])
+    def test_kernel_matches_argmax(self, setup, te, fc):
+        model, variables, x = setup
+        packed_f = pallas_kernels.pack_enet_front(variables)
+        x1, mask1 = pallas_kernels.fused_front_stage1(
+            x, packed_f, tile_q=8, interpret=True,
+            out_dtype=jnp.float32)
+        y, sw2m = model.apply(variables, x1, training=False,
+                              method="forward_stage23")
+        n, h8, w8, _ = y.shape
+        sw2 = sw2m.reshape(n, h8, w8, 64)
+        packed_t = pallas_kernels.pack_enet_tail(variables,
+                                                 model.num_classes)
+        got = pallas_kernels.fused_tail_predict(
+            y, sw2, mask1, packed_t, model.num_classes, te=te, fc=fc,
+            interpret=True)
+        assert got.shape == x.shape[:3]
+        logits = model.apply(variables, x, training=False)
+        _assert_labels_match(got, logits)
+
+    def test_fused_predict_entrypoint(self, setup):
+        # production wiring: W-packed front -> W-packed mid -> predict
+        # tail (W % 32 == 0, H >= 48)
+        model, variables, _ = setup
+        rng = np.random.default_rng(29)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3))
+                        .astype(np.float32))
+        got = model.fused_predict(variables, x, use_pallas=True,
+                                  interpret=True)
+        assert got.dtype == jnp.int32 and got.shape == x.shape[:3]
+        logits = model.apply(variables, x, training=False)
+        _assert_labels_match(got, logits)
+
+    def test_fused_predict_fallback(self, setup):
+        # W % 32 != 0 degrades to the XLA forward + argmax, exactly
+        model, variables, _ = setup
+        rng = np.random.default_rng(31)
+        x = jnp.asarray(rng.uniform(size=(1, 32, 48, 3))
+                        .astype(np.float32))
+        got = np.asarray(model.fused_predict(variables, x,
+                                             use_pallas=True,
+                                             interpret=True))
+        logits = model.apply(variables, x, training=False)
+        want = np.asarray(jnp.argmax(logits, axis=-1))
+        np.testing.assert_array_equal(got, want)
