@@ -34,7 +34,7 @@ logger = logging.getLogger(__name__)
 
 
 def make_predict_fn(model, state, lut, height, width, in_channels,
-                    out_hw=None):
+                    out_hw=None, mesh=None):
     """The jitted serving hot path: uint8 record stack -> uint8 label
     (or colormap) maps, cropped back to the record dims.
 
@@ -47,6 +47,12 @@ def make_predict_fn(model, state, lut, height, width, in_channels,
     ``SSAL_FUSED_PREDICT=0`` forces the plain XLA forward (hardware
     A/B); ``=1`` forces the kernels even on CPU (Pallas interpret mode,
     so the e2e tests can drive this branch without a TPU).
+
+    With a ``("data",)`` mesh the batch is sharded over devices and the
+    body runs under ``jax.shard_map`` so the Pallas kernels (which have
+    no GSPMD partitioning rule) stay enabled — each chip predicts its
+    own images, no cross-device communication (same structure as
+    ``train.steps.make_pool_score_step``'s data-only branch).
 
     Shared by the CLI and ``tools/bench_inference.py`` so the benchmark
     measures exactly what serving runs.
@@ -66,8 +72,7 @@ def make_predict_fn(model, state, lut, height, width, in_channels,
                      and jax.default_backend() not in ("cpu",))
     fused_interpret = use_fused and jax.default_backend() == "cpu"
 
-    @jax.jit
-    def predict(stack):
+    def body(state, lut, stack):
         image = stack[..., :in_channels].astype(jnp.float32) / 255.0
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
@@ -86,6 +91,24 @@ def make_predict_fn(model, state, lut, height, width, in_channels,
                        prob.shape[-1]), method="bilinear")
         pred = jnp.argmax(prob, axis=-1)
         return lut[pred]  # uint8 [B,h,w] or [B,h,w,3]
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        # check_vma=False: pallas_call out_shapes carry no varying-axis
+        # metadata, so the shard_map replication checker rejects the
+        # fused kernels otherwise
+        sharded = jax.shard_map(body, mesh=mesh,
+                                in_specs=(P(), P(), P("data")),
+                                out_specs=P("data"),
+                                check_vma=False)
+
+        @jax.jit
+        def predict(stack):
+            return sharded(state, lut, stack)
+    else:
+        @jax.jit
+        def predict(stack):
+            return body(state, lut, stack)
 
     return predict, use_fused
 
@@ -173,17 +196,31 @@ def main(args):
             # color-coded datasets reverse-embed to their colormap
             lut = jnp.asarray(dataset.colormap)
 
+    # multi-chip serving: shard each batch over a ("data",) mesh (one
+    # image per chip at batch 8 on a v5e-8); the Pallas kernels run
+    # per-shard under shard_map
+    from semanticsegmentationactivelearning_tpu import parallel
+    mesh = None
+    if jax.device_count() > 1 \
+            and args.batch_size % jax.device_count() == 0:
+        mesh = parallel.make_mesh()
+        logger.info("Data-parallel serving over %d devices",
+                    jax.device_count())
     predict, use_fused = make_predict_fn(model, state, lut, height,
-                                         width, in_channels, out_hw)
+                                         width, in_channels, out_hw,
+                                         mesh=mesh)
     if use_fused:
         logger.info("Fused Pallas predict chain enabled")
+    stack_sharding = parallel.data_sharded(mesh) if mesh is not None \
+        else None
 
     # overlap the next batch's H2D upload with the in-flight predict
     # (same measured win as the train/AL loops: the relay serializes
     # fresh-host-numpy uploads behind compute otherwise)
     from semanticsegmentationactivelearning_tpu.data import (
         device_prefetch)
-    batches = device_prefetch.device_prefetch(rec_loader.batches())
+    batches = device_prefetch.device_prefetch(
+        rec_loader.batches(), sharding=stack_sharding)
     written = []
     for b in cli.progress(batches, "inference",
                           total=rec_loader.num_batches()):

@@ -339,3 +339,46 @@ class ICNet(nn.Module):
                           return_pre_logits=True)
         return acquisition.chunked_upsample_mean_confidence(
             cls4, 4, measure, self.num_classes)
+
+    def fused_predict(self, variables, image,
+                      use_pallas: bool = False, fuse_stem: bool = True,
+                      interpret: bool = False):
+        """Per-pixel argmax labels without materializing full-res (or
+        even 1/4-res) logits — the inference CLI's forward (reference
+        inference.py:90-98) through the same kernel chain as
+        :meth:`fused_score` (front+stem kernel -> XLA mid -> head8
+        kernel), with the head ending in an in-kernel argmax. Returns
+        int32 ``[N, H, W]``.
+
+        Falls back to the plain XLA forward + argmax off-TPU or when
+        ``use_pallas`` is unset (input divisibility by 32 is enforced
+        either way by ``__call__``/``fused_score``)."""
+        from ..ops import pallas_kernels
+        _n, h, w, _c = image.shape
+        if h % 32 or w % 32:
+            raise ValueError(
+                f"ICNet input dims must be divisible by 32, got {h}x{w}")
+        if use_pallas:
+            dt = self.dtype if self.dtype is not None else jnp.float32
+            if fuse_stem:
+                packed = pallas_kernels.pack_icnet_front_stem(variables)
+                f1, stem1 = pallas_kernels.fused_icnet_front_stem(
+                    image.astype(dt), packed, interpret=interpret)
+                fused8 = self.apply(variables, f1, stem1,
+                                    training=False,
+                                    method=ICNet.fuse_from_stem1)
+            else:
+                packed = pallas_kernels.pack_icnet_front(variables)
+                f1, x_half = pallas_kernels.fused_icnet_front(
+                    image.astype(dt), packed, interpret=interpret)
+                fused8 = self.apply(variables, f1, x_half,
+                                    training=False,
+                                    method=ICNet.fuse_from_front)
+            cls_p = variables["params"]["Classifier"]
+            labels = pallas_kernels.fused_head8_predict(
+                fused8, cls_p["kernel"][0, 0].astype(jnp.float32),
+                cls_p["bias"].astype(jnp.float32), self.num_classes,
+                interpret=interpret)
+            return labels.astype(jnp.int32)
+        logits = self.apply(variables, image, training=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)

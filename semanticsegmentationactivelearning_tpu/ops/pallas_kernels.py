@@ -111,7 +111,7 @@ _HEAD8_W = np.array(
 
 def _head8_kernel(x_ref, ru_ref, rd_ref, wcls_ref, bcls_ref,
                   ml_ref, m0_ref, mr_ref, seg_ref, out_ref,
-                  *, num_classes: int):
+                  *, num_classes: int, mode: str = "entropy"):
     """ICNet head, fully fused: 1x1 classifier (moved in front of the
     resizes — a 1x1 conv commutes with bilinear upsampling, bias
     included since tent weights sum to 1) + composed 8x polyphase
@@ -147,6 +147,31 @@ def _head8_kernel(x_ref, ru_ref, rd_ref, wcls_ref, bcls_ref,
     m0 = m0_ref[...].astype(f32)
     mr = mr_ref[...].astype(f32)
     seg = seg_ref[...].astype(f32)         # [8*C, 8]
+
+    if mode == "predict":
+        # ml/m0/mr arrive CLASS-major (column c*8 + col_phase, see
+        # ``fused_head8_predict``): each class's 8 column-phase logits
+        # are one contiguous lane slice, so the first-max running
+        # argmax matches XLA's lowest-index tie-breaking. Row phase t
+        # -> full-res row 8r+t; lane layout t*8+p unpacks host-side.
+        labs = []
+        for t in range(8):
+            w = _HEAD8_W[t]
+            r = w[0] * yu + w[1] * y + w[2] * yd
+            rl = jnp.concatenate([r[:, :1], r[:, :-1]], axis=1)
+            rr = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=1)
+            lp = (jnp.dot(flat(rl), ml, preferred_element_type=f32)
+                  + jnp.dot(flat(r), m0, preferred_element_type=f32)
+                  + jnp.dot(flat(rr), mr, preferred_element_type=f32))
+            best = lp[:, 0:8]
+            idx = jnp.zeros_like(best, dtype=jnp.int32)
+            for cc in range(1, num_classes):
+                v = lp[:, 8 * cc:8 * (cc + 1)]
+                idx = jnp.where(v > best, cc, idx)
+                best = jnp.maximum(v, best)
+            labs.append(idx.reshape(th, wl, 8))
+        out_ref[0] = jnp.concatenate(labs, axis=-1).astype(jnp.int8)
+        return
 
     log_c = jnp.log(jnp.float32(num_classes))
     neg_entropy_sum = jnp.float32(0.0)
@@ -235,6 +260,76 @@ def fused_head8_entropy_score(features8: jnp.ndarray, wcls: jnp.ndarray,
     )(features8, features8, features8, wcls2, bcls2, ml, m0, mr, seg)
 
     return jnp.sum(partial_sums, axis=1) / jnp.float32(64 * h8 * w8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "tile_h", "interpret"))
+def fused_head8_predict(features8: jnp.ndarray, wcls: jnp.ndarray,
+                        bcls: jnp.ndarray, num_classes: int,
+                        tile_h: int = 4,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Per-pixel argmax labels of the full ICNet head — the same
+    classifier + composed 8x polyphase upsample as
+    :func:`fused_head8_entropy_score` with an in-kernel argmax instead
+    of the entropy reduction, so neither the 1/4-res fp32 logits nor
+    the full-res lane-padded logits ever exist in HBM (the inference
+    CLI's forward; reference inference.py:90-98 materialized full-res
+    logits).
+
+    Same inputs as the score variant; returns int8 ``[N, H, W]``
+    full-resolution class labels (H = 8*H8). The kernel emits
+    ``(row_phase, col_phase)`` lane tiles; a free-for-int8 host-side
+    reshape/transpose unpacks them.
+    """
+    n, h8, w8, cf = features8.shape
+    if h8 % tile_h != 0:
+        tile_h = h8
+    grid_h = h8 // tile_h
+    c = num_classes
+
+    eye = jnp.eye(c, dtype=jnp.float32)
+    ml = jnp.concatenate([w[0] * eye for w in _HEAD8_W], axis=-1)
+    m0 = jnp.concatenate([w[1] * eye for w in _HEAD8_W], axis=-1)
+    mr = jnp.concatenate([w[2] * eye for w in _HEAD8_W], axis=-1)
+    # class-major permutation: column c*8+p <- p*C+c, so each class's
+    # 8 column-phase logits are one contiguous lane slice for the
+    # in-kernel argmax sweep
+    perm = (np.arange(8)[None, :] * c
+            + np.arange(c)[:, None]).reshape(-1)
+    ml, m0, mr = ml[:, perm], m0[:, perm], mr[:, perm]
+    seg = jnp.repeat(jnp.eye(8, dtype=jnp.float32), c, axis=0)
+
+    spec = pl.BlockSpec((1, tile_h, w8, cf), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    up_spec = pl.BlockSpec(
+        (1, 1, w8, cf),
+        lambda i, j: (i, jnp.clip(j * tile_h - 1, 0, h8 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    dn_spec = pl.BlockSpec(
+        (1, 1, w8, cf),
+        lambda i, j: (i, jnp.clip(j * tile_h + tile_h, 0, h8 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    wcls2 = wcls.reshape(cf, c)
+    bcls2 = bcls.reshape(1, c)
+    labels8 = pl.pallas_call(
+        functools.partial(_head8_kernel, num_classes=num_classes,
+                          mode="predict"),
+        grid=(n, grid_h),
+        in_specs=[spec, up_spec, dn_spec, const(wcls2), const(bcls2),
+                  const(ml), const(m0), const(mr), const(seg)],
+        out_specs=pl.BlockSpec((1, tile_h, w8, 64),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h8, w8, 64), jnp.int8),
+        interpret=interpret,
+    )(features8, features8, features8, wcls2, bcls2, ml, m0, mr, seg)
+
+    # lane layout t*8+p -> spatial: labels[., 8r+t, 8q+p]
+    return (labels8.reshape(n, h8, w8, 8, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n, h8 * 8, w8 * 8))
 
 
 @functools.partial(jax.jit,

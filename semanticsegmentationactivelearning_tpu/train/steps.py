@@ -285,9 +285,13 @@ def make_pool_score_step(model, num_classes: int, measure: str,
             def local(state, chunks):
                 return jax.lax.map(lambda im: score_impl(state, im),
                                    chunks)
+            # check_vma=False: pallas_call out_shapes carry no
+            # varying-axis metadata, so the replication checker would
+            # reject the fused kernels on a real multi-chip mesh
             scores = jax.shard_map(
                 local, mesh=mesh, in_specs=(P(), P(None, "data")),
-                out_specs=P(None, "data"))(state, chunks)
+                out_specs=P(None, "data"),
+                check_vma=False)(state, chunks)
             return scores.reshape(-1)
         if mesh is not None:
             spec = P(None, "data", None, "space") if spatial \
@@ -336,9 +340,11 @@ def make_score_step(model, num_classes: int, measure: str, mesh=None,
     def score_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         if data_only:
             from jax.sharding import PartitionSpec as P
+            # check_vma=False: see make_pool_score_step
             return jax.shard_map(
                 score_impl, mesh=mesh, in_specs=(P(), P("data")),
-                out_specs=P("data"))(state, batch["image"])
+                out_specs=P("data"),
+                check_vma=False)(state, batch["image"])
         return score_impl(state, batch["image"])
 
     return score_step

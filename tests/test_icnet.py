@@ -123,6 +123,62 @@ class TestICNetScoring:
         want = np.asarray(acquisition.mean_confidence(full, "entropy", C))
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
+    def _assert_labels_match(self, got, logits, atol=1e-4):
+        # argmax must agree wherever the top-2 margin exceeds kernel
+        # numeric noise; pixels inside the margin are ties, not errors.
+        # Bilinear upsampling interpolates across class boundaries, so
+        # random-init logits carry a few % of near-tie band pixels —
+        # the vacuity guard only ensures the comparison keeps teeth.
+        logits = np.asarray(logits, dtype=np.float32)
+        want = np.argmax(logits, axis=-1)
+        top2 = np.sort(logits, axis=-1)[..., -2:]
+        decided = (top2[..., 1] - top2[..., 0]) > atol
+        assert decided.mean() > 0.9
+        np.testing.assert_array_equal(np.asarray(got)[decided],
+                                      want[decided])
+
+    def test_pallas_head8_predict_matches(self):
+        """Predict-mode head kernel == argmax of the two-stage oracle
+        (resize2x -> 1x1 classifier -> resize4x), multi-tile grid."""
+        from semanticsegmentationactivelearning_tpu.ops import (
+            pallas_kernels)
+        rng = np.random.default_rng(5)
+        cf = 16
+        feats = jnp.asarray(rng.normal(size=(2, 8, 16, cf)), jnp.float32)
+        wcls = jnp.asarray(rng.normal(size=(cf, C)), jnp.float32)
+        bcls = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+        got = pallas_kernels.fused_head8_predict(
+            feats, wcls, bcls, C, interpret=True)
+        assert got.shape == (2, 64, 128)
+        up4 = jax.image.resize(feats, (2, 16, 32, cf), method="bilinear")
+        cls4 = up4 @ wcls + bcls
+        full = jax.image.resize(cls4, (2, 64, 128, C), method="bilinear")
+        self._assert_labels_match(got, full)
+
+    @pytest.mark.parametrize("fuse_stem", [True, False])
+    def test_fused_predict_matches_argmax(self, icnet_and_vars,
+                                          fuse_stem):
+        """Model-level fused_predict (front[+stem] kernel -> XLA mid ->
+        predict-mode head kernel) == the plain forward's argmax."""
+        model, variables = icnet_and_vars
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(size=(1, *HW, 3)), jnp.float32)
+        got = model.fused_predict(variables, x, use_pallas=True,
+                                  fuse_stem=fuse_stem, interpret=True)
+        assert got.dtype == jnp.int32 and got.shape == (1, *HW)
+        logits = model.apply(variables, x, training=False)
+        self._assert_labels_match(got, logits, atol=5e-4)
+
+    def test_fused_predict_fallback_exact(self, icnet_and_vars):
+        model, variables = icnet_and_vars
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.uniform(size=(1, *HW, 3)), jnp.float32)
+        got = np.asarray(model.fused_predict(variables, x,
+                                             use_pallas=False))
+        logits = model.apply(variables, x, training=False)
+        want = np.asarray(jnp.argmax(logits, axis=-1))
+        np.testing.assert_array_equal(got, want)
+
     def test_pallas_front_kernel_matches(self, icnet_and_vars):
         """Interpreted front kernel == flax Branch1 stack + the
         half-res jax.image.resize, at a multi-tile grid (H=64 ->

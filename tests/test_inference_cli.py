@@ -136,18 +136,52 @@ def test_explicit_model_flag_overrides(icnet_run, records, tmp_path):
     assert "Model: ICNet" in res.stdout + res.stderr
 
 
-def test_fused_predict_path_matches_xla(enet_run, records_fused,
-                                        tmp_path):
+def test_sharded_serving_matches_single_device(enet_run, records,
+                                               tmp_path):
+    """`-b 4` on a 4-device mesh serves data-parallel through
+    jax.shard_map (one image per device; the last batch is padding
+    beyond the 3 records, exercising the valid-mask under sharding);
+    outputs must agree with the single-device run."""
+    out_1 = tmp_path / "pred1"
+    res = _run_inference(enet_run / "model-1.ckpt", records, out_1)
+    assert res.returncode == 0, res.stdout + res.stderr
+    out_4 = tmp_path / "pred4"
+    res = subprocess.run(
+        [sys.executable, "inference.py", "-c",
+         str(enet_run / "model-1.ckpt"), "-d", str(records), "-o",
+         str(out_4), "-t", "cityscapes", "-b", "4"],
+        cwd=REPO,
+        env=dict(ENV,
+                 XLA_FLAGS="--xla_force_host_platform_device_count=4"),
+        capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "Data-parallel serving over 4 devices" in (res.stdout
+                                                      + res.stderr)
+    pngs_1 = sorted(out_1.glob("*.png"))
+    pngs_4 = sorted(out_4.glob("*.png"))
+    assert [p.name for p in pngs_4] == [p.name for p in pngs_1]
+    for p1, p4 in zip(pngs_1, pngs_4):
+        a1 = np.asarray(Image.open(p1))
+        a4 = np.asarray(Image.open(p4))
+        # batch-3 vs per-shard batch-1 convs may flip argmax ties
+        assert (a1 == a4).mean() > 0.99
+
+
+@pytest.mark.parametrize("run_fixture", ["enet_run", "icnet_run"])
+def test_fused_predict_path_matches_xla(run_fixture, records_fused,
+                                        tmp_path, request):
     """SSAL_FUSED_PREDICT=1 drives the fully-kernelized predict chain
-    (W-packed front -> mid -> in-kernel-argmax tail, Pallas interpret
+    (ENet: W-packed front -> mid -> in-kernel-argmax tail; ICNet:
+    front+stem kernel -> predict-mode head8 kernel; Pallas interpret
     mode on CPU) through the real CLI; its PNGs must agree with the
     default XLA forward per-pixel up to argmax ties."""
+    run_dir = request.getfixturevalue(run_fixture)
     outs = {}
     for mode in ("0", "1"):
         out = tmp_path / f"pred{mode}"
         res = subprocess.run(
             [sys.executable, "inference.py", "-c",
-             str(enet_run / "model-1.ckpt"), "-d", str(records_fused),
+             str(run_dir / "model-1.ckpt"), "-d", str(records_fused),
              "-o", str(out), "-t", "cityscapes"],
             cwd=REPO, env=dict(ENV, SSAL_FUSED_PREDICT=mode),
             capture_output=True, text=True, timeout=900)
@@ -159,6 +193,45 @@ def test_fused_predict_path_matches_xla(enet_run, records_fused,
         assert xla.shape == fused.shape == (64, 64)
         # random-init logits have tiny margins; tolerate tie flips
         assert (xla == fused).mean() > 0.99
+
+
+def test_sharded_fused_predict_in_process(monkeypatch):
+    """mesh + fused kernels together — the combination a v5e-8 serves:
+    make_predict_fn under a ("data",) shard_map with the Pallas predict
+    chain forced on (interpret mode), vs the plain XLA argmax."""
+    monkeypatch.setenv("SSAL_FUSED_PREDICT", "1")
+    import jax
+    import jax.numpy as jnp
+
+    import inference
+    from semanticsegmentationactivelearning_tpu.parallel import (
+        make_mesh)
+    from semanticsegmentationactivelearning_tpu.models import ENet
+    from semanticsegmentationactivelearning_tpu.train import (
+        create_train_state, optim)
+
+    h, w = 48, 64
+    model = ENet(num_classes=5)
+    state = create_train_state(model, optim.make_optimizer({}),
+                               jax.random.PRNGKey(0), (h, w))
+    lut = jnp.arange(256, dtype=jnp.uint8)  # identity: raw class ids
+    predict, use_fused = inference.make_predict_fn(
+        model, state, lut, h, w, in_channels=3, mesh=make_mesh(4))
+    assert use_fused
+    rng = np.random.default_rng(41)
+    stack = rng.integers(0, 255, (4, h, w, 3), dtype=np.uint8)
+    got = np.asarray(predict(jnp.asarray(stack)))
+    assert got.shape == (4, h, w)
+
+    logits = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(stack).astype(jnp.float32) / 255.0, training=False)
+    logits = np.asarray(logits, dtype=np.float32)
+    want = np.argmax(logits, axis=-1)
+    top2 = np.sort(logits, axis=-1)[..., -2:]
+    decided = (top2[..., 1] - top2[..., 0]) > 1e-4
+    assert decided.mean() > 0.99
+    np.testing.assert_array_equal(got[decided], want[decided])
 
 
 @pytest.fixture(scope="module")

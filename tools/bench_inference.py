@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--unique", type=int, default=32)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--hw", default="1024x2048")
+    ap.add_argument("--model", choices=("ENet", "ICNet"),
+                    default="ENet")
     ap.add_argument("--fuse", choices=("auto", "on", "off"),
                     default="auto")
     ap.add_argument("--encode", action="store_true",
@@ -52,7 +54,7 @@ def main():
     import inference
     from semanticsegmentationactivelearning_tpu import datasets
     from semanticsegmentationactivelearning_tpu.data import etl, loader
-    from semanticsegmentationactivelearning_tpu.models import ENet
+    from semanticsegmentationactivelearning_tpu.models import get_model
     from semanticsegmentationactivelearning_tpu.data import (
         device_prefetch)
     from semanticsegmentationactivelearning_tpu.train import (
@@ -67,7 +69,8 @@ def main():
     filenames = [unique[i % len(unique)] for i in range(args.images)]
 
     dataset = datasets.Cityscapes()
-    model = ENet(dataset.num_classes, dtype=jnp.bfloat16)
+    model = get_model(args.model, dataset.num_classes,
+                      dtype=jnp.bfloat16)
     state = create_train_state(model, optim.make_optimizer({}),
                                jax.random.PRNGKey(0), (h, w))
     lut = (jnp.asarray(dataset.colormap) if args.color
@@ -107,8 +110,9 @@ def main():
     print(json.dumps({
         "metric": "inference_images_per_sec_one_chip",
         "value": round(rate, 2),
-        "images": n, "hw": args.hw, "batch": args.batch,
-        "fused": bool(use_fused), "encode": bool(args.encode)}))
+        "model": args.model, "images": n, "hw": args.hw,
+        "batch": args.batch, "fused": bool(use_fused),
+        "encode": bool(args.encode)}))
 
 
 if __name__ == "__main__":
