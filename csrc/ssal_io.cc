@@ -441,9 +441,85 @@ static bool load_one(const char* path, uint8_t* slot, int storage_h,
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// PNG encoding (prediction-map writer for the inference CLI)
+// ---------------------------------------------------------------------------
+
+// Encode one [h, w, channels] uint8 array (channels 1 or 3) straight to
+// a PNG file. The reference wrote prediction PNGs in-graph via
+// tf.io.write_file (inference.py:111-119); this is the native host
+// equivalent, called off the serving hot loop so encode+disk overlap
+// device compute.
+static bool write_png_one(const char* path, const uint8_t* data, int h,
+                          int w, int channels, std::string* err) {
+  png_image image;
+  memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  image.width = (png_uint_32)w;
+  image.height = (png_uint_32)h;
+  image.format = (channels == 1) ? PNG_FORMAT_GRAY : PNG_FORMAT_RGB;
+  if (!png_image_write_to_file(&image, path, 0, data,
+                               w * channels /* row_stride */, nullptr)) {
+    *err = std::string("png encode failed: ") + path + ": " +
+           image.message;
+    return false;
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Encode one [h, w, channels] uint8 buffer to `path` as PNG.
+// Returns 0 on success; on failure fills `err` (errlen bytes).
+int ssal_write_png(const char* path, const uint8_t* data, int h, int w,
+                   int channels, char* err, size_t errlen) {
+  std::string e;
+  if (!write_png_one(path, data, h, w, channels, &e)) {
+    snprintf(err, errlen, "%s", e.c_str());
+    return 1;
+  }
+  return 0;
+}
+
+// Threaded batch encode of a contiguous [n, h, w, channels] uint8
+// stack; paths[i] == NULL skips slot i (padded/invalid tail entries
+// stay in the stack so the caller never re-packs). Returns 0 on
+// success, else the 1-based index of the first failing slot.
+int ssal_write_png_batch(const char** paths, const uint8_t* data, int n,
+                         int h, int w, int channels, int num_threads,
+                         char* err, size_t errlen) {
+  const size_t slot_size = (size_t)h * w * channels;
+  std::vector<std::string> errors(n);
+  std::vector<int> status(n, 0);
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+
+  auto worker = [&](int tid) {
+    for (int i = tid; i < n; i += num_threads) {
+      if (!paths[i]) continue;
+      std::string e;
+      if (!write_png_one(paths[i], data + (size_t)i * slot_size, h, w,
+                         channels, &e)) {
+        errors[i] = e;
+        status[i] = 1;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < num_threads; t++) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+
+  for (int i = 0; i < n; i++) {
+    if (status[i]) {
+      snprintf(err, errlen, "%s", errors[i].c_str());
+      return i + 1;
+    }
+  }
+  return 0;
+}
 
 // Load one record into a [storage_h, storage_w, channels+1] uint8 slot.
 // Returns 0 on success; on failure fills `err` (errlen bytes).

@@ -24,8 +24,7 @@ import sys
 import numpy as np
 
 from semanticsegmentationactivelearning_tpu import datasets
-from semanticsegmentationactivelearning_tpu.data import (etl, example,
-                                                         loader)
+from semanticsegmentationactivelearning_tpu.data import example, loader
 from semanticsegmentationactivelearning_tpu.models import get_model
 from semanticsegmentationactivelearning_tpu.train import checkpoint as ckpt
 from semanticsegmentationactivelearning_tpu.utils import cli
@@ -218,24 +217,31 @@ def main(args):
     # (same measured win as the train/AL loops: the relay serializes
     # fresh-host-numpy uploads behind compute otherwise)
     from semanticsegmentationactivelearning_tpu.data import (
-        device_prefetch)
+        device_prefetch, png_writer)
     batches = device_prefetch.device_prefetch(
         rec_loader.batches(), sharding=stack_sharding)
     written = []
-    for b in cli.progress(batches, "inference",
-                          total=rec_loader.num_batches()):
-        out = np.asarray(predict(b["stack"]))
-        for j in range(len(out)):
-            if not b["valid"][j]:
-                continue
-            file_id = os.path.basename(
-                str(rec_loader.filenames[b["index"][j]]))
-            file_id = file_id.replace(".tfrecord", "")
-            path = os.path.join(args.output, file_id + ".png")
-            with open(path, "wb") as fp:
-                fp.write(etl.encode_png(out[j]))
-            written.append(path)
-            logger.info("Written processed sample %s", file_id)
+    # PNG encode + disk write run on a background thread (native libpng
+    # pool when csrc/ is built) so they overlap the next batch's predict
+    # — the reference got the same overlap by encoding in-graph under
+    # sess.run (inference.py:111-119)
+    with png_writer.AsyncPngWriter() as writer:
+        for b in cli.progress(batches, "inference",
+                              total=rec_loader.num_batches()):
+            out = np.asarray(predict(b["stack"]))
+            paths = []
+            for j in range(len(out)):
+                if not b["valid"][j]:
+                    paths.append(None)
+                    continue
+                file_id = os.path.basename(
+                    str(rec_loader.filenames[b["index"][j]]))
+                file_id = file_id.replace(".tfrecord", "")
+                path = os.path.join(args.output, file_id + ".png")
+                paths.append(path)
+                written.append(path)
+                logger.info("Writing processed sample %s", file_id)
+            writer.submit(paths, out)
     logger.info("Inference successfully finished (%d files).",
                 len(written))
 

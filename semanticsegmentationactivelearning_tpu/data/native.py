@@ -63,6 +63,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_char_p, ctypes.c_size_t]
+    if hasattr(lib, "ssal_write_png_batch"):
+        lib.ssal_write_png_batch.restype = ctypes.c_int
+        lib.ssal_write_png_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_size_t]
     _lib = lib
     return _lib
 
@@ -117,3 +123,43 @@ def load_batch(paths: Sequence[str], storage_hw: Tuple[int, int],
             f"native decode failed for {paths[rc - 1]}: "
             f"{err.value.decode()}")
     return stack, heights, widths, has_label.astype(bool)
+
+
+def encode_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "ssal_write_png_batch")
+
+
+def write_png_batch(paths: Sequence[Optional[str]], stack: np.ndarray,
+                    num_threads: Optional[int] = None) -> None:
+    """Encode a uint8 stack ``[n,H,W]`` (gray) or ``[n,H,W,3]`` (RGB) to
+    PNG files with a native thread pool; ``paths[i] is None`` skips slot
+    ``i`` (padded tail entries). Raises ValueError naming the failing
+    file on error."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ssal_write_png_batch"):
+        raise RuntimeError("native PNG encoder unavailable")
+    stack = np.ascontiguousarray(stack)
+    if stack.dtype != np.uint8:
+        raise ValueError("stack must be uint8")
+    if stack.ndim == 3:
+        n, h, w = stack.shape
+        channels = 1
+    elif stack.ndim == 4 and stack.shape[-1] in (1, 3):
+        n, h, w, channels = stack.shape
+    else:
+        raise ValueError(f"bad stack shape {stack.shape}")
+    if len(paths) != n:
+        raise ValueError("len(paths) != stack batch dim")
+    c_paths = (ctypes.c_char_p * n)(
+        *[None if p is None else p.encode() for p in paths])
+    err = ctypes.create_string_buffer(512)
+    if num_threads is None:
+        num_threads = min(max((os.cpu_count() or 2) - 1, 1), 16)
+    rc = lib.ssal_write_png_batch(
+        c_paths, stack.ctypes.data_as(ctypes.c_void_p), n, h, w,
+        channels, num_threads, err, 512)
+    if rc != 0:
+        raise ValueError(
+            f"native png encode failed for {paths[rc - 1]}: "
+            f"{err.value.decode()}")

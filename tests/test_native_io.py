@@ -66,3 +66,56 @@ class TestNativeBatch:
         bad.write_bytes(b"xx")
         with pytest.raises(ValueError, match="bad.tfrecord"):
             native.load_batch([str(bad)], (4, 4))
+
+
+class TestPngEncode:
+    """Native + async PNG writer (the inference CLI's output path)."""
+
+    @pytest.mark.parametrize("shape", [(3, 10, 14), (3, 10, 14, 3)])
+    def test_native_roundtrip(self, tmp_path, shape):
+        rng = np.random.default_rng(9)
+        stack = rng.integers(0, 255, shape, dtype=np.uint8)
+        paths = [str(tmp_path / "e0.png"), None,
+                 str(tmp_path / "e2.png")]
+        native.write_png_batch(paths, stack)
+        for i, p in enumerate(paths):
+            if p is None:
+                continue
+            np.testing.assert_array_equal(
+                etl.decode_image(open(p, "rb").read()), stack[i])
+        assert not (tmp_path / "e1.png").exists()
+
+    def test_native_error_names_file(self, tmp_path):
+        stack = np.zeros((1, 4, 4), dtype=np.uint8)
+        with pytest.raises(ValueError, match="nodir"):
+            native.write_png_batch(
+                [str(tmp_path / "nodir" / "x.png")], stack)
+
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_async_writer(self, tmp_path, use_native):
+        from semanticsegmentationactivelearning_tpu.data import (
+            png_writer)
+        rng = np.random.default_rng(11)
+        stacks = [rng.integers(0, 255, (2, 8, 9, 3), dtype=np.uint8)
+                  for _ in range(4)]
+        with png_writer.AsyncPngWriter(use_native=use_native) as w:
+            for k, stack in enumerate(stacks):
+                w.submit([str(tmp_path / f"b{k}_0.png"),
+                          None if k == 2 else
+                          str(tmp_path / f"b{k}_1.png")], stack)
+        assert w.written == 7
+        for k, stack in enumerate(stacks):
+            np.testing.assert_array_equal(
+                etl.decode_image(
+                    open(tmp_path / f"b{k}_0.png", "rb").read()),
+                stack[0])
+        assert not (tmp_path / "b2_1.png").exists()
+
+    def test_async_writer_error_surfaces(self, tmp_path):
+        from semanticsegmentationactivelearning_tpu.data import (
+            png_writer)
+        stack = np.zeros((1, 4, 4), dtype=np.uint8)
+        w = png_writer.AsyncPngWriter()
+        w.submit([str(tmp_path / "nodir" / "y.png")], stack)
+        with pytest.raises(ValueError, match="nodir"):
+            w.close()

@@ -37,7 +37,10 @@ def main():
                     default="auto")
     ap.add_argument("--encode", action="store_true",
                     help="include host PNG encode + write (the CLI's "
-                         "full output path)")
+                         "full output path: background AsyncPngWriter)")
+    ap.add_argument("--encode-sync", action="store_true",
+                    help="A/B: serial in-loop PIL encode instead of "
+                         "the async writer")
     ap.add_argument("--color", action="store_true",
                     help="colormap RGB output instead of id maps")
     ap.add_argument("--cache", default="/tmp/ssal_pool_records")
@@ -79,23 +82,35 @@ def main():
         model, state, lut, h, w, in_channels=3)
     log(f"fused predict chain: {use_fused}")
 
-    if args.encode:
+    encode = args.encode or args.encode_sync
+    if encode:
         os.makedirs(args.out, exist_ok=True)
 
     def run(names, tag):
+        from semanticsegmentationactivelearning_tpu.data import (
+            png_writer)
         ld = loader.RecordLoader(names, args.batch, storage_hw=(h, w),
                                  with_label=False)
         n, t0 = 0, time.time()
+        writer = None if args.encode_sync or not encode \
+            else png_writer.AsyncPngWriter()
         for b in device_prefetch.device_prefetch(ld.batches()):
             out = np.asarray(predict(b["stack"]))
-            if args.encode:
-                for j in range(len(out)):
-                    if not b["valid"][j]:
-                        continue
-                    p = os.path.join(args.out, f"{tag}_{n + j:05d}.png")
-                    with open(p, "wb") as fp:
-                        fp.write(etl.encode_png(out[j]))
+            if encode:
+                paths = [os.path.join(args.out,
+                                      f"{tag}_{n + j:05d}.png")
+                         if b["valid"][j] else None
+                         for j in range(len(out))]
+                if writer is not None:
+                    writer.submit(paths, out)
+                else:
+                    for j, p in enumerate(paths):
+                        if p is not None:
+                            with open(p, "wb") as fp:
+                                fp.write(etl.encode_png(out[j]))
             n += int(b["valid"].sum())
+        if writer is not None:
+            writer.close()
         return n, time.time() - t0
 
     # warm-up: compile + page-cache (one batch pass)
@@ -106,13 +121,14 @@ def main():
     rate = n / dt
     log(f"{n} images @ {h}x{w}: {dt:.1f}s "
         f"({rate:.1f} img/s incl. decode+H2D+predict"
-        f"{'+PNG encode' if args.encode else ''})")
+        f"{'+PNG encode' if encode else ''})")
     print(json.dumps({
         "metric": "inference_images_per_sec_one_chip",
         "value": round(rate, 2),
         "model": args.model, "images": n, "hw": args.hw,
         "batch": args.batch, "fused": bool(use_fused),
-        "encode": bool(args.encode)}))
+        "encode": bool(encode),
+        "encode_async": bool(encode and not args.encode_sync)}))
 
 
 if __name__ == "__main__":
