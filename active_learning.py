@@ -24,6 +24,7 @@ jitted steps, host-side numpy index sets.
 """
 
 import glob
+import itertools
 import json
 import logging
 import os
@@ -39,7 +40,8 @@ from semanticsegmentationactivelearning_tpu.models import get_model
 from semanticsegmentationactivelearning_tpu.ops import metrics as xmetrics
 from semanticsegmentationactivelearning_tpu.train import (
     checkpoint as ckpt, config as conf, create_train_state, make_eval_step,
-    make_pool_score_step, make_score_step, make_train_step, optim)
+    make_mc_score_step, make_pool_score_step, make_score_step,
+    make_train_step, optim)
 from semanticsegmentationactivelearning_tpu.utils import cli, images
 
 logger = logging.getLogger(__name__)
@@ -258,7 +260,20 @@ def main(args, logger):
                     state["checkpoint"])
         tstate = ckpt.restore_checkpoint(state["checkpoint"], tstate)
 
-    pseudo_cfg = {"measure": alparams["measure"],
+    # MC measures (BALD) are acquisition-only: pseudo-labeling needs a
+    # per-pixel confidence in the *predicted label*, so it falls back
+    # to the entropy measure when ranking uses mutual information
+    from semanticsegmentationactivelearning_tpu.ops import (
+        acquisition as acq)
+    mc_measure = alparams["measure"] in acq.MC_MEASURES
+    pseudo_measure = "entropy" if mc_measure else alparams["measure"]
+    if mc_measure and not (getattr(model, "uses_dropout", False)
+                           and any(model.drop_rates)):
+        raise ValueError(
+            f"measure {alparams['measure']!r} needs a model with "
+            f"active dropout (MC sampling); "
+            f"{params['network']['model']} has none")
+    pseudo_cfg = {"measure": pseudo_measure,
                   "threshold": alparams["threshold"]}
     mesh = None
     if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
@@ -280,25 +295,43 @@ def main(args, logger):
             score_mesh = auto
             logger.info("Spatially-sharded scoring engaged: mesh %s",
                         dict(auto.shape))
-    score_step = make_score_step(model, dataset.num_classes,
-                                 alparams["measure"], mesh=score_mesh)
-    # Pool scoring groups several loader batches into one dispatch
-    # (lax.map) to amortize fixed per-call overhead (~26ms through the
-    # TPU relay); under a mesh each micro-batch stays data-sharded.
-    # Under the spatial mesh the per-dispatch micro-batch is HALVED so
-    # the live activation footprint the mesh exists to bound stays
-    # constant while the dispatch count still drops.
     score_group = int(alparams.get("score_group", 4))
     pool_score_step = None
-    if score_group > 1:
-        if score_mesh is mesh:
-            pool_score_step = make_pool_score_step(
-                model, dataset.num_classes, alparams["measure"],
-                micro_batch=batch_size, mesh=mesh)
-        elif batch_size % 2 == 0:
-            pool_score_step = make_pool_score_step(
-                model, dataset.num_classes, alparams["measure"],
-                micro_batch=batch_size // 2, mesh=score_mesh)
+    if mc_measure:
+        # BALD: T stochastic forwards per dispatch already amortize
+        # the fixed per-call overhead grouped dispatch exists for, so
+        # the pool scorer is skipped. The per-call MC key is folded in
+        # by the ranking loop so scores are deterministic per run.
+        mc_passes = int(alparams.get("mc_passes", 8))
+        logger.info("BALD acquisition: %d MC-dropout passes", mc_passes)
+        mc_step = make_mc_score_step(model, dataset.num_classes,
+                                     mc_passes, mesh=score_mesh)
+        mc_rng = jax.random.PRNGKey(args.seed + 11)
+        mc_calls = itertools.count()
+
+        def score_step(tstate, batch):
+            key = jax.random.fold_in(mc_rng, next(mc_calls))
+            return mc_step(tstate, batch["image"], key)
+    else:
+        score_step = make_score_step(model, dataset.num_classes,
+                                     alparams["measure"],
+                                     mesh=score_mesh)
+        # Pool scoring groups several loader batches into one dispatch
+        # (lax.map) to amortize fixed per-call overhead (~26ms through
+        # the TPU relay); under a mesh each micro-batch stays
+        # data-sharded. Under the spatial mesh the per-dispatch
+        # micro-batch is HALVED so the live activation footprint the
+        # mesh exists to bound stays constant while the dispatch count
+        # still drops.
+        if score_group > 1:
+            if score_mesh is mesh:
+                pool_score_step = make_pool_score_step(
+                    model, dataset.num_classes, alparams["measure"],
+                    micro_batch=batch_size, mesh=mesh)
+            elif batch_size % 2 == 0:
+                pool_score_step = make_pool_score_step(
+                    model, dataset.num_classes, alparams["measure"],
+                    micro_batch=batch_size // 2, mesh=score_mesh)
 
     ckpt_manager = ckpt.CheckpointManager(args.log_dir)
     writer = cli.MetricsWriter(args.log_dir,
@@ -335,7 +368,7 @@ def main(args, logger):
                  "batch_stats": tstate.batch_stats}, image,
                 training=False)
             lbl, msk, _conf = acquisition.pseudo_annotate(
-                logits, alparams["measure"], dataset.num_classes,
+                logits, pseudo_measure, dataset.num_classes,
                 alparams["threshold"])
             return lbl, msk
         lbl, msk = _pseudo(tstate, raw)

@@ -113,9 +113,14 @@ class Bottleneck(nn.Module):
                     kernel_init=_KERNEL_INIT, dtype=self.dtype,
                     name="exp_conv")(h)
         h = _batch_norm(training, "exp_bn", self.dtype)(h)
-        if training and self.drop_rate > 0.0:
+        if self.drop_rate > 0.0 and (training
+                                      or self.has_rng("dropout")):
+            # dropout whenever a "dropout" rng is supplied: training
+            # passes always supply one; eval passes none; MC-dropout
+            # acquisition (ops/acquisition.py BALD) supplies one with
+            # training=False so BN stays on running averages
             h = xops.spatial_dropout(h, self.drop_rate,
-                                     self.make_rng("dropout"), training)
+                                     self.make_rng("dropout"))
 
         return PReLU(name="res_prelu")(h + x)
 
@@ -156,9 +161,14 @@ class BottleneckDownsample(nn.Module):
                     kernel_init=_KERNEL_INIT, dtype=self.dtype,
                     name="exp_conv")(h)
         h = _batch_norm(training, "exp_bn", self.dtype)(h)
-        if training and self.drop_rate > 0.0:
+        if self.drop_rate > 0.0 and (training
+                                      or self.has_rng("dropout")):
+            # dropout whenever a "dropout" rng is supplied: training
+            # passes always supply one; eval passes none; MC-dropout
+            # acquisition (ops/acquisition.py BALD) supplies one with
+            # training=False so BN stays on running averages
             h = xops.spatial_dropout(h, self.drop_rate,
-                                     self.make_rng("dropout"), training)
+                                     self.make_rng("dropout"))
 
         res, switches = xops.max_pool_with_switches(x)
         res = jnp.pad(res, ((0, 0), (0, 0), (0, 0),
@@ -203,9 +213,14 @@ class BottleneckUpsample(nn.Module):
                     kernel_init=_KERNEL_INIT, dtype=self.dtype,
                     name="exp_conv")(h)
         h = _batch_norm(training, "exp_bn", self.dtype)(h)
-        if training and self.drop_rate > 0.0:
+        if self.drop_rate > 0.0 and (training
+                                      or self.has_rng("dropout")):
+            # dropout whenever a "dropout" rng is supplied: training
+            # passes always supply one; eval passes none; MC-dropout
+            # acquisition (ops/acquisition.py BALD) supplies one with
+            # training=False so BN stays on running averages
             h = xops.spatial_dropout(h, self.drop_rate,
-                                     self.make_rng("dropout"), training)
+                                     self.make_rng("dropout"))
 
         res = nn.Conv(self.output_channels, (1, 1), use_bias=False,
                       kernel_init=_KERNEL_INIT, dtype=self.dtype,

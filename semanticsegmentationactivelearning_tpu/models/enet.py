@@ -40,8 +40,15 @@ class ENet(nn.Module):
 
     # equal per-head loss weighting (see __call__ loss-head contract)
     ms_loss_weights = None
+    # spatial dropout on every bottleneck -> MC-dropout (BALD) works
+    uses_dropout = True
     # scoring can stop at pre-Final features (see return_pre_logits)
     supports_fused_scoring = True
+    # __call__(return_pre_logits=True) yields half-res features whose
+    # classifier is params["Final"]["deconv"] — lets the MC-dropout
+    # BALD scorer (train/steps.make_mc_score_step) stream the T
+    # full-res probability maps in row chunks
+    supports_pre_logits = True
     # top-level param collection holding the classifier head (used by
     # checkpoint.reinitialize_final_layer, the `-r` transfer flag)
     output_module = "Final"

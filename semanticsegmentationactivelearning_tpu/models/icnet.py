@@ -189,6 +189,8 @@ class ICNet(nn.Module):
     drop_rates: Sequence[float] = ()
     dtype: Any = jnp.float32   # computation dtype; bf16 for TPU speed
 
+    # no dropout layers -> MC-dropout measures (BALD) are meaningless
+    uses_dropout = False
     # cascade label guidance weights: (1/4 main, 1/8 aux, 1/16 aux)
     ms_loss_weights = (1.0, 0.4, 0.4)
     # scoring can stop at the 1/4-res classifier head: the full-res

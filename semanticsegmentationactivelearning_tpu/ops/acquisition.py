@@ -28,6 +28,10 @@ import jax.numpy as jnp
 EPSILON = float(np.finfo(np.float32).tiny)
 
 MEASURES = ("entropy", "margin", "confidence")
+# Monte-Carlo measures need several stochastic forwards per image and a
+# PRNG key; they are acquisition-only (pseudo-labeling falls back to
+# "entropy" — a per-pixel MI is not a confidence in the predicted label)
+MC_MEASURES = ("bald",)
 
 
 def confidence_map(logits: jnp.ndarray, measure: str,
@@ -151,6 +155,86 @@ def chunked_upsample_mean_confidence(logits_low: jnp.ndarray, scale: int,
                    axis=1, dtype=jnp.float32)
     sums = jax.lax.fori_loop(0, num_chunks, body, acc0)
     return sums / jnp.float32(hl * scale * wf)
+
+
+def bald_confidence_map(probs_t: jnp.ndarray,
+                        num_classes: int) -> jnp.ndarray:
+    """Per-pixel BALD confidence ``[B,H,W]`` from T MC-dropout
+    probability maps ``[T,B,H,W,C]``.
+
+    BALD (Houlsby et al., arXiv:1112.5745; Gal et al., arXiv:1703.02910)
+    scores the *mutual information* between the prediction and the
+    model parameters:
+
+        I(y; w | x) = H(E_t[p_t]) - E_t[H(p_t)]
+
+    — high where the MC passes disagree (epistemic uncertainty), low
+    where they agree (even if each pass is itself high-entropy, i.e.
+    aleatoric noise the model cannot resolve with more labels). Both
+    entropies are normalized by ``log C`` like the reference's entropy
+    measure (active_learning.py:243-251), and the result is returned as
+    a *confidence* ``1 - I_norm`` so it ranks through the same
+    lowest-K selection as the stock measures: ``0 <= I <= H(mean)``
+    by Jensen's inequality, so the clip only guards fp rounding.
+    """
+    probs_t = probs_t.astype(jnp.float32)
+    log_c = jnp.log(jnp.float32(num_classes))
+    ent_t = -jnp.sum(probs_t * jnp.log(probs_t + EPSILON), axis=-1)
+    mean_ent = jnp.mean(ent_t, axis=0) / log_c            # E_t[H(p_t)]
+    mean_p = jnp.mean(probs_t, axis=0)
+    pred_ent = -jnp.sum(mean_p * jnp.log(mean_p + EPSILON),
+                        axis=-1) / log_c                  # H(E_t[p_t])
+    return 1.0 - jnp.clip(pred_ent - mean_ent, 0.0, 1.0)
+
+
+def mean_bald_confidence(logits_t: jnp.ndarray,
+                         num_classes: int) -> jnp.ndarray:
+    """Per-image mean BALD confidence ``[B]`` from stacked MC logits
+    ``[T,B,H,W,C]`` (the generic-model scoring tail)."""
+    probs_t = jax.nn.softmax(logits_t.astype(jnp.float32), axis=-1)
+    return jnp.mean(bald_confidence_map(probs_t, num_classes),
+                    axis=(1, 2))
+
+
+def chunked_deconv_bald_confidence(features_t: jnp.ndarray,
+                                   kernel: jnp.ndarray,
+                                   num_classes: int,
+                                   chunk: int = 8) -> jnp.ndarray:
+    """BALD scoring tail for pre-logits models (ENet): the T MC passes'
+    half-resolution features ``[T,N,H2,W2,cin]`` go through the Final
+    3x3/s2 transpose conv -> softmax -> per-pixel mutual information ->
+    per-image mean, streamed over row chunks — the T full-resolution
+    lane-padded probability maps never exist in HBM (only a
+    ``[T,N,2*chunk+4,W,C]`` window is live per step). Same halo
+    arithmetic as :func:`chunked_deconv_mean_confidence`; chunks
+    default smaller because the window carries the extra T axis.
+    """
+    t, n, h2, w2, cin = features_t.shape
+    if h2 % chunk != 0:
+        chunk = h2
+    num_chunks = h2 // chunk
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    padded = jnp.pad(features_t,
+                     ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+
+    def body(i, acc):
+        rows = jax.lax.dynamic_slice(
+            padded, (0, 0, i * chunk, 0, 0), (t, n, chunk + 2, w2, cin))
+        logits = jax.lax.conv_transpose(
+            rows.reshape(t * n, chunk + 2, w2, cin).astype(kernel.dtype),
+            kernel, strides=(2, 2), padding="SAME",
+            dimension_numbers=dn)
+        logits = logits[:, 2:-2].astype(jnp.float32)
+        logits = logits.reshape(t, n, *logits.shape[1:])
+        probs = jax.nn.softmax(logits, axis=-1)
+        conf = bald_confidence_map(probs, num_classes)
+        return acc + jnp.sum(conf, axis=(1, 2))
+
+    acc0 = jnp.sum(jnp.zeros_like(features_t[0, :, :1, 0, 0]),
+                   axis=1, dtype=jnp.float32)
+    sums = jax.lax.fori_loop(0, num_chunks, body, acc0)
+    return sums / jnp.float32(h2 * 2 * w2 * 2)
 
 
 def pseudo_annotate(logits: jnp.ndarray, measure: str, num_classes: int,

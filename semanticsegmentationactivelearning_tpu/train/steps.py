@@ -304,6 +304,56 @@ def make_pool_score_step(model, num_classes: int, measure: str,
     return pool_score
 
 
+def make_mc_score_step(model, num_classes: int, passes: int, mesh=None):
+    """Jitted MC-dropout BALD pool scorer (acquisition measure
+    ``"bald"``, a capability the reference does not have — its measures
+    are the three deterministic ones, active_learning.py:240-260).
+
+    Runs ``passes`` stochastic forwards with dropout active but
+    BatchNorm frozen on running averages (the blocks apply dropout
+    whenever a ``"dropout"`` rng is supplied, models/blocks.py), then
+    scores per-image mean ``1 - I(y; w | x)/log C``
+    (ops/acquisition.bald_confidence_map). The T passes batch onto the
+    MXU via ``lax.map``; for pre-logits models (ENet) only half-res
+    features are stacked and the T full-resolution probability maps
+    stream through row chunks, never materializing in HBM.
+
+    Returns ``mc_score_step(state, images, key) -> [B]`` — the key
+    seeds the T dropout masks (fold_in per pass), so scores are
+    deterministic given (state, images, key).
+    """
+    sh = _mesh_shardings(mesh)
+    jit_kwargs = {}
+    if sh:
+        jit_kwargs = dict(in_shardings=(sh["repl"], sh["image"],
+                                        sh["repl"]),
+                          out_shardings=sh["data"])
+    use_features = getattr(model, "supports_pre_logits", False)
+
+    @functools.partial(jax.jit, **jit_kwargs)
+    def mc_score_step(state: TrainState, images: jnp.ndarray,
+                      key: jax.Array):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+        def one(t):
+            rngs = {"dropout": jax.random.fold_in(key, t)}
+            if use_features:
+                return model.apply(variables, images, training=False,
+                                   rngs=rngs, return_pre_logits=True)
+            return model.apply(variables, images, training=False,
+                               rngs=rngs)
+
+        outs = jax.lax.map(one, jnp.arange(passes))
+        if use_features:
+            kernel = variables["params"]["Final"]["deconv"]["kernel"]
+            return acquisition.chunked_deconv_bald_confidence(
+                outs, kernel, num_classes)
+        return acquisition.mean_bald_confidence(outs, num_classes)
+
+    return mc_score_step
+
+
 def make_score_step(model, num_classes: int, measure: str, mesh=None,
                     fused: bool = True):
     """Jitted pool-scoring step: forward + fused per-image mean

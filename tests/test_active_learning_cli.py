@@ -49,7 +49,8 @@ def records(tmp_path_factory):
 
 
 def _conf(tmp_path, selection_size=3, measure="entropy",
-          iterations=2, model="ENet", input_hw=(32, 48)):
+          iterations=2, model="ENet", input_hw=(32, 48),
+          extra_al=None):
     conf = {
         "batch_size": 4,
         "epochs": 1,                      # patience of 1 epoch
@@ -81,6 +82,8 @@ def _conf(tmp_path, selection_size=3, measure="entropy",
             "epochs/warm_up": 1,
         },
     }
+    if extra_al:
+        conf["active_learning"].update(extra_al)
     path = tmp_path / "al.json"
     path.write_text(json.dumps(conf))
     return path
@@ -162,6 +165,35 @@ class TestActiveLearningCLI:
         assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
         state = json.loads((log_dir / "state.json").read_text())
         assert len(state["dataset"]["train"]["labelled"]) == 9
+
+    def test_bald_measure_end_to_end(self, records, tmp_path):
+        """BALD (MC-dropout mutual information) acquisition — a
+        capability extension over the reference's three measures: one
+        selection round with measure=bald, pseudo-labeling falling back
+        to entropy."""
+        log_dir = tmp_path / "al_bald"
+        res = _run(records, log_dir,
+                   _conf(tmp_path, iterations=1, measure="bald",
+                         extra_al={"mc_passes": 3}))
+        assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+        assert "BALD acquisition: 3 MC-dropout passes" in res.stdout
+        state = json.loads((log_dir / "state.json").read_text())
+        assert state["iteration"] == 1
+        assert len(state["dataset"]["train"]["labelled"]) == 9
+        lines = [json.loads(l) for l in
+                 (log_dir / "metrics.jsonl").read_text().splitlines()]
+        hists = [l for l in lines if l["split"] == "al_confidence"]
+        assert len(hists) == 1
+
+    def test_bald_rejected_without_dropout(self, records, tmp_path):
+        # ICNet has no dropout: MC sampling is meaningless, the CLI
+        # must fail fast with a clear error
+        log_dir = tmp_path / "al_bald_icnet"
+        res = _run(records, log_dir,
+                   _conf(tmp_path, iterations=1, measure="bald",
+                         model="ICNet", input_hw=(32, 64)))
+        assert res.returncode != 0
+        assert "needs a model with" in res.stderr + res.stdout
 
     def test_icnet_end_to_end(self, records, tmp_path):
         """The second model family through the full AL loop: ICNet's

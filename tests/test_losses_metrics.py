@@ -5,6 +5,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from semanticsegmentationactivelearning_tpu.ops import (acquisition,
@@ -244,3 +245,64 @@ class TestAcquisition:
     def test_unknown_measure_raises(self, logits):
         with pytest.raises(NotImplementedError):
             acquisition.confidence_map(jnp.array(logits), "bogus", 6)
+
+
+class TestBald:
+    """MC-dropout BALD (mutual information) acquisition — a capability
+    extension over the reference's three deterministic measures."""
+
+    @pytest.fixture
+    def logits_t(self):
+        rng = np.random.default_rng(7)
+        return rng.normal(size=(4, 2, 6, 6, 5)).astype(np.float32) * 2
+
+    def test_oracle(self, logits_t):
+        got = np.asarray(acquisition.mean_bald_confidence(
+            jnp.array(logits_t), 5))
+        p = _np_softmax(np.asarray(logits_t, np.float64))
+        ent = -(p * np.log(p + acquisition.EPSILON)).sum(-1) / np.log(5)
+        mp = p.mean(0)
+        pent = -(mp * np.log(mp + acquisition.EPSILON)).sum(-1) / np.log(5)
+        mi = np.clip(pent - ent.mean(0), 0.0, 1.0)
+        want = (1.0 - mi).mean(axis=(1, 2))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_identical_passes_full_confidence(self):
+        # agreement across passes => MI 0 => confidence 1, even though
+        # each pass is itself high-entropy (aleatoric-only uncertainty
+        # should NOT be selected by BALD)
+        rng = np.random.default_rng(8)
+        one = rng.normal(size=(1, 2, 4, 4, 5)).astype(np.float32) * 0.1
+        logits_t = jnp.array(np.repeat(one, 6, axis=0))
+        got = np.asarray(acquisition.mean_bald_confidence(logits_t, 5))
+        np.testing.assert_allclose(got, 1.0, atol=1e-5)
+        # and the entropy measure on the same logits is far from 1
+        ent_conf = np.asarray(acquisition.mean_confidence(
+            jnp.array(one[0]), "entropy", 5))
+        assert (ent_conf < 0.1).all()
+
+    def test_disagreeing_passes_low_confidence(self):
+        # passes confidently predicting different classes => high MI
+        t, c = 5, 5
+        logits_t = np.full((t, 1, 2, 2, c), -20.0, np.float32)
+        for ti in range(t):
+            logits_t[ti, ..., ti % c] = 20.0
+        got = np.asarray(acquisition.mean_bald_confidence(
+            jnp.array(logits_t), c))
+        assert (got < 0.05).all()
+
+    def test_chunked_deconv_matches_unchunked(self):
+        rng = np.random.default_rng(9)
+        t, n, h2, w2, cin, c = 3, 2, 8, 4, 6, 5
+        feats = rng.normal(size=(t, n, h2, w2, cin)).astype(np.float32)
+        kernel = rng.normal(size=(3, 3, cin, c)).astype(np.float32) * 0.5
+        got = np.asarray(acquisition.chunked_deconv_bald_confidence(
+            jnp.array(feats), jnp.array(kernel), c, chunk=2))
+        # oracle: full per-pass transpose conv, then the stacked math
+        full = jax.lax.conv_transpose(
+            jnp.array(feats.reshape(t * n, h2, w2, cin)),
+            jnp.array(kernel), strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        full = jnp.reshape(full, (t, n, h2 * 2, w2 * 2, c))
+        want = np.asarray(acquisition.mean_bald_confidence(full, c))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)

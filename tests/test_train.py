@@ -154,6 +154,82 @@ class TestEvalAndScore:
         np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+class TestMcScore:
+    """MC-dropout BALD scoring (make_mc_score_step)."""
+
+    def test_dropout_gated_on_rng(self, setup):
+        # training=False + dropout rng => stochastic forward with BN on
+        # running averages; without the rng the forward is the plain
+        # deterministic eval
+        model, _opt, state = setup
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        img = _batch()["image"]
+        a = model.apply(variables, img, training=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+        b = model.apply(variables, img, training=False,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+        det = model.apply(variables, img, training=False)
+        det2 = model.apply(variables, img, training=False)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+
+    def test_matches_direct_mc_math(self, setup):
+        from semanticsegmentationactivelearning_tpu.ops import acquisition
+        from semanticsegmentationactivelearning_tpu.train import (
+            make_mc_score_step)
+        model, _opt, state = setup
+        passes = 3
+        step = make_mc_score_step(model, C, passes)
+        key = jax.random.PRNGKey(42)
+        img = _batch()["image"]
+        got = np.asarray(step(state, img, key))
+        # oracle: run the same stochastic forwards to full logits
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        logits_t = jnp.stack([
+            model.apply(variables, img, training=False,
+                        rngs={"dropout": jax.random.fold_in(key, t)})
+            for t in range(passes)])
+        want = np.asarray(acquisition.mean_bald_confidence(logits_t, C))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        assert (0.0 <= got).all() and (got <= 1.0).all()
+
+    def test_deterministic_given_key(self, setup):
+        from semanticsegmentationactivelearning_tpu.train import (
+            make_mc_score_step)
+        model, _opt, state = setup
+        step = make_mc_score_step(model, C, 2)
+        img = _batch()["image"]
+        a = np.asarray(step(state, img, jax.random.PRNGKey(7)))
+        b = np.asarray(step(state, img, jax.random.PRNGKey(7)))
+        c = np.asarray(step(state, img, jax.random.PRNGKey(8)))
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_generic_model_path(self, setup):
+        # a model without supports_pre_logits takes the stacked-logits
+        # branch; wrap ENet hiding the capability flag
+        from semanticsegmentationactivelearning_tpu.train import (
+            make_mc_score_step)
+        model, _opt, state = setup
+
+        class NoPreLogits:
+            supports_pre_logits = False
+
+            def apply(self, *a, **kw):
+                kw.pop("return_pre_logits", None)
+                return model.apply(*a, **kw)
+
+        step_g = make_mc_score_step(NoPreLogits(), C, 3)
+        step_f = make_mc_score_step(model, C, 3)
+        img = _batch()["image"]
+        key = jax.random.PRNGKey(5)
+        np.testing.assert_allclose(np.asarray(step_g(state, img, key)),
+                                   np.asarray(step_f(state, img, key)),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestOptim:
     def test_inverse_time_decay(self):
         sched = optim.make_schedule(1.0, 0.5, 10)
