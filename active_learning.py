@@ -333,6 +333,22 @@ def main(args, logger):
                     model, dataset.num_classes, alparams["measure"],
                     micro_batch=batch_size // 2, mesh=score_mesh)
 
+    # Selection strategy: "uncertainty" ranks per-image confidence
+    # (the reference's only mode, active_learning.py:705-715);
+    # "coreset" is a diversity extension — greedy k-center over pool
+    # embeddings (ops/selection.k_center_greedy)
+    selection_mode = alparams.get("selection", "uncertainty")
+    if selection_mode not in ("uncertainty", "coreset"):
+        raise ValueError(
+            f"active_learning.selection must be 'uncertainty' or "
+            f"'coreset', got {selection_mode!r}")
+    embed_step = None
+    if selection_mode == "coreset":
+        from semanticsegmentationactivelearning_tpu.train import (
+            make_embed_step)
+        logger.info("Core-set (k-center greedy) selection enabled")
+        embed_step = make_embed_step(model, mesh=score_mesh)
+
     ckpt_manager = ckpt.CheckpointManager(args.log_dir)
     writer = cli.MetricsWriter(args.log_dir,
                                tensorboard=getattr(args, "tensorboard",
@@ -549,6 +565,46 @@ def main(args, logger):
                                          len(unlabelled_conf) - 1))
         return unlabelled[idx[:selection_size]], unlabelled_conf
 
+    def rank_coreset(tstate):
+        """Diversity acquisition: embed the full pool (global-average
+        pooled deepest features), then greedy k-center picks the
+        unlabelled examples farthest from the labelled set — batch
+        coverage instead of pure-uncertainty clustering
+        (ops/selection.k_center_greedy, Sener & Savarese 1708.00489).
+        Returns (picked indices, per-unlabelled initial min distance
+        to the labelled set — a coverage diagnostic)."""
+        from semanticsegmentationactivelearning_tpu.ops import (
+            selection as sel)
+        import jax.numpy as jnp
+        num_examples = len(train_examples)
+        emb = None
+        order = np.arange(num_examples)
+        batches = cli.progress(_prefetched(rank_loader.batches(order)),
+                               "embedding[%d]" % len(labelled),
+                               total=rank_loader.num_batches())
+        for b in batches:
+            seed = int(aug_rng.integers(0, 2 ** 31 - 1))
+            raw = pipeline.score_batch(
+                b["stack"], b["heights"], b["widths"],
+                jax.random.PRNGKey(seed), crop_hw=in_hw,
+                channels=in_channels)
+            e = np.asarray(embed_step(tstate, {"image": raw}))
+            if emb is None:
+                emb = np.zeros((num_examples, e.shape[1]), np.float32)
+            val = b["valid"]
+            emb[b["index"][val]] = e[val]
+        k = int(np.minimum(len(unlabelled), alparams["selection_size"]))
+        if k <= 0 or emb is None:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float32))
+        candidates = np.zeros(num_examples, dtype=bool)
+        candidates[unlabelled] = True
+        picks, min_dist = sel.k_center_greedy(
+            jnp.asarray(emb), jnp.asarray(labelled_flags),
+            jnp.asarray(candidates), k)
+        return (np.asarray(picks).astype(np.int64),
+                np.asarray(min_dist)[unlabelled])
+
     iterations = alparams["iterations"]
     if iterations < 0:
         iterations = int(np.ceil(
@@ -594,14 +650,26 @@ def main(args, logger):
         train_sampler.set_indices(None)
         train_sampler.set_sample_size(0)
         if alparams["selection_size"] > 0:
-            low_conf, unlabelled_conf = rank_confidence(tstate)
-            hist, edges = np.histogram(unlabelled_conf, bins=20,
-                                       range=(0.0, 1.0))
-            writer.write({
-                "split": "al_confidence", "round": state["iteration"],
-                "histogram": hist.tolist(), "bin_edges": edges.tolist(),
-                "mean": float(unlabelled_conf.mean())
-                if len(unlabelled_conf) else None})
+            if selection_mode == "coreset":
+                low_conf, min_dists = rank_coreset(tstate)
+                writer.write({
+                    "split": "al_coreset", "round": state["iteration"],
+                    "selected": int(len(low_conf)),
+                    "min_dist_mean": float(min_dists.mean())
+                    if len(min_dists) else None,
+                    "min_dist_max": float(min_dists.max())
+                    if len(min_dists) else None})
+            else:
+                low_conf, unlabelled_conf = rank_confidence(tstate)
+                hist, edges = np.histogram(unlabelled_conf, bins=20,
+                                           range=(0.0, 1.0))
+                writer.write({
+                    "split": "al_confidence",
+                    "round": state["iteration"],
+                    "histogram": hist.tolist(),
+                    "bin_edges": edges.tolist(),
+                    "mean": float(unlabelled_conf.mean())
+                    if len(unlabelled_conf) else None})
         else:
             # Negative selection_size N: draw |N| at random — the
             # baseline config's intended semantics

@@ -112,7 +112,8 @@ class ENet(nn.Module):
                  multiscale: bool = False,
                  return_pre_logits: bool = False,
                  return_stage4: bool = False,
-                 return_stage1: bool = False):
+                 return_stage1: bool = False,
+                 return_embedding: bool = False):
         h = self.Initial_(x, training)
 
         h, switches1 = self.Bottleneck1_0(h, training)
@@ -130,6 +131,13 @@ class ENet(nn.Module):
         for block in self.stage3:
             h = block(h, training)
         b3_8 = h
+
+        if return_embedding:
+            # global-average-pooled deepest encoder features [N,128]:
+            # the pool representation for diversity (core-set)
+            # selection, ops/selection.k_center_greedy — the decoder
+            # adds no semantic content worth the extra compute
+            return jnp.mean(b3_8.astype(jnp.float32), axis=(1, 2))
 
         h = self.Bottleneck4_0(h, switches2, training)
         for block in self.stage4:

@@ -223,7 +223,8 @@ class ICNet(nn.Module):
     def __call__(self, x, training: bool = False,
                  multiscale: bool = False,
                  return_pre_logits: bool = False,
-                 return_features8: bool = False):
+                 return_features8: bool = False,
+                 return_embedding: bool = False):
         n, h, w, _c = x.shape
         if h % 32 or w % 32:
             raise ValueError(
@@ -247,6 +248,11 @@ class ICNet(nn.Module):
         # Cascade fusion: (1/32 + 1/16) -> 1/16, then (1/16 + 1/8) -> 1/8
         fused16, aux16 = self.cff1(f3, f2, training)
         fused8, aux8 = self.cff2(fused16, f1, training)
+
+        if return_embedding:
+            # global-average-pooled cascade-fused features [N,128] for
+            # diversity (core-set) selection, ops/selection
+            return jnp.mean(fused8.astype(jnp.float32), axis=(1, 2))
 
         if return_features8:
             # 1/8-res fused features for the fully-fused scoring head

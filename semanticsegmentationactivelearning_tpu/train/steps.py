@@ -304,6 +304,30 @@ def make_pool_score_step(model, num_classes: int, measure: str,
     return pool_score
 
 
+def make_embed_step(model, mesh=None):
+    """Jitted pool-embedding step for diversity (core-set) selection:
+    forward to the model's deepest shared features, global-average
+    pooled to ``[B, D]`` (``return_embedding=True`` on the model).
+    The embeddings feed ``ops.selection.k_center_greedy``; this is a
+    capability the reference does not have (it only ranks per-image
+    confidence scores, active_learning.py:682-715)."""
+    sh = _mesh_shardings(mesh)
+    jit_kwargs = {}
+    if sh:
+        jit_kwargs = dict(
+            in_shardings=(sh["repl"], {"image": sh["image"]}),
+            out_shardings=sh["data"])
+
+    @functools.partial(jax.jit, **jit_kwargs)
+    def embed_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        return model.apply(variables, batch["image"], training=False,
+                           return_embedding=True)
+
+    return embed_step
+
+
 def make_mc_score_step(model, num_classes: int, passes: int, mesh=None):
     """Jitted MC-dropout BALD pool scorer (acquisition measure
     ``"bald"``, a capability the reference does not have — its measures

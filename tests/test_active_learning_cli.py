@@ -185,6 +185,26 @@ class TestActiveLearningCLI:
         hists = [l for l in lines if l["split"] == "al_confidence"]
         assert len(hists) == 1
 
+    def test_coreset_selection_end_to_end(self, records, tmp_path):
+        """Diversity selection (greedy k-center over pool embeddings) —
+        a capability extension over the reference's confidence
+        ranking: one round with selection=coreset."""
+        log_dir = tmp_path / "al_coreset"
+        res = _run(records, log_dir,
+                   _conf(tmp_path, iterations=1,
+                         extra_al={"selection": "coreset"}))
+        assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+        assert "Core-set (k-center greedy) selection" in res.stdout
+        state = json.loads((log_dir / "state.json").read_text())
+        assert state["iteration"] == 1
+        lab = state["dataset"]["train"]["labelled"]
+        assert len(lab) == 9 and len(set(lab)) == 9
+        lines = [json.loads(l) for l in
+                 (log_dir / "metrics.jsonl").read_text().splitlines()]
+        core = [l for l in lines if l["split"] == "al_coreset"]
+        assert len(core) == 1 and core[0]["selected"] == 3
+        assert core[0]["min_dist_mean"] is not None
+
     def test_bald_rejected_without_dropout(self, records, tmp_path):
         # ICNet has no dropout: MC sampling is meaningless, the CLI
         # must fail fast with a clear error
