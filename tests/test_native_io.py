@@ -68,6 +68,65 @@ class TestNativeBatch:
             native.load_batch([str(bad)], (4, 4))
 
 
+class TestFuzzCorruption:
+    """The native reader parses untrusted framing/proto/image bytes in
+    worker threads where an uncaught length would OOB-read or
+    std::terminate; every mutation of a valid record must surface as a
+    clean ValueError (or succeed), never crash the process."""
+
+    def test_truncations(self, record_files, tmp_path):
+        data = open(record_files[0], "rb").read()
+        for cut in [0, 1, 7, 11, 12, 13, len(data) // 2, len(data) - 1]:
+            p = tmp_path / f"trunc{cut}.tfrecord"
+            p.write_bytes(data[:cut])
+            try:
+                native.load_batch([str(p)], (24, 32))
+            except ValueError:
+                pass
+
+    def test_bit_flips(self, record_files, tmp_path):
+        rng = np.random.default_rng(13)
+        data = bytearray(open(record_files[0], "rb").read())
+        for trial in range(200):
+            mut = bytearray(data)
+            for _ in range(rng.integers(1, 8)):
+                pos = int(rng.integers(0, len(mut)))
+                mut[pos] ^= int(rng.integers(1, 256))
+            p = tmp_path / "fuzz.tfrecord"
+            p.write_bytes(bytes(mut))
+            try:
+                native.load_batch([str(p)], (24, 32))
+            except ValueError:
+                pass
+
+    def test_length_field_attacks(self, record_files, tmp_path):
+        # huge/negative framing lengths must not allocate or read OOB
+        data = bytearray(open(record_files[0], "rb").read())
+        for length in [2 ** 62, 2 ** 31, len(data) * 10, 0]:
+            mut = bytearray(data)
+            mut[0:8] = int(length).to_bytes(8, "little")
+            p = tmp_path / "len.tfrecord"
+            p.write_bytes(bytes(mut))
+            with pytest.raises(ValueError):
+                native.load_batch([str(p)], (24, 32))
+
+    def test_python_reader_same_corpus(self, record_files, tmp_path):
+        # the pure-Python fallback must be equally crash-free
+        rng = np.random.default_rng(14)
+        data = bytearray(open(record_files[1], "rb").read())
+        for trial in range(60):
+            mut = bytearray(data)
+            for _ in range(rng.integers(1, 6)):
+                pos = int(rng.integers(0, len(mut)))
+                mut[pos] ^= int(rng.integers(1, 256))
+            p = tmp_path / "pyfuzz.tfrecord"
+            p.write_bytes(bytes(mut))
+            try:
+                loader.load_stack(str(p), (24, 32))
+            except (ValueError, KeyError, OSError):
+                pass
+
+
 class TestPngEncode:
     """Native + async PNG writer (the inference CLI's output path)."""
 
