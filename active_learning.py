@@ -582,17 +582,23 @@ def main(args, logger):
         batches = cli.progress(_prefetched(rank_loader.batches(order)),
                                "embedding[%d]" % len(labelled),
                                total=rank_loader.num_batches())
+        # embeddings stay on device until the very end (fetching syncs
+        # the relay and would serialize the dispatch queue — same
+        # pattern as rank_confidence above)
+        pending = []
         for b in batches:
             seed = int(aug_rng.integers(0, 2 ** 31 - 1))
             raw = pipeline.score_batch(
                 b["stack"], b["heights"], b["widths"],
                 jax.random.PRNGKey(seed), crop_hw=in_hw,
                 channels=in_channels)
-            e = np.asarray(embed_step(tstate, {"image": raw}))
+            pending.append((embed_step(tstate, {"image": raw}),
+                            b["index"], b["valid"]))
+        for e_dev, idx, val in pending:
+            e = np.asarray(e_dev)
             if emb is None:
                 emb = np.zeros((num_examples, e.shape[1]), np.float32)
-            val = b["valid"]
-            emb[b["index"][val]] = e[val]
+            emb[idx[val]] = e[val]
         k = int(np.minimum(len(unlabelled), alparams["selection_size"]))
         if k <= 0 or emb is None:
             return (np.empty(0, dtype=np.int64),
@@ -652,13 +658,17 @@ def main(args, logger):
         if alparams["selection_size"] > 0:
             if selection_mode == "coreset":
                 low_conf, min_dists = rank_coreset(tstate)
+                # finite-only: with an empty center set the distances
+                # are inf, which json.dump would emit as the non-JSON
+                # literal `Infinity`
+                finite = min_dists[np.isfinite(min_dists)]
                 writer.write({
                     "split": "al_coreset", "round": state["iteration"],
                     "selected": int(len(low_conf)),
-                    "min_dist_mean": float(min_dists.mean())
-                    if len(min_dists) else None,
-                    "min_dist_max": float(min_dists.max())
-                    if len(min_dists) else None})
+                    "min_dist_mean": float(finite.mean())
+                    if len(finite) else None,
+                    "min_dist_max": float(finite.max())
+                    if len(finite) else None})
             else:
                 low_conf, unlabelled_conf = rank_confidence(tstate)
                 hist, edges = np.histogram(unlabelled_conf, bins=20,

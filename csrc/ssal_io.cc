@@ -471,18 +471,6 @@ static bool write_png_one(const char* path, const uint8_t* data, int h,
 
 extern "C" {
 
-// Encode one [h, w, channels] uint8 buffer to `path` as PNG.
-// Returns 0 on success; on failure fills `err` (errlen bytes).
-int ssal_write_png(const char* path, const uint8_t* data, int h, int w,
-                   int channels, char* err, size_t errlen) {
-  std::string e;
-  if (!write_png_one(path, data, h, w, channels, &e)) {
-    snprintf(err, errlen, "%s", e.c_str());
-    return 1;
-  }
-  return 0;
-}
-
 // Threaded batch encode of a contiguous [n, h, w, channels] uint8
 // stack; paths[i] == NULL skips slot i (padded/invalid tail entries
 // stay in the stack so the caller never re-packs). Returns 0 on

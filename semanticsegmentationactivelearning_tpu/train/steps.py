@@ -343,8 +343,14 @@ def make_mc_score_step(model, num_classes: int, passes: int, mesh=None):
     stream through row chunks, never materializing in HBM.
 
     Returns ``mc_score_step(state, images, key) -> [B]`` — the key
-    seeds the T dropout masks (fold_in per pass), so scores are
-    deterministic given (state, images, key).
+    seeds the T dropout masks (fold_in per (image, pass)), so scores
+    are deterministic given (state, images, key).
+
+    Memory: scores are per-image independent, so the batch is
+    ``lax.map``-ed one image at a time — the live T-pass feature stack
+    is ``[T,1,H2,W2,cin]``, not ``[T,B,...]`` (low-channel NHWC can
+    lane-pad up to 8x on TPU; a whole-batch stack at mc_passes=8,
+    batch 8, 1024x2048 would exceed one v5e's HBM).
     """
     sh = _mesh_shardings(mesh)
     jit_kwargs = {}
@@ -353,27 +359,54 @@ def make_mc_score_step(model, num_classes: int, passes: int, mesh=None):
                                         sh["repl"]),
                           out_shardings=sh["data"])
     use_features = getattr(model, "supports_pre_logits", False)
+    # pure data mesh: run the per-image map device-locally under
+    # shard_map (scanning a batch axis that GSPMD shards would gather
+    # per iteration); the 2-D ("data","space") mesh stays on the GSPMD
+    # path for its conv halo exchanges
+    data_only = (mesh is not None
+                 and tuple(mesh.axis_names) == ("data",))
+
+    def mc_body(state: TrainState, images: jnp.ndarray,
+                keys: jax.Array):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+        def score_one(args):
+            image, img_key = args
+
+            def one(t):
+                rngs = {"dropout": jax.random.fold_in(img_key, t)}
+                if use_features:
+                    return model.apply(variables, image,
+                                       training=False, rngs=rngs,
+                                       return_pre_logits=True)
+                return model.apply(variables, image, training=False,
+                                   rngs=rngs)
+
+            outs = jax.lax.map(one, jnp.arange(passes))
+            if use_features:
+                kernel = variables["params"]["Final"]["deconv"]["kernel"]
+                return acquisition.chunked_deconv_bald_confidence(
+                    outs, kernel, num_classes)
+            return acquisition.mean_bald_confidence(outs, num_classes)
+
+        scores = jax.lax.map(score_one, (images[:, None], keys))
+        return scores.reshape(-1)
 
     @functools.partial(jax.jit, **jit_kwargs)
     def mc_score_step(state: TrainState, images: jnp.ndarray,
                       key: jax.Array):
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
-
-        def one(t):
-            rngs = {"dropout": jax.random.fold_in(key, t)}
-            if use_features:
-                return model.apply(variables, images, training=False,
-                                   rngs=rngs, return_pre_logits=True)
-            return model.apply(variables, images, training=False,
-                               rngs=rngs)
-
-        outs = jax.lax.map(one, jnp.arange(passes))
-        if use_features:
-            kernel = variables["params"]["Final"]["deconv"]["kernel"]
-            return acquisition.chunked_deconv_bald_confidence(
-                outs, kernel, num_classes)
-        return acquisition.mean_bald_confidence(outs, num_classes)
+        # per-image keys from the GLOBAL batch index, so scores are
+        # identical with or without a mesh
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(images.shape[0]))
+        if data_only:
+            from jax.sharding import PartitionSpec as P
+            return jax.shard_map(
+                mc_body, mesh=mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=P("data"))(state, images, keys)
+        return mc_body(state, images, keys)
 
     return mc_score_step
 

@@ -7,10 +7,14 @@ import pytest
 from semanticsegmentationactivelearning_tpu.data import (
     SegExample, etl, loader, make_example, native, tfrecord)
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native IO library not built")
+# Native-dependent tests skip individually so the pure-Python fallback
+# paths (fuzz corpus, PIL async writer) still run where csrc/ isn't
+# built — exactly the systems where the fallbacks are the live code.
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native IO library not built")
 
 
+@needs_native
 class TestCRC:
     def test_crc32c_vector(self):
         # Castagnoli test vector
@@ -40,6 +44,7 @@ def record_files(tmp_path):
     return paths
 
 
+@needs_native
 class TestNativeBatch:
     def test_parity_with_python_loader(self, record_files):
         stack, h, w, hl = native.load_batch(record_files, (24, 32))
@@ -74,6 +79,7 @@ class TestFuzzCorruption:
     std::terminate; every mutation of a valid record must surface as a
     clean ValueError (or succeed), never crash the process."""
 
+    @needs_native
     def test_truncations(self, record_files, tmp_path):
         data = open(record_files[0], "rb").read()
         for cut in [0, 1, 7, 11, 12, 13, len(data) // 2, len(data) - 1]:
@@ -84,6 +90,7 @@ class TestFuzzCorruption:
             except ValueError:
                 pass
 
+    @needs_native
     def test_bit_flips(self, record_files, tmp_path):
         rng = np.random.default_rng(13)
         data = bytearray(open(record_files[0], "rb").read())
@@ -99,6 +106,7 @@ class TestFuzzCorruption:
             except ValueError:
                 pass
 
+    @needs_native
     def test_length_field_attacks(self, record_files, tmp_path):
         # huge/negative framing lengths must not allocate or read OOB
         data = bytearray(open(record_files[0], "rb").read())
@@ -130,6 +138,7 @@ class TestFuzzCorruption:
 class TestPngEncode:
     """Native + async PNG writer (the inference CLI's output path)."""
 
+    @needs_native
     @pytest.mark.parametrize("shape", [(3, 10, 14), (3, 10, 14, 3)])
     def test_native_roundtrip(self, tmp_path, shape):
         rng = np.random.default_rng(9)
@@ -144,13 +153,15 @@ class TestPngEncode:
                 etl.decode_image(open(p, "rb").read()), stack[i])
         assert not (tmp_path / "e1.png").exists()
 
+    @needs_native
     def test_native_error_names_file(self, tmp_path):
         stack = np.zeros((1, 4, 4), dtype=np.uint8)
         with pytest.raises(ValueError, match="nodir"):
             native.write_png_batch(
                 [str(tmp_path / "nodir" / "x.png")], stack)
 
-    @pytest.mark.parametrize("use_native", [True, False])
+    @pytest.mark.parametrize("use_native", [
+        pytest.param(True, marks=needs_native), False])
     def test_async_writer(self, tmp_path, use_native):
         from semanticsegmentationactivelearning_tpu.data import (
             png_writer)
@@ -175,6 +186,7 @@ class TestPngEncode:
             png_writer)
         stack = np.zeros((1, 4, 4), dtype=np.uint8)
         w = png_writer.AsyncPngWriter()
+        exc = ValueError if native.encode_available() else OSError
         w.submit([str(tmp_path / "nodir" / "y.png")], stack)
-        with pytest.raises(ValueError, match="nodir"):
+        with pytest.raises(exc, match="nodir"):
             w.close()

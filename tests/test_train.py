@@ -184,14 +184,19 @@ class TestMcScore:
         key = jax.random.PRNGKey(42)
         img = _batch()["image"]
         got = np.asarray(step(state, img, key))
-        # oracle: run the same stochastic forwards to full logits
+        # oracle: per-image independent dropout keys (fold_in image
+        # index, then pass index), stochastic forwards to full logits
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        logits_t = jnp.stack([
-            model.apply(variables, img, training=False,
-                        rngs={"dropout": jax.random.fold_in(key, t)})
-            for t in range(passes)])
-        want = np.asarray(acquisition.mean_bald_confidence(logits_t, C))
+        want = []
+        for i in range(img.shape[0]):
+            ki = jax.random.fold_in(key, i)
+            logits_t = jnp.stack([
+                model.apply(variables, img[i:i + 1], training=False,
+                            rngs={"dropout": jax.random.fold_in(ki, t)})
+                for t in range(passes)])
+            want.append(np.asarray(
+                acquisition.mean_bald_confidence(logits_t, C))[0])
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
         assert (0.0 <= got).all() and (got <= 1.0).all()
 
