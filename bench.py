@@ -29,33 +29,48 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _probe_devices(timeout_s):
+def _probe_devices(timeout_s, retry_window_s=None):
     """jax.devices() with a deadline: when the TPU relay is down the
     backend probe blocks indefinitely, which would hang the whole
-    bench run — fail fast with a diagnosable message instead."""
+    bench run. Probes are retried inside ``BENCH_DEVICE_RETRY_S``
+    (default 900 s) so a flapping relay doesn't forfeit the
+    measurement; after the window the bench exits with a diagnosable
+    message instead of hanging."""
     import threading
 
     import jax
 
-    result = {}
+    if retry_window_s is None:
+        retry_window_s = float(os.environ.get("BENCH_DEVICE_RETRY_S",
+                                              900))
+    deadline = time.time() + retry_window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        result = {}
 
-    def probe():
-        try:
-            result["devices"] = jax.devices()
-        except Exception as exc:  # pragma: no cover - depends on env
-            result["error"] = exc
+        def probe():
+            try:
+                result["devices"] = jax.devices()
+            except Exception as exc:  # pragma: no cover - env-dependent
+                result["error"] = exc
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if t.is_alive():
-        log(f"ERROR: jax.devices() did not return within {timeout_s}s "
-            "— TPU relay unreachable; no measurement possible")
-        sys.exit(3)
-    if "error" in result:
-        log(f"ERROR: jax.devices() failed: {result['error']}")
-        sys.exit(3)
-    return result["devices"]
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if "devices" in result:
+            return result["devices"]
+        reason = (f"failed: {result['error']}" if "error" in result
+                  else f"did not return within {timeout_s}s")
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            log(f"ERROR: jax.devices() {reason} — TPU relay "
+                f"unreachable after {attempt} probe(s); no "
+                "measurement possible")
+            sys.exit(3)
+        log(f"probe {attempt}: jax.devices() {reason}; retrying "
+            f"({remaining:.0f}s left in the retry window)")
+        time.sleep(min(30.0, max(remaining, 0.0)))
 
 
 def main():
