@@ -262,6 +262,33 @@ class TestConfig:
         config.dump_params({"a": 1}, str(tmp_path / "log"))
         assert os.path.exists(tmp_path / "log" / "config.json")
 
+    def test_all_shipped_confs_load(self):
+        """Every conf/*.json must merge cleanly, name a registered
+        model, and use known acquisition knobs — a drop-in-compat
+        guard over the whole shipped surface (C22)."""
+        from semanticsegmentationactivelearning_tpu.models import (
+            get_model)
+        from semanticsegmentationactivelearning_tpu.ops import (
+            acquisition)
+        conf_dir = os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "conf")
+        files = [f for f in os.listdir(conf_dir)
+                 if f.endswith(".json")]
+        assert len(files) >= 10  # 7 reference confs + extensions
+        for f in files:
+            params = config.load_params(os.path.join(conf_dir, f))
+            model = get_model(params["network"]["model"], 19)
+            assert params["batch_size"] >= 1, f
+            assert len(params["hyperparams"]["dropout_rates"]) == 5, f
+            al = params.get("active_learning", {})
+            if "measure" in al:
+                assert al["measure"] in (acquisition.MEASURES
+                                         + acquisition.MC_MEASURES), f
+            assert al.get("selection", "uncertainty") in (
+                "uncertainty", "coreset"), f
+            if al.get("measure") in acquisition.MC_MEASURES:
+                assert model.uses_dropout, f
+
 
 class TestCheckpoint:
     def test_roundtrip(self, setup, tmp_path):
