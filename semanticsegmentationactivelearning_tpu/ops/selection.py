@@ -8,12 +8,14 @@ is the candidate farthest (L2) from the current labelled/selected set,
 so the batch covers the pool instead of clustering on one confusing
 mode the way pure-uncertainty batches can.
 
-TPU mapping: the pairwise squared distances are one ``[N,D]x[D,N]``
-matmul (MXU) and the greedy loop is a ``lax.fori_loop`` over a running
-min-distance vector — no host round-trips. The full ``[N,N]`` matrix
-is materialized (36 MB for the 2975-image Cityscapes pool), which is
-the right trade below ~20k examples; chunk the matmul if pools grow
-beyond that.
+TPU mapping: everything stays O(N*D) memory — no [N,N] distance
+matrix. The initial distance-to-centers pass streams column chunks of
+the Gram product (one [N,D]x[D,chunk] MXU matmul per step,
+min-accumulated), and each greedy pick updates the running
+min-distance vector with a single [N,D]x[D] matvec. The greedy loop is
+a ``lax.fori_loop``; no host round-trips. Scales to 100k+ pools
+(Vistas' 18k training images: ~9 MB of embeddings instead of a 1.3 GB
+matrix).
 """
 
 from __future__ import annotations
@@ -24,9 +26,10 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def k_center_greedy(embeddings: jnp.ndarray, centers: jnp.ndarray,
-                    candidates: jnp.ndarray, k: int):
+                    candidates: jnp.ndarray, k: int,
+                    col_chunk: int = 1024):
     """Greedy k-center selection.
 
     :param embeddings: ``[N, D]`` pool embeddings (any float dtype)
@@ -34,6 +37,7 @@ def k_center_greedy(embeddings: jnp.ndarray, centers: jnp.ndarray,
                        initial center set; may be empty)
     :param candidates: ``[N]`` bool — selectable examples (unlabelled)
     :param k:          number of picks (static; ``k <= candidates.sum()``)
+    :param col_chunk:  center-columns per streamed distance block
     :returns: (picks ``[k]`` int32 indices into N,
                min_dist ``[N]`` float32 squared distance of every
                example to the *initial* center set — ``inf`` when no
@@ -41,13 +45,36 @@ def k_center_greedy(embeddings: jnp.ndarray, centers: jnp.ndarray,
                coverage diagnostics)
     """
     emb = embeddings.astype(jnp.float32)
+    n = emb.shape[0]
     sq = jnp.sum(emb * emb, axis=1)
-    # full pairwise squared L2 via one MXU matmul
-    d2 = sq[:, None] - 2.0 * (emb @ emb.T) + sq[None, :]
-    d2 = jnp.maximum(d2, 0.0)
-
     inf = jnp.float32(jnp.inf)
-    min_dist = jnp.min(jnp.where(centers[None, :], d2, inf), axis=1)
+
+    def d2_to(j):
+        """[N] squared distances to example ``j`` (one MXU matvec)."""
+        d = sq - 2.0 * (emb @ emb[j]) + sq[j]
+        return jnp.maximum(d, 0.0)
+
+    # distance to the initial center set, streamed in column chunks:
+    # each step is one [N,D]x[D,chunk] matmul + masked min-reduce, so
+    # only an [N, chunk] block is ever live
+    chunk = min(col_chunk, n)
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    emb_p = jnp.pad(emb, ((0, pad), (0, 0)))
+    sq_p = jnp.pad(sq, (0, pad))
+    centers_p = jnp.pad(centers, (0, pad))  # padded rows: not centers
+
+    def init_block(i, acc):
+        cols = jax.lax.dynamic_slice(emb_p, (i * chunk, 0),
+                                     (chunk, emb.shape[1]))
+        csq = jax.lax.dynamic_slice(sq_p, (i * chunk,), (chunk,))
+        cmask = jax.lax.dynamic_slice(centers_p, (i * chunk,), (chunk,))
+        blk = sq[:, None] - 2.0 * (emb @ cols.T) + csq[None, :]
+        blk = jnp.where(cmask[None, :], jnp.maximum(blk, 0.0), inf)
+        return jnp.minimum(acc, jnp.min(blk, axis=1))
+
+    min_dist = jax.lax.fori_loop(0, num_chunks, init_block,
+                                 jnp.full((n,), inf))
     # non-candidates must never win the argmax
     min_dist = jnp.where(candidates, min_dist, -inf)
     init_min_dist = min_dist
@@ -56,7 +83,7 @@ def k_center_greedy(embeddings: jnp.ndarray, centers: jnp.ndarray,
         dist, picks = carry
         nxt = jnp.argmax(dist)
         picks = picks.at[i].set(nxt.astype(jnp.int32))
-        dist = jnp.minimum(dist, d2[:, nxt])
+        dist = jnp.minimum(dist, d2_to(nxt))
         dist = dist.at[nxt].set(-inf)
         return dist, picks
 

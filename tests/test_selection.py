@@ -41,11 +41,14 @@ class TestKCenterGreedy:
         candidates = ~centers
         return emb, centers, candidates
 
-    def test_matches_numpy_oracle(self, pool):
+    @pytest.mark.parametrize("col_chunk", [1024, 8, 7])
+    def test_matches_numpy_oracle(self, pool, col_chunk):
+        # col_chunk < N exercises the streamed distance blocks
+        # (including a ragged final block at 7)
         emb, centers, candidates = pool
         picks, _ = selection.k_center_greedy(
             jnp.asarray(emb), jnp.asarray(centers),
-            jnp.asarray(candidates), 6)
+            jnp.asarray(candidates), 6, col_chunk)
         want = _oracle_greedy(emb, centers, candidates, 6)
         np.testing.assert_array_equal(np.asarray(picks), want)
 
