@@ -184,6 +184,32 @@ class TestSpatialScoreStep:
         want = np.asarray(single(state, {"image": image}))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
+    def test_mc_bald_matches_single_on_both_meshes(self):
+        """BALD MC-dropout scoring is mesh-invariant: per-image dropout
+        keys fold in the GLOBAL batch index, so the data mesh
+        (shard_map) and the 2-D spatial mesh (GSPMD) must reproduce the
+        single-device scores exactly (up to fp assoc.)."""
+        from semanticsegmentationactivelearning_tpu.train import (
+            make_mc_score_step)
+        model = ENet(num_classes=C)
+        optimizer = optim.make_optimizer(HPARAMS)
+        hw = (32, 64)
+        state = create_train_state(model, optimizer,
+                                   jax.random.PRNGKey(0), hw)
+        rng = np.random.default_rng(21)
+        images = jnp.asarray(rng.uniform(size=(8, *hw, 3))
+                             .astype(np.float32))
+        key = jax.random.PRNGKey(6)
+        want = np.asarray(make_mc_score_step(model, C, passes=2)(
+            state, images, key))
+        got_dp = np.asarray(make_mc_score_step(
+            model, C, passes=2, mesh=make_mesh(8))(state, images, key))
+        np.testing.assert_allclose(got_dp, want, rtol=1e-4, atol=1e-5)
+        mesh2d = make_mesh(8, ("data", "space"), shape=(2, 4))
+        got_2d = np.asarray(make_mc_score_step(
+            model, C, passes=2, mesh=mesh2d)(state, images, key))
+        np.testing.assert_allclose(got_2d, want, rtol=1e-4, atol=1e-5)
+
     def test_grouped_pool_score_on_spatial_mesh(self):
         """Grouped (lax.map) dispatch composes with the 2-D
         ("data","space") mesh at halved micro-batch — the AL CLI no
