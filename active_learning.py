@@ -298,10 +298,12 @@ def main(args, logger):
     score_group = int(alparams.get("score_group", 4))
     pool_score_step = None
     if mc_measure:
-        # BALD: T stochastic forwards per dispatch already amortize
-        # the fixed per-call overhead grouped dispatch exists for, so
-        # the pool scorer is skipped. The per-call MC key is folded in
-        # by the ranking loop so scores are deterministic per run.
+        # BALD: the MC step lax.maps per image, so the grouped-dispatch
+        # machinery drives it unchanged — a whole score_group of loader
+        # batches concatenates into ONE dispatch (fixed per-call
+        # overhead ~26ms through the relay amortizes over
+        # score_group * batch * mc_passes forwards). The per-call MC
+        # key is folded in per dispatch: deterministic per run.
         mc_passes = int(alparams.get("mc_passes", 8))
         logger.info("BALD acquisition: %d MC-dropout passes", mc_passes)
         mc_step = make_mc_score_step(model, dataset.num_classes,
@@ -312,6 +314,11 @@ def main(args, logger):
         def score_step(tstate, batch):
             key = jax.random.fold_in(mc_rng, next(mc_calls))
             return mc_step(tstate, batch["image"], key)
+
+        if score_group > 1:
+            def pool_score_step(tstate, images):
+                key = jax.random.fold_in(mc_rng, next(mc_calls))
+                return mc_step(tstate, images, key)
     else:
         score_step = make_score_step(model, dataset.num_classes,
                                      alparams["measure"],
