@@ -47,9 +47,10 @@ from semanticsegmentationactivelearning_tpu.utils import cli, images
 logger = logging.getLogger(__name__)
 
 
-def init_or_load_state(state_filename, args, alparams, rng):
+def init_or_load_state(state_filename, args, alparams, rng, write=True):
     """Initialize or restore the AL bookkeeping
-    (active_learning.py:73-142)."""
+    (active_learning.py:73-142). ``write=False`` computes the state
+    without persisting it (non-main processes of a multi-host run)."""
     if os.path.exists(state_filename):
         with open(state_filename) as f:
             return json.load(f)
@@ -101,8 +102,9 @@ def init_or_load_state(state_filename, args, alparams, rng):
             "test": {"filenames": [str(f) for f in test_examples]},
         },
     }
-    with open(state_filename, "w") as f:
-        json.dump(state, f, indent=2)
+    if write:
+        with open(state_filename, "w") as f:
+            json.dump(state, f, indent=2)
     return state
 
 
@@ -153,17 +155,33 @@ def main(args, logger):
     import jax
 
     cli.enable_compilation_cache(args.log_dir)
+    # Multi-host (DCN): join the other processes before any jax op;
+    # meshes below then span every host's devices. The AL host loop
+    # runs IDENTICALLY on every process (same seeds -> same batches,
+    # metrics are psum-replicated, selections deterministic); only
+    # process 0 writes state.json/metrics/checkpoints, and the round's
+    # best-checkpoint path is broadcast for the shared-filesystem
+    # restore. The reference had no distributed story (SURVEY.md §5).
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        parallel.initialize_distributed()
+    nproc = jax.process_count()
+    is_main = jax.process_index() == 0
+
     params = args.params
     hparams = params["hyperparams"]
     alparams = params["active_learning"]
     state_filename = os.path.join(args.log_dir, "state.json")
-    if not os.path.exists(args.log_dir):
-        os.makedirs(args.log_dir)
+    os.makedirs(args.log_dir, exist_ok=True)
+    if is_main and not os.path.exists(
+            os.path.join(args.log_dir, "config.json")):
         conf.dump_params(params, args.log_dir)
 
     dataset = cli.make_dataset(args)
     init_rng = np.random.default_rng(args.seed)
-    state = init_or_load_state(state_filename, args, alparams, init_rng)
+    # every process computes the identical state from the same seed;
+    # only process 0 persists it
+    state = init_or_load_state(state_filename, args, alparams, init_rng,
+                               write=is_main)
 
     # dtype=object: fixed-width unicode arrays silently truncate longer
     # paths assigned later by poll_human_annotations, corrupting
@@ -185,6 +203,11 @@ def main(args, logger):
     in_hw = (params["network"]["input"]["height"],
              params["network"]["input"]["width"])
     batch_size = params["batch_size"]
+    if batch_size % nproc:
+        logger.error("batch_size %d not divisible by %d processes",
+                     batch_size, nproc)
+        return 1
+    local_bs = batch_size // nproc  # rows this host decodes per batch
 
     train_sampler = sampler.IndexSampler(
         train_examples, rng=np.random.default_rng(args.seed + 1))
@@ -194,7 +217,7 @@ def main(args, logger):
     modalities = tuple(m for m in (getattr(args, "modalities", None)
                                    or ())
                        if m not in ("rgb", "image"))
-    train_loader = loader.RecordLoader(train_examples, batch_size,
+    train_loader = loader.RecordLoader(train_examples, local_bs,
                                        min_hw=in_hw,
                                        modalities=modalities)
     in_channels = train_loader.channels
@@ -207,14 +230,14 @@ def main(args, logger):
     # ranking pass skips label decode, stack assembly and 1/(C+1) of
     # its H2D bytes. Reuses the train loader's scanned storage window.
     rank_loader = loader.RecordLoader(
-        train_examples, batch_size, min_hw=in_hw,
+        train_examples, local_bs, min_hw=in_hw,
         storage_hw=train_loader.storage_hw,
         channels=in_channels, modalities=modalities, with_label=False)
-    val_loader = loader.RecordLoader(val_examples, batch_size,
+    val_loader = loader.RecordLoader(val_examples, local_bs,
                                      min_hw=in_hw,
                                      modalities=modalities) \
         if len(val_examples) else None
-    test_loader = loader.RecordLoader(test_examples, batch_size,
+    test_loader = loader.RecordLoader(test_examples, local_bs,
                                       min_hw=in_hw,
                                       modalities=modalities) \
         if len(test_examples) else None
@@ -233,7 +256,7 @@ def main(args, logger):
     # NameError whenever learning_rate_decay > 0, reference
     # active_learning.py:316-318; all shipped AL confs use 0.0)
     optimizer = optim.make_optimizer(
-        hparams, train_loader.num_batches(max(len(labelled), 1)))
+        hparams, -(-max(len(labelled), 1) // batch_size))
     tstate = create_train_state(model, optimizer,
                                 jax.random.PRNGKey(args.seed), in_hw,
                                 channels=in_channels,
@@ -278,7 +301,12 @@ def main(args, logger):
     mesh = None
     if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
         mesh = parallel.make_mesh()
-        logger.info("Data-parallel over %d devices", jax.device_count())
+        logger.info("Data-parallel over %d devices (%d host(s))",
+                    jax.device_count(), nproc)
+    if nproc > 1 and mesh is None:
+        logger.error("Multi-host run needs batch_size divisible by the "
+                     "global device count %d", jax.device_count())
+        return 1
     train_step = make_train_step(model, optimizer, dataset.num_classes,
                                  hparams, pseudo_cfg=pseudo_cfg,
                                  mesh=mesh)
@@ -356,8 +384,15 @@ def main(args, logger):
         logger.info("Core-set (k-center greedy) selection enabled")
         embed_step = make_embed_step(model, mesh=score_mesh)
 
+    if nproc > 1:
+        # grouped dispatch concatenates buffered device arrays outside
+        # jit, which a process-spanning sharded array cannot do — the
+        # multi-host pool pass dispatches one global batch at a time
+        pool_score_step = None
+
     ckpt_manager = ckpt.CheckpointManager(args.log_dir)
-    writer = cli.MetricsWriter(args.log_dir,
+    # metrics/checkpoints are replicated across hosts: only 0 writes
+    writer = cli.MetricsWriter(args.log_dir, enabled=is_main,
                                tensorboard=getattr(args, "tensorboard",
                                                    False))
     aug_rng = np.random.default_rng(args.seed + 2)
@@ -369,6 +404,54 @@ def main(args, logger):
     def _prefetched(batches):
         return device_prefetch.device_prefetch(batches,
                                                sharding=stack_sharding)
+
+    def _stream(loader_, order=None, with_labelled=False):
+        """Per-host batch stream: single-process -> double-buffered
+        device_put; multi-host -> each host decodes its slice of every
+        global chunk, stitched into one globally-sharded array
+        (train.py's _batch_stream pattern). ``with_labelled`` also
+        shards the per-row labelled flags (the pseudo-labeling input,
+        derived host-side from the local indices)."""
+        if order is None:
+            order = np.arange(loader_.count)
+        if nproc == 1:
+            return _prefetched(loader_.batches(order))
+
+        def gen():
+            keys = ["stack", "heights", "widths", "valid"]
+            if with_labelled:
+                keys.append("labelled")
+            for b in loader_.global_batches(order, batch_size,
+                                            jax.process_index(), nproc):
+                if with_labelled:
+                    b = dict(b, labelled=labelled_flags[b["index"]])
+                yield parallel.make_global_batch(
+                    mesh, b, batch_keys=tuple(keys))
+        return gen()
+
+    if nproc > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        # per-image outputs (scores/embeddings) come back batch-sharded
+        # across hosts; replicate (all-gather over DCN) so every
+        # process fetches the full vector and selects identically
+        _replicate = jax.jit(
+            lambda x: x,
+            out_shardings=NamedSharding(mesh, PartitionSpec()))
+    else:
+        def _replicate(x):
+            return x
+
+    def _bcast_str(s, length=1024):
+        """Broadcast a short string from process 0 (the committed
+        checkpoint path for the shared-filesystem restore)."""
+        if nproc == 1:
+            return s
+        from jax.experimental import multihost_utils
+        arr = np.zeros(length, np.uint8)
+        b = (s or "").encode()[:length]
+        arr[:len(b)] = np.frombuffer(b, np.uint8)
+        out = np.asarray(multihost_utils.broadcast_one_to_all(arr))
+        return bytes(out).rstrip(b"\x00").decode()
 
     # Pseudo-label image snapshots (reference wrote them as TB image
     # summaries every 100 epochs, active_learning.py:367-388).
@@ -401,25 +484,39 @@ def main(args, logger):
             masks=np.asarray(msk), colormap=dataset.colormap,
             count=img_count, event_writer=writer.tb)
 
+    _compiled = []
+
     def run_train_epoch(tstate, epoch_desc):
         """One training epoch over the sampler's current set."""
+        nonlocal train_step
         order = train_sampler.epoch_order()
         acc = xmetrics.ConfusionAccumulator(dataset.num_classes)
         losses = []
-        batches = cli.progress(_prefetched(train_loader.batches(order)),
-                               epoch_desc,
-                               total=train_loader.num_batches(len(order)))
+        batches = cli.progress(
+            _stream(train_loader, order, with_labelled=True),
+            epoch_desc, total=-(-len(order) // batch_size))
         for b in batches:
             seed = int(aug_rng.integers(0, 2 ** 31 - 1))
             k_aug, k_drop = jax.random.split(jax.random.PRNGKey(seed))
             raw, image, label, mask = pipeline.augment_batch(
                 b["stack"], b["heights"], b["widths"], k_aug,
                 crop_hw=in_hw, channels=in_channels)
-            tstate, m = train_step(tstate, {
+            step_batch = {
                 "image": image, "image_raw": raw, "label": label,
                 "mask": mask,
-                "labelled": labelled_flags[b["index"]],
-                "valid": b["valid"].astype(np.float32)}, k_drop)
+                "labelled": (b["labelled"] if "labelled" in b
+                             else labelled_flags[b["index"]]),
+                "valid": b["valid"].astype(np.float32)}
+            if nproc > 1 and not _compiled:
+                # compile before the first collective executes, then
+                # barrier, and keep the AOT executable: the CPU Gloo
+                # rendezvous window (~30s) is far shorter than a cold
+                # compile (train.py's first-step pattern)
+                _compiled.append(True)
+                train_step = train_step.lower(
+                    tstate, step_batch, k_drop).compile()
+                parallel.sync_processes("al-train-step-compiled")
+            tstate, m = train_step(tstate, step_batch, k_drop)
             losses.append(m["loss"])
             acc.update(m["confusion"])
         mean_loss = float(np.mean([float(x) for x in losses])) \
@@ -428,8 +525,8 @@ def main(args, logger):
 
     def run_eval(tstate, data_loader, desc):
         acc = xmetrics.ConfusionAccumulator(dataset.num_classes)
-        batches = cli.progress(_prefetched(data_loader.batches()), desc,
-                               total=data_loader.num_batches())
+        batches = cli.progress(_stream(data_loader), desc,
+                               total=-(-data_loader.count // batch_size))
         for b in batches:
             image, label, mask = pipeline.eval_batch(
                 b["stack"], b["heights"], b["widths"], crop_hw=in_hw,
@@ -465,19 +562,26 @@ def main(args, logger):
                 "labelled": int(len(labelled)),
                 "no_improvement": no_improvement})
             if (pseudo_cadence > 0 and state["iteration"] > 0
+                    and nproc == 1
                     and epoch % pseudo_cadence == 0):
+                # (single-host only: the snapshot batch is host-local
+                # and its plain jit cannot consume sharded arrays)
                 dump_pseudo_snapshot(tstate, epoch)
-            ckpt_manager.cache(tstate)
+            if is_main:
+                ckpt_manager.cache(tstate)
             improved = val_miou > best_mean_iou
             if improved or val_loader is None:
                 # With no validation set every epoch commits, so a best
                 # checkpoint always exists and the post-round restore
                 # keeps (rather than discards) the round's training.
+                # val_miou is psum-replicated, so every process takes
+                # this branch in the same epochs; only 0 touches disk.
                 best_mean_iou = max(best_mean_iou, val_miou)
-                committed = ckpt_manager.commit(
-                    os.path.join(log_subdir, "model"))
-                if committed != "":
-                    best_ckpt_path = committed
+                if is_main:
+                    committed = ckpt_manager.commit(
+                        os.path.join(log_subdir, "model"))
+                    if committed != "":
+                        best_ckpt_path = committed
             if improved:
                 no_improvement = 0
             else:
@@ -486,6 +590,11 @@ def main(args, logger):
                 no_improvement += 1
                 if no_improvement >= params["epochs"] and grace < 0:
                     break
+        if nproc > 1:
+            # main finished writing; share the committed path for the
+            # shared-filesystem restore below
+            parallel.sync_processes("al-round-committed")
+            best_ckpt_path = _bcast_str(best_ckpt_path or "") or None
         return tstate, best_ckpt_path
 
     def test_loop(tstate):
@@ -513,9 +622,14 @@ def main(args, logger):
         num_examples = len(train_examples)
         confidence = np.zeros(num_examples, dtype=np.float32)
         order = np.arange(num_examples)
-        batches = cli.progress(_prefetched(rank_loader.batches(order)),
+        batches = cli.progress(_stream(rank_loader, order),
                                "ranking[%d]" % len(labelled),
-                               total=rank_loader.num_batches())
+                               total=-(-num_examples // batch_size))
+        # multi-host: per-batch global (index, valid) reconstructed
+        # host-side; scores come back replicated so every process
+        # scatters — and selects — identically
+        layouts = (loader.RecordLoader.global_batch_layout(
+            order, batch_size, nproc) if nproc > 1 else None)
         import jax.numpy as jnp
         buf_raw, buf_idx, buf_valid = [], [], []
         # results stay on device until the very end: fetching a score
@@ -539,7 +653,8 @@ def main(args, logger):
                     tstate, jnp.concatenate(buf_raw, axis=0))[:n_rows]
             else:
                 scores = jnp.concatenate([
-                    score_step(tstate, {"image": r}) for r in buf_raw])
+                    _replicate(score_step(tstate, {"image": r}))
+                    for r in buf_raw])
             pending.append((scores, np.concatenate(buf_idx),
                             np.concatenate(buf_valid)))
             buf_raw.clear()
@@ -553,8 +668,12 @@ def main(args, logger):
                 jax.random.PRNGKey(seed), crop_hw=in_hw,
                 channels=in_channels)
             buf_raw.append(raw)
-            buf_idx.append(b["index"])
-            buf_valid.append(b["valid"])
+            if layouts is not None:
+                gidx, gval = next(layouts)
+            else:
+                gidx, gval = b["index"], b["valid"]
+            buf_idx.append(gidx)
+            buf_valid.append(gval)
             if len(buf_raw) == score_group:
                 flush()
         flush()
@@ -586,9 +705,11 @@ def main(args, logger):
         num_examples = len(train_examples)
         emb = None
         order = np.arange(num_examples)
-        batches = cli.progress(_prefetched(rank_loader.batches(order)),
+        batches = cli.progress(_stream(rank_loader, order),
                                "embedding[%d]" % len(labelled),
-                               total=rank_loader.num_batches())
+                               total=-(-num_examples // batch_size))
+        layouts = (loader.RecordLoader.global_batch_layout(
+            order, batch_size, nproc) if nproc > 1 else None)
         # embeddings stay on device until the very end (fetching syncs
         # the relay and would serialize the dispatch queue — same
         # pattern as rank_confidence above)
@@ -599,8 +720,13 @@ def main(args, logger):
                 b["stack"], b["heights"], b["widths"],
                 jax.random.PRNGKey(seed), crop_hw=in_hw,
                 channels=in_channels)
-            pending.append((embed_step(tstate, {"image": raw}),
-                            b["index"], b["valid"]))
+            if layouts is not None:
+                gidx, gval = next(layouts)
+            else:
+                gidx, gval = b["index"], b["valid"]
+            pending.append((
+                _replicate(embed_step(tstate, {"image": raw})),
+                gidx, gval))
         for e_dev, idx, val in pending:
             e = np.asarray(e_dev)
             if emb is None:
@@ -647,8 +773,9 @@ def main(args, logger):
         except KeyboardInterrupt:
             if ckpt_manager.latest_checkpoint != "":
                 state["checkpoint"] = ckpt_manager.latest_checkpoint
-            with open(state_filename, "w") as f:
-                json.dump(state, f, indent=2)
+            if is_main:
+                with open(state_filename, "w") as f:
+                    json.dump(state, f, indent=2)
             raise
 
         # Reload the round's best checkpoint (active_learning.py:766-769)
@@ -700,6 +827,11 @@ def main(args, logger):
         to_annotate = no_label_indices[np.isin(no_label_indices,
                                                low_conf)]
         if len(to_annotate) > 0:
+            if nproc > 1:
+                raise RuntimeError(
+                    "human-annotation polling (-u selections) is "
+                    "interactive and cannot run multi-host; annotate "
+                    "offline and resume, or run single-host")
             train_examples = poll_human_annotations(
                 to_annotate, train_examples, logger)
         no_label_indices = no_label_indices[np.isin(
@@ -720,8 +852,9 @@ def main(args, logger):
         state["dataset"]["train"]["no_label"] = no_label_indices.tolist()
         state["iteration"] += 1
         state["checkpoint"] = checkpoint_path
-        with open(state_filename, "w") as f:
-            json.dump(state, f, indent=2)
+        if is_main:
+            with open(state_filename, "w") as f:
+                json.dump(state, f, indent=2)
     writer.close()
     return 0
 

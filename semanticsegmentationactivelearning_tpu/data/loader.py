@@ -319,6 +319,30 @@ class RecordLoader:
             chunks.append(chunk[lo:hi])
         yield from self._batches_from_chunks(chunks)
 
+    @staticmethod
+    def global_batch_layout(order: np.ndarray, global_batch_size: int,
+                            num_processes: int
+                            ) -> Iterator[tuple]:
+        """Host-side mirror of ``global_batches``' global row layout:
+        for each global batch yields ``(index [G], valid [G])`` where
+        row ``p*local + j`` is the j-th row of process p's slice of the
+        chunk (padding rows carry index -1, valid False). Lets a host
+        scatter values fetched from a replicated global array back to
+        example indices without shipping index arrays cross-host."""
+        order = np.asarray(order)
+        local = global_batch_size // num_processes
+        for b in range(0, len(order), global_batch_size):
+            chunk = order[b:b + global_batch_size]
+            gidx = np.full(global_batch_size, -1, dtype=np.int64)
+            gval = np.zeros(global_batch_size, dtype=bool)
+            for p in range(num_processes):
+                lo = min(len(chunk), p * local)
+                hi = min(len(chunk), (p + 1) * local)
+                m = hi - lo
+                gidx[p * local:p * local + m] = chunk[lo:hi]
+                gval[p * local:p * local + m] = True
+            yield gidx, gval
+
     def _batches_from_chunks(self, chunks
                              ) -> Iterator[Dict[str, np.ndarray]]:
         if not chunks:

@@ -197,6 +197,33 @@ class TestRecordLoader:
         assert (last["stack"][0, :, :, 3] == 255).all()
         assert not last["has_label"][0]
 
+    def test_global_batch_layout_mirrors_global_batches(self,
+                                                        record_dir):
+        """The host-side layout helper must reproduce global_batches'
+        row placement exactly: for every process, local row j of batch
+        g is layout index [p*local+j] (padding rows invalid) — the
+        multi-host AL ranking pass scatters fetched scores with it."""
+        files = sorted(str(p) for p in record_dir.glob("*.tfrecord"))
+        order = np.array([3, 0, 4, 2, 1])
+        global_bs, nproc = 4, 2
+        ld = loader.RecordLoader(files, batch_size=global_bs // nproc)
+        layouts = list(loader.RecordLoader.global_batch_layout(
+            order, global_bs, nproc))
+        assert len(layouts) == 2
+        local = global_bs // nproc
+        for p in range(nproc):
+            for g, b in enumerate(ld.global_batches(
+                    order, global_bs, p, nproc)):
+                gidx, gval = layouts[g]
+                sl = slice(p * local, (p + 1) * local)
+                np.testing.assert_array_equal(
+                    np.where(b["valid"], b["index"], -1),
+                    np.where(gval[sl], gidx[sl], -1))
+                np.testing.assert_array_equal(b["valid"], gval[sl])
+        # every example appears exactly once across valid slots
+        all_idx = np.concatenate([gi[gv] for gi, gv in layouts])
+        assert sorted(all_idx.tolist()) == sorted(order.tolist())
+
     def test_label_free_loader(self, record_dir):
         """with_label=False drops the label plane but leaves the image
         channels byte-identical (pool-ranking fast path)."""
