@@ -390,7 +390,10 @@ def main(args, logger):
         # multi-host pool pass dispatches one global batch at a time
         pool_score_step = None
 
-    ckpt_manager = ckpt.CheckpointManager(args.log_dir)
+    # background checkpoint IO: each epoch's cache() overlaps the next
+    # epoch's compute (the TrainState fetch through the TPU relay costs
+    # seconds); commit()/chdir() join the in-flight write first
+    ckpt_manager = ckpt.CheckpointManager(args.log_dir, async_io=True)
     # metrics/checkpoints are replicated across hosts: only 0 writes
     writer = cli.MetricsWriter(args.log_dir, enabled=is_main,
                                tensorboard=getattr(args, "tensorboard",
@@ -855,6 +858,7 @@ def main(args, logger):
         if is_main:
             with open(state_filename, "w") as f:
                 json.dump(state, f, indent=2)
+    ckpt_manager.close()
     writer.close()
     return 0
 

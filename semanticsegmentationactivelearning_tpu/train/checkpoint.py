@@ -42,6 +42,22 @@ def save_checkpoint(path: str, state) -> str:
     return path
 
 
+def _device_snapshot(state):
+    """On-device copy of every jax.Array leaf. The train step DONATES
+    its input TrainState (donate_argnums), so a background checkpoint
+    thread fetching the original buffers would race their deletion by
+    the next step ("Buffer has been deleted or donated"); the copies
+    are not part of any donated pytree, so the async fetch is safe.
+    The copy itself is a cheap on-device op, sequenced before any
+    later donation by data dependence."""
+    import jax.numpy as jnp
+
+    def cp(x):
+        return jnp.copy(x) if isinstance(x, jax.Array) else x
+
+    return jax.tree.map(cp, state)
+
+
 def _merge_state_dicts(target, source, path=""):
     """Recursively copy matching-shape leaves of ``source`` into
     ``target``; report what didn't line up."""
@@ -126,19 +142,56 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 
 
 class CheckpointManager:
+    """Two-phase best-checkpoint manager (see module docstring).
 
-    def __init__(self, directory: str, max_to_keep: int = 10):
+    ``async_io=True`` runs each ``cache``/``save`` serialization
+    (device->host fetch + msgpack + write) on a background thread so it
+    overlaps the next epoch's compute — the fetch of a full TrainState
+    through the TPU relay costs seconds per epoch otherwise. The
+    submitted pytree is an on-device snapshot (``_device_snapshot``)
+    because the train step donates its input state's buffers;
+    ``commit``/``chdir``/``close`` join the in-flight write first, and
+    a failed background write re-raises there."""
+
+    def __init__(self, directory: str, max_to_keep: int = 10,
+                 async_io: bool = False):
         self._directory = directory
         self._max_to_keep = max_to_keep
         self._checkpoints = []          # committed paths, oldest first
         self._cached: Optional[str] = None
         self._save_counter = 0
+        self._async = async_io
+        self._pool = None
+        self._pending = None
         os.makedirs(directory, exist_ok=True)
         # Resume counter + FIFO from a previous run in this directory so
         # new saves never overwrite existing checkpoints (the reference
         # persisted save_counter inside the TF checkpoint object,
         # checkpoint_manager.py:52-58).
         self._load_state_file()
+
+    def _submit(self, fn, *args):
+        import concurrent.futures
+        if self._pool is None:
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-io")
+        self._pending = self._pool.submit(fn, *args)
+
+    def _join(self) -> None:
+        """Wait for the in-flight background write; re-raises its
+        error."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def close(self) -> None:
+        """Flush and stop the background writer (no-op when sync)."""
+        try:
+            self._join()
+        finally:
+            if self._pool is not None:
+                self._pool.shutdown(wait=True)
+                self._pool = None
 
     def _load_state_file(self) -> None:
         """Adopt ``checkpoint.json`` from the current directory: restore
@@ -181,6 +234,12 @@ class CheckpointManager:
     def cache(self, state) -> str:
         """Stash the epoch's state under the tmp prefix
         (checkpoint_manager.py:22-33)."""
+        if self._async:
+            self._join()  # at most one write in flight
+            self._submit(save_checkpoint, self._cache_path(),
+                         _device_snapshot(state))
+            self._cached = self._cache_path()
+            return self._cached
         self._cached = save_checkpoint(self._cache_path(), state)
         return self._cached
 
@@ -190,6 +249,7 @@ class CheckpointManager:
         (checkpoint_manager.py:35-73)."""
         if self._cached is None:
             return self._checkpoints[-1] if self._checkpoints else ""
+        self._join()  # the cached file must exist before the rename
 
         if len(self._checkpoints) >= self._max_to_keep:
             victim = self._checkpoints.pop(0)
@@ -211,7 +271,12 @@ class CheckpointManager:
         self._save_counter += 1
         name = f"{os.path.basename(prefix)}-{self._save_counter}{CKPT_EXT}"
         target = os.path.join(self._directory, name)
-        save_checkpoint(target, state)
+        if self._async:
+            self._join()
+            self._submit(save_checkpoint, target,
+                         _device_snapshot(state))
+        else:
+            save_checkpoint(target, state)
         if len(self._checkpoints) >= self._max_to_keep:
             victim = self._checkpoints.pop(0)
             if os.path.exists(victim):
@@ -227,6 +292,7 @@ class CheckpointManager:
         ``checkpoint.json`` so re-entering a round after an interrupted
         run resumes its counter/FIFO instead of overwriting its
         ``model-N`` files."""
+        self._join()  # don't race a background write of the old cache
         if self._cached is not None and os.path.exists(self._cached):
             os.remove(self._cached)
         self._cached = None

@@ -320,6 +320,41 @@ class TestCheckpoint:
         assert not os.path.exists(first)
         assert checkpoint.latest_checkpoint(str(tmp_path)) == third
 
+    def test_async_cache_commit_roundtrip(self, setup, tmp_path):
+        """async_io=True: cache runs on a background thread; commit
+        joins it before the rename, and the committed state restores
+        byte-identically to the cached one."""
+        model, _opt, state = setup
+        mgr = checkpoint.CheckpointManager(str(tmp_path), async_io=True)
+        mgr.cache(state)
+        path = mgr.commit("model")
+        assert path.endswith("model-1.ckpt") and os.path.exists(path)
+        restored = checkpoint.restore_checkpoint(path, state)
+        for a, b in zip(jax.tree.leaves(restored.params),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # successive caches serialize (second joins the first)
+        mgr.cache(state)
+        mgr.cache(state)
+        assert mgr.commit("model").endswith("model-2.ckpt")
+        mgr.close()
+
+    def test_async_error_surfaces(self, setup, tmp_path):
+        model, _opt, state = setup
+        mgr = checkpoint.CheckpointManager(str(tmp_path), async_io=True)
+        mgr._directory = str(tmp_path / "gone")  # unwritable target
+        mgr.cache(state)
+        with pytest.raises(OSError):
+            mgr.close()
+
+    def test_async_save(self, setup, tmp_path):
+        model, _opt, state = setup
+        mgr = checkpoint.CheckpointManager(str(tmp_path), async_io=True)
+        p = mgr.save("model", state)
+        mgr.close()
+        assert os.path.exists(p)
+        checkpoint.restore_checkpoint(p, state)
+
     def test_chdir_keeps_counter(self, setup, tmp_path):
         _m, _o, state = setup
         mgr = checkpoint.CheckpointManager(str(tmp_path / "a"))

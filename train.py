@@ -165,7 +165,10 @@ def main(args):
             os.path.join(args.log_dir, "config.json")):
         conf.dump_params(params, args.log_dir)
 
-    manager = ckpt.CheckpointManager(args.log_dir)
+    # background checkpoint IO: the per-epoch device->host fetch +
+    # write overlaps the next epoch's compute (seconds per epoch
+    # through the TPU relay)
+    manager = ckpt.CheckpointManager(args.log_dir, async_io=True)
     # metrics/checkpoints are replicated across hosts: only 0 writes
     writer = cli.MetricsWriter(args.log_dir, enabled=is_main,
                                tensorboard=getattr(args, "tensorboard",
@@ -318,6 +321,7 @@ def main(args):
         logger.info("final val mIoU %.4f", vm["MeanIoU"])
     logger.info("Training successfully finished %d epochs",
                 params["epochs"])
+    manager.close()
     writer.close()
     return 0
 
