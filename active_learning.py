@@ -47,6 +47,16 @@ from semanticsegmentationactivelearning_tpu.utils import cli, images
 logger = logging.getLogger(__name__)
 
 
+def _write_state_json(state_filename, state):
+    """Atomic state.json write (tmp + rename): a concurrent reader —
+    e.g. a non-main process of a fresh multi-host start — must never
+    see a truncated file."""
+    tmp = state_filename + ".part"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=2)
+    os.replace(tmp, state_filename)
+
+
 def init_or_load_state(state_filename, args, alparams, rng, write=True):
     """Initialize or restore the AL bookkeeping
     (active_learning.py:73-142). ``write=False`` computes the state
@@ -103,8 +113,7 @@ def init_or_load_state(state_filename, args, alparams, rng, write=True):
         },
     }
     if write:
-        with open(state_filename, "w") as f:
-            json.dump(state, f, indent=2)
+        _write_state_json(state_filename, state)
     return state
 
 
@@ -196,6 +205,14 @@ def main(args, logger):
                           dtype=np.int64)
     no_label_indices = np.array(state["dataset"]["train"]["no_label"],
                                 dtype=np.int64)
+
+    if nproc > 1 and len(no_label_indices) > 0:
+        # the human-annotation poll for -u selections is interactive
+        # and cannot span hosts; fail BEFORE a round trains, not after
+        raise RuntimeError(
+            "truly-unlabelled examples (-u/--unlabelled-dir) need the "
+            "interactive annotation poll, which cannot run multi-host; "
+            "annotate offline and resume, or run single-host")
 
     labelled_flags = np.zeros(len(train_examples), dtype=bool)
     labelled_flags[labelled] = True
@@ -307,10 +324,31 @@ def main(args, logger):
         logger.error("Multi-host run needs batch_size divisible by the "
                      "global device count %d", jax.device_count())
         return 1
+    def _barriered(step, tag):
+        """Multi-host: AOT-compile on first call, then barrier, so a
+        cold-compiling host can't blow its peers' Gloo rendezvous
+        window (~30s) at the first collective — the same pattern the
+        train step uses. No-op single-process."""
+        if nproc == 1:
+            return step
+        done = []
+
+        def wrapped(*args):
+            if not done:
+                done.append(True)
+                lower = getattr(step, "lower", None)
+                if lower is not None:
+                    lower(*args).compile()
+                parallel.sync_processes(tag)
+            return step(*args)
+        return wrapped
+
     train_step = make_train_step(model, optimizer, dataset.num_classes,
                                  hparams, pseudo_cfg=pseudo_cfg,
                                  mesh=mesh)
-    eval_step = make_eval_step(model, dataset.num_classes, mesh=mesh)
+    eval_step = _barriered(
+        make_eval_step(model, dataset.num_classes, mesh=mesh),
+        "al-eval-compiled")
     # Scoring may engage a ("data","space") mesh when the per-chip HBM
     # estimate says full-width activations won't fit (GSPMD inserts the
     # per-conv halo exchanges; parallel.make_mesh_auto).
@@ -334,8 +372,9 @@ def main(args, logger):
         # key is folded in per dispatch: deterministic per run.
         mc_passes = int(alparams.get("mc_passes", 8))
         logger.info("BALD acquisition: %d MC-dropout passes", mc_passes)
-        mc_step = make_mc_score_step(model, dataset.num_classes,
-                                     mc_passes, mesh=score_mesh)
+        mc_step = _barriered(
+            make_mc_score_step(model, dataset.num_classes, mc_passes,
+                               mesh=score_mesh), "al-mc-compiled")
         mc_rng = jax.random.PRNGKey(args.seed + 11)
         mc_calls = itertools.count()
 
@@ -348,9 +387,10 @@ def main(args, logger):
                 key = jax.random.fold_in(mc_rng, next(mc_calls))
                 return mc_step(tstate, images, key)
     else:
-        score_step = make_score_step(model, dataset.num_classes,
-                                     alparams["measure"],
-                                     mesh=score_mesh)
+        score_step = _barriered(
+            make_score_step(model, dataset.num_classes,
+                            alparams["measure"], mesh=score_mesh),
+            "al-score-compiled")
         # Pool scoring groups several loader batches into one dispatch
         # (lax.map) to amortize fixed per-call overhead (~26ms through
         # the TPU relay); under a mesh each micro-batch stays
@@ -382,7 +422,8 @@ def main(args, logger):
         from semanticsegmentationactivelearning_tpu.train import (
             make_embed_step)
         logger.info("Core-set (k-center greedy) selection enabled")
-        embed_step = make_embed_step(model, mesh=score_mesh)
+        embed_step = _barriered(make_embed_step(model, mesh=score_mesh),
+                                "al-embed-compiled")
 
     if nproc > 1:
         # grouped dispatch concatenates buffered device arrays outside
@@ -437,9 +478,10 @@ def main(args, logger):
         # per-image outputs (scores/embeddings) come back batch-sharded
         # across hosts; replicate (all-gather over DCN) so every
         # process fetches the full vector and selects identically
-        _replicate = jax.jit(
-            lambda x: x,
-            out_shardings=NamedSharding(mesh, PartitionSpec()))
+        _replicate = _barriered(
+            jax.jit(lambda x: x,
+                    out_shardings=NamedSharding(mesh, PartitionSpec())),
+            "al-replicate-compiled")
     else:
         def _replicate(x):
             return x
@@ -450,8 +492,12 @@ def main(args, logger):
         if nproc == 1:
             return s
         from jax.experimental import multihost_utils
+        b = (s or "").encode()
+        if len(b) > length:
+            raise ValueError(
+                f"checkpoint path exceeds the {length}-byte broadcast "
+                f"buffer: {s!r}")
         arr = np.zeros(length, np.uint8)
-        b = (s or "").encode()[:length]
         arr[:len(b)] = np.frombuffer(b, np.uint8)
         out = np.asarray(multihost_utils.broadcast_one_to_all(arr))
         return bytes(out).rstrip(b"\x00").decode()
@@ -777,8 +823,7 @@ def main(args, logger):
             if ckpt_manager.latest_checkpoint != "":
                 state["checkpoint"] = ckpt_manager.latest_checkpoint
             if is_main:
-                with open(state_filename, "w") as f:
-                    json.dump(state, f, indent=2)
+                _write_state_json(state_filename, state)
             raise
 
         # Reload the round's best checkpoint (active_learning.py:766-769)
@@ -856,8 +901,7 @@ def main(args, logger):
         state["iteration"] += 1
         state["checkpoint"] = checkpoint_path
         if is_main:
-            with open(state_filename, "w") as f:
-                json.dump(state, f, indent=2)
+            _write_state_json(state_filename, state)
     ckpt_manager.close()
     writer.close()
     return 0

@@ -123,6 +123,37 @@ def make_global_batch(mesh: Mesh, local_batch: Dict[str, np.ndarray],
     return out
 
 
+def batch_stream(loader_, order, global_batch_size: int, mesh,
+                 sharding=None, extra_keys: Sequence[str] = (),
+                 extra_fn=None):
+    """Per-host batch stream shared by the train and AL CLIs.
+
+    Single-process: the loader's batches through a double-buffered
+    ``device_put`` (``sharding`` pre-shards the stacks over the mesh).
+    Multi-host: each host decodes only its slice of every global chunk
+    (``RecordLoader.global_batches``) and the slices are stitched into
+    globally-sharded arrays (``make_global_batch``). ``extra_fn(b)``
+    may derive additional per-row keys from the local batch (e.g. the
+    AL labelled flags) which are then sharded under ``extra_keys``.
+    """
+    import numpy as np  # noqa: F811 (module alias for closures)
+    order = np.asarray(order)
+    if jax.process_count() > 1:
+        def gen():
+            keys = ("stack", "heights", "widths",
+                    "valid") + tuple(extra_keys)
+            for b in loader_.global_batches(order, global_batch_size,
+                                            jax.process_index(),
+                                            jax.process_count()):
+                if extra_fn is not None:
+                    b = dict(b, **extra_fn(b))
+                yield make_global_batch(mesh, b, batch_keys=keys)
+        return gen()
+    from ..data import device_prefetch
+    return device_prefetch.device_prefetch(loader_.batches(order),
+                                           sharding=sharding)
+
+
 def make_mesh(num_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("data",),
               shape: Optional[Sequence[int]] = None) -> Mesh:

@@ -42,20 +42,31 @@ def save_checkpoint(path: str, state) -> str:
     return path
 
 
+_snapshot_jit = None
+
+
 def _device_snapshot(state):
     """On-device copy of every jax.Array leaf. The train step DONATES
     its input TrainState (donate_argnums), so a background checkpoint
     thread fetching the original buffers would race their deletion by
     the next step ("Buffer has been deleted or donated"); the copies
     are not part of any donated pytree, so the async fetch is safe.
-    The copy itself is a cheap on-device op, sequenced before any
-    later donation by data dependence."""
+    The whole-tree copy runs as ONE jitted dispatch (a per-leaf eager
+    copy would pay the ~26ms relay round-trip hundreds of times),
+    sequenced before any later donation by data dependence. Non-array
+    leaves pass through host-side."""
     import jax.numpy as jnp
 
-    def cp(x):
-        return jnp.copy(x) if isinstance(x, jax.Array) else x
-
-    return jax.tree.map(cp, state)
+    global _snapshot_jit
+    if _snapshot_jit is None:
+        _snapshot_jit = jax.jit(
+            lambda s: jax.tree.map(jnp.copy, s))
+    if all(isinstance(x, jax.Array) for x in jax.tree.leaves(state)):
+        return _snapshot_jit(state)
+    # mixed pytree (host leaves): fall back to per-leaf copies
+    return jax.tree.map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+        state)
 
 
 def _merge_state_dicts(target, source, path=""):
@@ -163,6 +174,12 @@ class CheckpointManager:
         self._async = async_io
         self._pool = None
         self._pending = None
+        if async_io:
+            # surface a failed final background write even when the
+            # caller's normal close() is skipped by an exception path
+            # (ThreadPoolExecutor's own atexit join swallows errors)
+            import atexit
+            atexit.register(self._atexit_close)
         os.makedirs(directory, exist_ok=True)
         # Resume counter + FIFO from a previous run in this directory so
         # new saves never overwrite existing checkpoints (the reference
@@ -192,6 +209,14 @@ class CheckpointManager:
             if self._pool is not None:
                 self._pool.shutdown(wait=True)
                 self._pool = None
+
+    def _atexit_close(self) -> None:
+        import logging
+        try:
+            self.close()
+        except Exception:
+            logging.getLogger(__name__).exception(
+                "background checkpoint write failed at exit")
 
     def _load_state_file(self) -> None:
         """Adopt ``checkpoint.json`` from the current directory: restore
@@ -271,18 +296,24 @@ class CheckpointManager:
         self._save_counter += 1
         name = f"{os.path.basename(prefix)}-{self._save_counter}{CKPT_EXT}"
         target = os.path.join(self._directory, name)
-        if self._async:
-            self._join()
-            self._submit(save_checkpoint, target,
-                         _device_snapshot(state))
-        else:
-            save_checkpoint(target, state)
         if len(self._checkpoints) >= self._max_to_keep:
             victim = self._checkpoints.pop(0)
             if os.path.exists(victim):
                 os.remove(victim)
         self._checkpoints.append(target)
-        self._write_state_file()
+        if self._async:
+            self._join()
+            snap = _device_snapshot(state)
+
+            def job():
+                # checkpoint.json is updated only AFTER the file
+                # lands, so "latest" never points at a missing file
+                save_checkpoint(target, snap)
+                self._write_state_file()
+            self._submit(job)
+        else:
+            save_checkpoint(target, state)
+            self._write_state_file()
         return target
 
     def chdir(self, directory: str) -> None:

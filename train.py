@@ -33,20 +33,11 @@ logger = logging.getLogger(__name__)
 
 
 def _batch_stream(loader_, order, global_bs, mesh, sharding):
-    """Per-host batch iterator: single-process -> double-buffered
-    device_put; multi-host -> each host's slice of every global chunk
-    assembled into one globally-sharded array."""
-    import jax
-    if jax.process_count() > 1:
-        from semanticsegmentationactivelearning_tpu import parallel
-        src = loader_.global_batches(order, global_bs,
-                                     jax.process_index(),
-                                     jax.process_count())
-        return (parallel.make_global_batch(
-            mesh, b, batch_keys=("stack", "heights", "widths", "valid"))
-            for b in src)
-    return device_prefetch.device_prefetch(loader_.batches(order),
-                                           sharding=sharding)
+    """Per-host batch iterator (shared implementation:
+    ``parallel.batch_stream``; the AL CLI uses the same helper)."""
+    from semanticsegmentationactivelearning_tpu import parallel
+    return parallel.batch_stream(loader_, order, global_bs, mesh,
+                                 sharding=sharding)
 
 
 def run_eval_epoch(eval_step, state, val_loader, crop_hw, num_classes,
