@@ -39,16 +39,32 @@ def masked_softmax_cross_entropy(labels: jnp.ndarray, logits: jnp.ndarray,
     """
     on_value = 1.0 - label_smoothing
     off_value = label_smoothing / (num_classes - 1.0)
-    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
-    onehot = onehot * (on_value - off_value) + off_value
-    onehot = jax.lax.stop_gradient(onehot)
 
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    loss = -jnp.sum(onehot * logp, axis=-1)
-    loss = loss * mask.astype(jnp.float32)
+    # The smoothed one-hot contraction collapses algebraically so no
+    # [B,H,W,C] one-hot / log_softmax plane is ever materialized (lane
+    # padding makes those planes the loss's dominant HBM cost on TPU):
+    #   sum_c onehot_c * logp_c
+    #     = (on-off) * (logit[label] - lse) + off * (sum_c logit_c - C*lse)
+    # The label pick is an iota-compare masked reduce, which XLA fuses
+    # into the same pass as the logsumexp — and whose gradient is
+    # elementwise (no scatter).
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    is_label = (jax.lax.broadcasted_iota(jnp.int32, logits.shape,
+                                         logits.ndim - 1)
+                == labels[..., None].astype(jnp.int32))
+    logit_label = jnp.sum(jnp.where(is_label, logits, 0.0), axis=-1)
+    picked = (on_value - off_value) * (logit_label - lse)
+    if label_smoothing != 0.0:
+        sum_logits = jnp.sum(logits, axis=-1)
+        picked = picked + off_value * (sum_logits - num_classes * lse)
+    loss = -picked * mask.astype(jnp.float32)
 
     if weight > 1.0:
-        p_class = jnp.sum(jax.nn.softmax(logits, axis=-1) * onehot, axis=-1)
+        # p_class under the same smoothed one-hot: off-probabilities sum
+        # to off * 1 across classes.
+        p_true = jnp.exp(logit_label - lse)
+        p_class = (on_value - off_value) * p_true + off_value
         w_class = 1.0 / jnp.log(weight + (_EULER - weight) * p_class)
         loss = loss * w_class
 
