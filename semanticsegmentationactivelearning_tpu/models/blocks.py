@@ -16,11 +16,93 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops import nn as xops
+from ..ops import shiftconv
 
 _KERNEL_INIT = nn.initializers.glorot_uniform()
+
+
+def _use_matmul(impl: str) -> bool:
+    """Resolve a conv ``impl`` flag: ``"matmul"`` / ``"lax"`` force the
+    shifted-matmul / ``lax.conv`` lowerings; ``"auto"`` (the default
+    everywhere) picks matmul off-CPU — measured 1.8x faster fwd+bwd on
+    v5e for the low-channel segments (tools/probe_packed_bottleneck.py)
+    — and ``lax.conv`` on CPU, where eigen's conv wins."""
+    if impl == "auto":
+        return jax.default_backend() not in ("cpu",)
+    return impl == "matmul"
+
+
+class Conv(nn.Module):
+    """No-bias SAME conv, drop-in for the ``nn.Conv`` call sites (same
+    param name/shape/init, so checkpoints are interchangeable), with
+    the TPU path lowered through ops/shiftconv shifted matmuls."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    dilation: int = 1
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", _KERNEL_INIT,
+                            (kh, kw, x.shape[-1], self.features))
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if (kh, kw) == (1, 1):
+            # a 1x1 conv IS a matmul on every backend; SAME/s2 reads
+            # the even grid positions. No preferred_element_type: the
+            # MXU accumulates fp32 internally either way, and asking
+            # for an fp32 result forces a full-size fp32 plane + a
+            # convert at EVERY bottleneck (measured +30 ms on the
+            # batch-8 512x1024 train step)
+            if self.strides == (2, 2):
+                x = x[:, ::2, ::2]
+            n, hh, ww, cc = x.shape
+            return jnp.dot(x.reshape(-1, cc),
+                           k[0, 0]).reshape(n, hh, ww, -1)
+        # shapes the matmul lowerings don't cover: stride 2 with odd
+        # input dims or kernels other than 2x2/3x3 (shiftconv.conv_down2
+        # phase-decomposes even grids only)
+        covered = (self.strides == (1, 1)
+                   or (kh == kw and kh in (2, 3)
+                       and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0))
+        if not _use_matmul(self.impl) or not covered:
+            return lax.conv_general_dilated(
+                x, k, self.strides, "SAME",
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.strides == (2, 2):
+            return shiftconv.conv_down2(x, k)
+        return shiftconv.conv_same(x, k, self.dilation)
+
+
+class ConvTranspose(nn.Module):
+    """No-bias SAME 3x3/s2 transposed conv, drop-in for the
+    ``nn.ConvTranspose`` call sites (same param name/shape/init)."""
+
+    features: int
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _KERNEL_INIT,
+                            (3, 3, x.shape[-1], self.features))
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if not _use_matmul(self.impl):
+            return lax.conv_transpose(x, k, (2, 2), "SAME",
+                                      rhs_dilation=(1, 1),
+                                      transpose_kernel=False)
+        return shiftconv.conv_transpose_up2(x, k)
 
 
 class PReLU(nn.Module):
@@ -49,14 +131,14 @@ class Initial(nn.Module):
 
     output_channels: int = 16
     dtype: Any = jnp.float32
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool):
         x = x.astype(self.dtype)
         filters = self.output_channels - x.shape[-1]
-        conv = nn.Conv(filters, (3, 3), strides=(2, 2), padding="SAME",
-                       use_bias=False, kernel_init=_KERNEL_INIT,
-                       dtype=self.dtype, name="conv")(x)
+        conv = Conv(filters, (3, 3), strides=(2, 2), dtype=self.dtype,
+                    impl=self.conv_impl, name="conv")(x)
         pool = xops.max_pool_2x2(x)
         out = jnp.concatenate([conv, pool], axis=-1)
         out = _batch_norm(training, "bn", self.dtype)(out)
@@ -78,6 +160,7 @@ class Bottleneck(nn.Module):
     projection_rate: int = 4
     drop_rate: float = 0.1
     dtype: Any = jnp.float32
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool):
@@ -86,32 +169,27 @@ class Bottleneck(nn.Module):
         filters = cin // self.projection_rate
         k = self.kernel_size
 
-        h = nn.Conv(filters, (1, 1), use_bias=False,
-                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                    name="proj_conv")(x)
+        h = Conv(filters, (1, 1), dtype=self.dtype,
+                 impl=self.conv_impl, name="proj_conv")(x)
         h = _batch_norm(training, "proj_bn", self.dtype)(h)
         h = PReLU(name="proj_prelu")(h)
 
         if self.asymmetric:
             # (k,1) then (1,k), the reference's KernelCol/KernelRow order
             # (enet_modules.py:553-563).
-            h = nn.Conv(filters, (k, 1), use_bias=False, padding="SAME",
-                        kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                        name="conv_col")(h)
-            h = nn.Conv(filters, (1, k), use_bias=False, padding="SAME",
-                        kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                        name="conv_row")(h)
+            h = Conv(filters, (k, 1), dtype=self.dtype,
+                     impl=self.conv_impl, name="conv_col")(h)
+            h = Conv(filters, (1, k), dtype=self.dtype,
+                     impl=self.conv_impl, name="conv_row")(h)
         else:
-            h = nn.Conv(filters, (k, k), use_bias=False, padding="SAME",
-                        kernel_dilation=(self.dilation, self.dilation),
-                        kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                        name="conv")(h)
+            h = Conv(filters, (k, k), dilation=self.dilation,
+                     dtype=self.dtype, impl=self.conv_impl,
+                     name="conv")(h)
         h = _batch_norm(training, "conv_bn", self.dtype)(h)
         h = PReLU(name="conv_prelu")(h)
 
-        h = nn.Conv(self.output_channels, (1, 1), use_bias=False,
-                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                    name="exp_conv")(h)
+        h = Conv(self.output_channels, (1, 1), dtype=self.dtype,
+                 impl=self.conv_impl, name="exp_conv")(h)
         h = _batch_norm(training, "exp_bn", self.dtype)(h)
         if self.drop_rate > 0.0 and (training
                                       or self.has_rng("dropout")):
@@ -137,6 +215,7 @@ class BottleneckDownsample(nn.Module):
     projection_rate: int = 4
     drop_rate: float = 0.1
     dtype: Any = jnp.float32
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool
@@ -145,21 +224,18 @@ class BottleneckDownsample(nn.Module):
         cin = x.shape[-1]
         filters = 2 * (cin // self.projection_rate)
 
-        h = nn.Conv(filters, (2, 2), strides=(2, 2), padding="SAME",
-                    use_bias=False, kernel_init=_KERNEL_INIT,
-                    dtype=self.dtype, name="proj_conv")(x)
+        h = Conv(filters, (2, 2), strides=(2, 2), dtype=self.dtype,
+                 impl=self.conv_impl, name="proj_conv")(x)
         h = _batch_norm(training, "proj_bn", self.dtype)(h)
         h = PReLU(name="proj_prelu")(h)
 
-        h = nn.Conv(filters, (3, 3), use_bias=False, padding="SAME",
-                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                    name="conv")(h)
+        h = Conv(filters, (3, 3), dtype=self.dtype,
+                 impl=self.conv_impl, name="conv")(h)
         h = _batch_norm(training, "conv_bn", self.dtype)(h)
         h = PReLU(name="conv_prelu")(h)
 
-        h = nn.Conv(self.output_channels, (1, 1), use_bias=False,
-                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                    name="exp_conv")(h)
+        h = Conv(self.output_channels, (1, 1), dtype=self.dtype,
+                 impl=self.conv_impl, name="exp_conv")(h)
         h = _batch_norm(training, "exp_bn", self.dtype)(h)
         if self.drop_rate > 0.0 and (training
                                       or self.has_rng("dropout")):
@@ -188,6 +264,7 @@ class BottleneckUpsample(nn.Module):
     projection_rate: int = 4
     drop_rate: float = 0.1
     dtype: Any = jnp.float32
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, switches, training: bool):
@@ -196,22 +273,18 @@ class BottleneckUpsample(nn.Module):
         proj_filters = cin // self.projection_rate
         conv_filters = proj_filters // 2
 
-        h = nn.Conv(proj_filters, (1, 1), use_bias=False,
-                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                    name="proj_conv")(x)
+        h = Conv(proj_filters, (1, 1), dtype=self.dtype,
+                 impl=self.conv_impl, name="proj_conv")(x)
         h = _batch_norm(training, "proj_bn", self.dtype)(h)
         h = PReLU(name="proj_prelu")(h)
 
-        h = nn.ConvTranspose(conv_filters, (3, 3), strides=(2, 2),
-                             padding="SAME", use_bias=False,
-                             kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                             name="deconv")(h)
+        h = ConvTranspose(conv_filters, dtype=self.dtype,
+                          impl=self.conv_impl, name="deconv")(h)
         h = _batch_norm(training, "conv_bn", self.dtype)(h)
         h = PReLU(name="conv_prelu")(h)
 
-        h = nn.Conv(self.output_channels, (1, 1), use_bias=False,
-                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                    name="exp_conv")(h)
+        h = Conv(self.output_channels, (1, 1), dtype=self.dtype,
+                 impl=self.conv_impl, name="exp_conv")(h)
         h = _batch_norm(training, "exp_bn", self.dtype)(h)
         if self.drop_rate > 0.0 and (training
                                       or self.has_rng("dropout")):
@@ -222,9 +295,8 @@ class BottleneckUpsample(nn.Module):
             h = xops.spatial_dropout(h, self.drop_rate,
                                      self.make_rng("dropout"))
 
-        res = nn.Conv(self.output_channels, (1, 1), use_bias=False,
-                      kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                      name="res_conv")(x)
+        res = Conv(self.output_channels, (1, 1), dtype=self.dtype,
+                   impl=self.conv_impl, name="res_conv")(x)
         res = xops.unpool_with_switches(res, switches)
         return PReLU(name="res_prelu")(h + res)
 
@@ -237,11 +309,10 @@ class Final(nn.Module):
 
     classes: int
     dtype: Any = jnp.float32
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
-        out = nn.ConvTranspose(self.classes, (3, 3), strides=(2, 2),
-                               padding="SAME", use_bias=False,
-                               kernel_init=_KERNEL_INIT,
-                               dtype=self.dtype, name="deconv")(x)
+        out = ConvTranspose(self.classes, dtype=self.dtype,
+                            impl=self.conv_impl, name="deconv")(x)
         return out.astype(jnp.float32)

@@ -37,6 +37,13 @@ class ENet(nn.Module):
     num_classes: int
     drop_rates: Sequence[float] = (0.01, 0.1, 0.1, 0.1, 0.1)
     dtype: Any = jnp.float32   # computation dtype; bf16 for TPU speed
+    # conv lowering: "auto" = shifted matmuls off-CPU (1.8x faster
+    # fwd+bwd on the low-channel segments, ops/shiftconv.py) for the
+    # low-channel front/tail, lax.conv for the 128-channel stage-2/3
+    # blocks (MXU-bound either way, and their 16 blocks dominate XLA
+    # compile time under the matmul lowering) and on CPU;
+    # "matmul"/"lax" force one lowering everywhere
+    conv_impl: str = "auto"
 
     # equal per-head loss weighting (see __call__ loss-head contract)
     ms_loss_weights = None
@@ -61,32 +68,43 @@ class ENet(nn.Module):
                 "Illegal argument value drop_rates, length must be 5.")
         dr = self.drop_rates
         dt = self.dtype
-        self.Initial_ = Initial(16, dtype=dt, name="Initial")
+        ci = self.conv_impl
+        self.Initial_ = Initial(16, dtype=dt, conv_impl=ci,
+                                name="Initial")
 
         self.Bottleneck1_0 = BottleneckDownsample(
-            64, drop_rate=dr[0], dtype=dt, name="Bottleneck1_0")
+            64, drop_rate=dr[0], dtype=dt, conv_impl=ci,
+            name="Bottleneck1_0")
         self.stage1 = [
-            Bottleneck(64, drop_rate=dr[0], dtype=dt,
+            Bottleneck(64, drop_rate=dr[0], dtype=dt, conv_impl=ci,
                        name=f"Bottleneck1_{i}")
             for i in range(1, 5)]
 
         self.Bottleneck2_0 = BottleneckDownsample(
-            128, drop_rate=dr[1], dtype=dt, name="Bottleneck2_0")
-        self.stage2 = self._dilated_stage(2, dr[1])
-        self.stage3 = self._dilated_stage(3, dr[2])
+            128, drop_rate=dr[1], dtype=dt, conv_impl=ci,
+            name="Bottleneck2_0")
+        # the 128ch 1/8-res stages are MXU-shape-bound: the matmul
+        # lowering buys nothing there but costs most of the compile
+        mid_ci = "lax" if ci == "auto" else ci
+        self.stage2 = self._dilated_stage(2, dr[1], mid_ci)
+        self.stage3 = self._dilated_stage(3, dr[2], mid_ci)
 
         self.Bottleneck4_0 = BottleneckUpsample(
-            64, drop_rate=dr[3], dtype=dt, name="Bottleneck4_0")
+            64, drop_rate=dr[3], dtype=dt, conv_impl=ci,
+            name="Bottleneck4_0")
         self.stage4 = [
-            Bottleneck(64, drop_rate=dr[3], dtype=dt,
+            Bottleneck(64, drop_rate=dr[3], dtype=dt, conv_impl=ci,
                        name=f"Bottleneck4_{i}")
             for i in (1, 2)]
 
         self.Bottleneck5_0 = BottleneckUpsample(
-            16, drop_rate=dr[4], dtype=dt, name="Bottleneck5_0")
+            16, drop_rate=dr[4], dtype=dt, conv_impl=ci,
+            name="Bottleneck5_0")
         self.Bottleneck5_1 = Bottleneck(16, drop_rate=dr[4], dtype=dt,
+                                        conv_impl=ci,
                                         name="Bottleneck5_1")
-        self.Final_ = Final(self.num_classes, dtype=dt, name="Final")
+        self.Final_ = Final(self.num_classes, dtype=dt, conv_impl=ci,
+                            name="Final")
 
         # Multiscale-loss endpoint heads (1x1 conv to classes), one per
         # endpoint below the final logits (losses.py:122-132).
@@ -95,7 +113,8 @@ class ENet(nn.Module):
                     kernel_init=_KERNEL_INIT, name=f"MultiscaleHead_{i}")
             for i in range(3)]
 
-    def _dilated_stage(self, stage: int, drop_rate: float):
+    def _dilated_stage(self, stage: int, drop_rate: float,
+                       conv_impl: str):
         """The repeated stage-2/3 pattern: plain, dilated 2, asym 5x5,
         dilated 4, plain, dilated 8, asym 5x5, dilated 16."""
         blocks = []
@@ -105,7 +124,8 @@ class ENet(nn.Module):
             blocks.append(Bottleneck(
                 128, dilation=dilation, asymmetric=asym,
                 kernel_size=5 if asym else 3, drop_rate=drop_rate,
-                dtype=self.dtype, name=f"Bottleneck{stage}_{i}"))
+                dtype=self.dtype, conv_impl=conv_impl,
+                name=f"Bottleneck{stage}_{i}"))
         return blocks
 
     def __call__(self, x, training: bool = False,

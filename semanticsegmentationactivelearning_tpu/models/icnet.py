@@ -33,6 +33,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .blocks import Conv
+
 _KERNEL_INIT = nn.initializers.glorot_uniform()
 
 
@@ -48,16 +50,15 @@ class ConvBN(nn.Module):
     dilation: int = 1
     relu: bool = True
     dtype: Any = jnp.float32   # computation dtype; bf16 for TPU speed
+    conv_impl: str = "auto"    # models/blocks.py conv lowering
 
     @nn.compact
     def __call__(self, x, training: bool):
         x = x.astype(self.dtype)
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.strides, self.strides),
-                    kernel_dilation=(self.dilation, self.dilation),
-                    padding="SAME", use_bias=False,
-                    kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                    name="conv")(x)
+        x = Conv(self.features, (self.kernel, self.kernel),
+                 strides=(self.strides, self.strides),
+                 dilation=self.dilation, dtype=self.dtype,
+                 impl=self.conv_impl, name="conv")(x)
         # statistics/params stay fp32; activations may be bf16
         x = nn.BatchNorm(use_running_average=not training, momentum=0.90,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)
@@ -72,19 +73,23 @@ class ResBottleneck(nn.Module):
     strides: int = 1
     dilation: int = 1
     dtype: Any = jnp.float32
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool):
         width = self.features // 4
         dt = self.dtype
-        h = ConvBN(width, 1, dtype=dt, name="reduce")(x, training)
+        ci = self.conv_impl
+        h = ConvBN(width, 1, dtype=dt, conv_impl=ci,
+                   name="reduce")(x, training)
         h = ConvBN(width, 3, strides=self.strides, dilation=self.dilation,
-                   dtype=dt, name="conv")(h, training)
-        h = ConvBN(self.features, 1, relu=False, dtype=dt,
+                   dtype=dt, conv_impl=ci, name="conv")(h, training)
+        h = ConvBN(self.features, 1, relu=False, dtype=dt, conv_impl=ci,
                    name="expand")(h, training)
         if x.shape[-1] != self.features or self.strides != 1:
             x = ConvBN(self.features, 1, strides=self.strides,
-                       relu=False, dtype=dt, name="proj")(x, training)
+                       relu=False, dtype=dt, conv_impl=ci,
+                       name="proj")(x, training)
         return nn.relu(h + x.astype(dt))
 
 
@@ -112,6 +117,7 @@ class CascadeFeatureFusion(nn.Module):
     features: int
     num_classes: int
     dtype: Any = jnp.float32
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, low, high, training: bool):
@@ -121,8 +127,10 @@ class CascadeFeatureFusion(nn.Module):
                              kernel_init=_KERNEL_INIT,
                              name="aux_cls")(low_up.astype(jnp.float32))
         low_f = ConvBN(self.features, 3, dilation=2, relu=False,
-                       dtype=self.dtype, name="low")(low_up, training)
+                       dtype=self.dtype, conv_impl=self.conv_impl,
+                       name="low")(low_up, training)
         high_f = ConvBN(self.features, 1, relu=False, dtype=self.dtype,
+                        conv_impl=self.conv_impl,
                         name="high")(high, training)
         return nn.relu(low_f + high_f), aux_logits
 
@@ -133,16 +141,22 @@ class SharedStem(nn.Module):
     (stride 2, 256ch) => 1/8 of its input."""
 
     dtype: Any = jnp.float32
+    conv_impl: str = "auto"
 
     def setup(self):
         dt = self.dtype
-        self.conv1_1 = ConvBN(32, 3, strides=2, dtype=dt, name="conv1_1")
-        self.conv1_2 = ConvBN(32, 3, dtype=dt, name="conv1_2")
-        self.conv1_3 = ConvBN(64, 3, dtype=dt, name="conv1_3")
-        self.res2 = [ResBottleneck(128, dtype=dt, name=f"res2_{i + 1}")
+        ci = self.conv_impl
+        self.conv1_1 = ConvBN(32, 3, strides=2, dtype=dt, conv_impl=ci,
+                              name="conv1_1")
+        self.conv1_2 = ConvBN(32, 3, dtype=dt, conv_impl=ci,
+                              name="conv1_2")
+        self.conv1_3 = ConvBN(64, 3, dtype=dt, conv_impl=ci,
+                              name="conv1_3")
+        self.res2 = [ResBottleneck(128, dtype=dt, conv_impl=ci,
+                                   name=f"res2_{i + 1}")
                      for i in range(3)]
         self.res3_1 = ResBottleneck(256, strides=2, dtype=dt,
-                                    name="res3_1")
+                                    conv_impl=ci, name="res3_1")
 
     def __call__(self, x, training: bool):
         h = self.conv1_1(x, training)
@@ -165,22 +179,25 @@ class LowResTail(nn.Module):
     4-5, pyramid pooling, 1x1 reduce to 256."""
 
     dtype: Any = jnp.float32
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool):
         dt = self.dtype
+        ci = self.conv_impl
         h = x
         for i in range(3):
-            h = ResBottleneck(256, dtype=dt,
+            h = ResBottleneck(256, dtype=dt, conv_impl=ci,
                               name=f"res3_{i + 2}")(h, training)
         for i in range(6):
-            h = ResBottleneck(512, dilation=2, dtype=dt,
+            h = ResBottleneck(512, dilation=2, dtype=dt, conv_impl=ci,
                               name=f"res4_{i + 1}")(h, training)
         for i in range(3):
-            h = ResBottleneck(1024, dilation=4, dtype=dt,
+            h = ResBottleneck(1024, dilation=4, dtype=dt, conv_impl=ci,
                               name=f"res5_{i + 1}")(h, training)
         h = PyramidPooling(name="ppm")(h, training)
-        return ConvBN(256, 1, dtype=dt, name="reduce")(h, training)
+        return ConvBN(256, 1, dtype=dt, conv_impl=ci,
+                      name="reduce")(h, training)
 
 
 class ICNet(nn.Module):
@@ -188,6 +205,12 @@ class ICNet(nn.Module):
     # accepted for registry uniformity with ENet; ICNet has no dropout
     drop_rates: Sequence[float] = ()
     dtype: Any = jnp.float32   # computation dtype; bf16 for TPU speed
+    # conv lowering: "auto" = shifted matmuls off-CPU
+    # (ops/shiftconv.py) for the low-channel branches/stem, lax.conv
+    # for the 256-1024ch LowResTail (MXU-bound either way; its 12 res
+    # blocks dominate XLA compile time under the matmul lowering) and
+    # on CPU; "matmul"/"lax" force one lowering everywhere
+    conv_impl: str = "auto"
 
     # no dropout layers -> MC-dropout measures (BALD) are meaningless
     uses_dropout = False
@@ -204,18 +227,23 @@ class ICNet(nn.Module):
 
     def setup(self):
         dt = self.dtype if self.dtype is not None else jnp.float32
-        self.branch1_1 = ConvBN(32, 3, strides=2, dtype=dt,
+        ci = self.conv_impl
+        self.branch1_1 = ConvBN(32, 3, strides=2, dtype=dt, conv_impl=ci,
                                 name="Branch1_1")
-        self.branch1_2 = ConvBN(32, 3, strides=2, dtype=dt,
+        self.branch1_2 = ConvBN(32, 3, strides=2, dtype=dt, conv_impl=ci,
                                 name="Branch1_2")
-        self.branch1_3 = ConvBN(64, 3, strides=2, dtype=dt,
+        self.branch1_3 = ConvBN(64, 3, strides=2, dtype=dt, conv_impl=ci,
                                 name="Branch1_3")
-        self.stem = SharedStem(dtype=dt, name="SharedStem")
-        self.tail = LowResTail(dtype=dt, name="LowResTail")
+        self.stem = SharedStem(dtype=dt, conv_impl=ci, name="SharedStem")
+        # high-channel 1/32-res tail: MXU-shape-bound, keep lax under
+        # "auto" (same reasoning as ENet's stage-2/3)
+        tail_ci = "lax" if ci == "auto" else ci
+        self.tail = LowResTail(dtype=dt, conv_impl=tail_ci,
+                               name="LowResTail")
         self.cff1 = CascadeFeatureFusion(128, self.num_classes, dtype=dt,
-                                         name="CFF1")
+                                         conv_impl=ci, name="CFF1")
         self.cff2 = CascadeFeatureFusion(128, self.num_classes, dtype=dt,
-                                         name="CFF2")
+                                         conv_impl=ci, name="CFF2")
         self.classifier = nn.Conv(self.num_classes, (1, 1), use_bias=True,
                                   kernel_init=_KERNEL_INIT,
                                   name="Classifier")

@@ -8,7 +8,9 @@ batching, tensortools/input.py:193-195).
 Run on the real TPU from the repo root:
     python tools/bench_train.py
 Env knobs: BT_BATCH (8), BT_HW ("512x1024"), BT_STEPS (12),
-BT_DTYPE ("bf16").
+BT_DTYPE ("bf16"), BT_CONV ("auto" | "lax" | "matmul" — the
+models/blocks.py conv lowering, for A/Bing shifted matmuls vs
+lax.conv).
 """
 
 import os
@@ -55,6 +57,7 @@ def main():
         import jax.numpy as jnp
         dtype = jnp.bfloat16
     model = ENet(num_classes=num_classes,
+                 conv_impl=os.environ.get("BT_CONV", "auto"),
                  **({"dtype": dtype} if dtype is not None else {}))
     optimizer = optim.make_optimizer(hparams)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0),

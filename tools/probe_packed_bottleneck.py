@@ -17,6 +17,23 @@ probe expresses the SAME logical math as jnp matmuls + free reshapes:
 All three compute identical values (checked at fp32 before timing);
 the probe times value_and_grad of sum-of-outputs, training semantics
 (batch-stat BN, no dropout so A/B/C share rng-free math).
+
+Measured (2026-08-19, TPU v5e, batch 8 @128x256 C=64 P=8 bf16, ~28 ms
+of relay fetch floor included in each):
+
+  A flax lax.conv    49.7 ms
+  B unpacked matmuls 39.9 ms   (~1.8x faster net of the floor)
+  C W-packed         79.4 ms
+
+B wins because the shifted matmuls skip XLA's low-channel conv
+relayout temps while keeping true-FLOP matmuls. C LOSES in XLA-land —
+unlike inside the Pallas scoring kernels — because the lifted
+[P*ci, P*co] kernels are block-banded: the MXU multiplies the zero
+bands too (P x the FLOPs), which dominates once ci >= 64, and the
+pack/unpack reshapes around every 1x1 conv materialize lane-crossing
+relayouts that a fused kernel would keep in VMEM. Consequence:
+ops/shiftconv.py implements the TRAINING conv path as unpacked shifted
+matmuls (variant B), and no packed training module exists.
 """
 
 import argparse
