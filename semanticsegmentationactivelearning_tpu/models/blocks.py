@@ -86,22 +86,29 @@ class Conv(nn.Module):
 
 class ConvTranspose(nn.Module):
     """No-bias SAME 3x3/s2 transposed conv, drop-in for the
-    ``nn.ConvTranspose`` call sites (same param name/shape/init)."""
+    ``nn.ConvTranspose`` call sites (same param name/shape/init).
+
+    ``phase=True`` returns the polyphase form ``[N, H, 2*W_out, co]``
+    (``ops.nn.s2d_plane`` pixel order) instead of the full-resolution
+    plane — per-pixel consumers skip the d2s relayout entirely."""
 
     features: int
     dtype: Any = jnp.float32
     impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phase: bool = False):
         kernel = self.param("kernel", _KERNEL_INIT,
                             (3, 3, x.shape[-1], self.features))
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
         if not _use_matmul(self.impl):
-            return lax.conv_transpose(x, k, (2, 2), "SAME",
-                                      rhs_dilation=(1, 1),
-                                      transpose_kernel=False)
+            out = lax.conv_transpose(x, k, (2, 2), "SAME",
+                                     rhs_dilation=(1, 1),
+                                     transpose_kernel=False)
+            return xops.s2d_nhwc(out) if phase else out
+        if phase:
+            return shiftconv.conv_transpose_up2_phase(x, k)
         return shiftconv.conv_transpose_up2(x, k)
 
 
@@ -305,14 +312,18 @@ class Final(nn.Module):
     """3x3/s2 transpose conv to class logits (enet_modules.py:1294-1381).
 
     Computes in the model dtype but emits float32 logits so loss /
-    softmax numerics are dtype-independent."""
+    softmax numerics are dtype-independent. ``phase=True`` emits the
+    polyphase logits ``[N, H/2, 2W, classes]`` (``ops.nn.s2d_plane``
+    pixel order) so per-pixel training consumers never materialize the
+    full-resolution lane-padded plane."""
 
     classes: int
     dtype: Any = jnp.float32
     conv_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phase: bool = False):
         out = ConvTranspose(self.classes, dtype=self.dtype,
-                            impl=self.conv_impl, name="deconv")(x)
+                            impl=self.conv_impl, name="deconv")(
+                                x, phase=phase)
         return out.astype(jnp.float32)

@@ -27,6 +27,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops import nn as xops
 from .blocks import (Bottleneck, BottleneckDownsample, BottleneckUpsample,
                      Final, Initial)
 
@@ -59,6 +60,12 @@ class ENet(nn.Module):
     # top-level param collection holding the classifier head (used by
     # checkpoint.reinitialize_final_layer, the `-r` transfer flag)
     output_module = "Final"
+    # __call__(return_phase_logits=True) emits [N, H/2, 2W, C] logits
+    # in the Final deconv's polyphase pixel order (ops.nn.s2d_plane):
+    # per-pixel training consumers (CE, argmax, confusion) use it so
+    # the full-res fp32 plane and its ~12 GB/s d2s relayout (measured
+    # +58 ms on the batch-8 512x1024 train step) never exist
+    supports_phase_logits = True
     # input H/W must divide this (3 pool/unpool levels)
     input_divisor = 8
 
@@ -133,7 +140,8 @@ class ENet(nn.Module):
                  return_pre_logits: bool = False,
                  return_stage4: bool = False,
                  return_stage1: bool = False,
-                 return_embedding: bool = False):
+                 return_embedding: bool = False,
+                 return_phase_logits: bool = False):
         h = self.Initial_(x, training)
 
         h, switches1 = self.Bottleneck1_0(h, training)
@@ -180,7 +188,7 @@ class ENet(nn.Module):
             # full-resolution logits never materialize in HBM.
             return b5_1
 
-        logits = self.Final_(b5_1)
+        logits = self.Final_(b5_1, phase=return_phase_logits)
         if not multiscale:
             return logits
         endpoints = (b5_1, b4_2, b3_8)
@@ -376,5 +384,10 @@ class ENet(nn.Module):
                 y, sw2, mask1, packed_t, self.num_classes,
                 interpret=interpret)
             return labels.astype(jnp.int32)
-        logits = self.apply(variables, image, training=False)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # XLA fallback: argmax in the polyphase pixel order, then
+        # depth-to-space only the int32 label plane (identical labels;
+        # the fp32 full-res plane and its slow relayout never exist)
+        logits = self.apply(variables, image, training=False,
+                            return_phase_logits=True)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return xops.d2s_plane(pred)

@@ -36,7 +36,8 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-__all__ = ["conv_same", "conv_down2", "conv_transpose_up2"]
+__all__ = ["conv_same", "conv_down2", "conv_transpose_up2",
+           "conv_transpose_up2_phase"]
 
 
 def _shift2d(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
@@ -143,6 +144,34 @@ _DECONV_PHASE_TAPS = (
 )
 
 
+def conv_transpose_up2_phase(x: jnp.ndarray, kernel: jnp.ndarray
+                             ) -> jnp.ndarray:
+    """:func:`conv_transpose_up2` WITHOUT the final depth-to-space:
+    returns the four output phases stacked along a widened W axis,
+    ``[N, H, 4W, co]`` where flat column ``4c + 2a + b`` holds full-res
+    pixel ``(2r + a, 2c + b)`` (the :func:`ops.nn.s2d_plane` order).
+
+    The d2s transpose is exactly the strided relayout XLA lowers at
+    ~12 GB/s on low-channel planes (measured +58 ms on the batch-8
+    512x1024 train step when the full-res fp32 logits materialize);
+    per-pixel consumers (cross-entropy, argmax, confusion counts) are
+    permutation-invariant, so the train/eval steps consume this form
+    directly and the full-resolution plane never exists.
+    """
+    phases = []
+    for _, taps in _DECONV_PHASE_TAPS:
+        acc = None
+        for (sy, sx), (ky, kx) in sorted(taps.items()):
+            t = _dot(_shift2d(x, sy, sx), kernel[ky, kx])
+            acc = t if acc is None else acc + t
+        phases.append(acc)
+    n, h, w, co = phases[0].shape
+    # stack order (0,0),(0,1),(1,0),(1,1) == a*2 + b; merging (w,
+    # phase) is a free row-major reshape
+    out = jnp.stack(phases, axis=3).reshape(n, h, 4 * w, co)
+    return out.astype(x.dtype)
+
+
 def conv_transpose_up2(x: jnp.ndarray, kernel: jnp.ndarray
                        ) -> jnp.ndarray:
     """3x3 stride-2 SAME transposed conv (the upsample bottlenecks'
@@ -155,14 +184,8 @@ def conv_transpose_up2(x: jnp.ndarray, kernel: jnp.ndarray
     :returns: ``[N, 2H, 2W, co]``
     """
     n, h, w, ci = x.shape
-    phases = []
-    for _, taps in _DECONV_PHASE_TAPS:
-        acc = None
-        for (sy, sx), (ky, kx) in sorted(taps.items()):
-            t = _dot(_shift2d(x, sy, sx), kernel[ky, kx])
-            acc = t if acc is None else acc + t
-        phases.append(acc)
-    co = phases[0].shape[-1]
-    out = jnp.stack(phases, axis=3).reshape(n, h, w, 2, 2, co)
+    out = conv_transpose_up2_phase(x, kernel)
+    co = out.shape[-1]
+    out = out.reshape(n, h, w, 2, 2, co)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, co)
-    return out.astype(x.dtype)
+    return out

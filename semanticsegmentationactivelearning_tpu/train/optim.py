@@ -25,7 +25,15 @@ def make_schedule(learning_rate: float, decay_rate: float,
 
 
 def make_optimizer(hyperparams: Dict[str, Any],
-                   steps_per_epoch: int = 1) -> optax.GradientTransformation:
+                   steps_per_epoch: int = 1,
+                   flatten: bool = True) -> optax.GradientTransformation:
+    """``flatten=True`` (default) wraps the transformation in
+    ``optax.flatten``: the update math runs over ONE raveled buffer
+    instead of ~300 tiny parameter leaves, whose per-leaf unfusable
+    kernels measured ~6 ms of the batch-8 512x1024 v5e train step
+    (tools/probe_step_metrics.py ``flatadam``). The optimizer state
+    pytree changes shape, so pass ``flatten=False`` to restore
+    checkpoints written by per-leaf optimizers."""
     opt_conf = hyperparams.get("optimizer",
                                {"type": "Adam", "kwargs": {}})
     kwargs = dict(opt_conf.get("kwargs", {}))
@@ -35,24 +43,26 @@ def make_optimizer(hyperparams: Dict[str, Any],
     kind = opt_conf.get("type", "Adam").lower()
 
     if kind == "adam":
-        return optax.adam(lr,
+        opt = optax.adam(lr,
+                         b1=kwargs.get("beta1", 0.9),
+                         b2=kwargs.get("beta2", 0.999),
+                         eps=kwargs.get("epsilon", 1e-8))
+    elif kind in ("sgd", "gradientdescent"):
+        opt = optax.sgd(lr)
+    elif kind == "momentum":
+        opt = optax.sgd(lr, momentum=kwargs.get("momentum", 0.9),
+                        nesterov=kwargs.get("use_nesterov", False))
+    elif kind == "rmsprop":
+        opt = optax.rmsprop(lr,
+                            decay=kwargs.get("decay", 0.9),
+                            momentum=kwargs.get("momentum", 0.0),
+                            eps=kwargs.get("epsilon", 1e-10))
+    elif kind == "adamw":
+        opt = optax.adamw(lr,
                           b1=kwargs.get("beta1", 0.9),
                           b2=kwargs.get("beta2", 0.999),
-                          eps=kwargs.get("epsilon", 1e-8))
-    if kind in ("sgd", "gradientdescent"):
-        return optax.sgd(lr)
-    if kind == "momentum":
-        return optax.sgd(lr, momentum=kwargs.get("momentum", 0.9),
-                         nesterov=kwargs.get("use_nesterov", False))
-    if kind == "rmsprop":
-        return optax.rmsprop(lr,
-                             decay=kwargs.get("decay", 0.9),
-                             momentum=kwargs.get("momentum", 0.0),
-                             eps=kwargs.get("epsilon", 1e-10))
-    if kind == "adamw":
-        return optax.adamw(lr,
-                           b1=kwargs.get("beta1", 0.9),
-                           b2=kwargs.get("beta2", 0.999),
-                           weight_decay=kwargs.get("weight_decay", 1e-4))
-    raise NotImplementedError(f"Optimizer {opt_conf.get('type')!r} "
-                              "not supported")
+                          weight_decay=kwargs.get("weight_decay", 1e-4))
+    else:
+        raise NotImplementedError(f"Optimizer {opt_conf.get('type')!r} "
+                                  "not supported")
+    return optax.flatten(opt) if flatten else opt

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import optax
 
 from ..ops import acquisition, losses, metrics
+from ..ops import nn as xops
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -87,7 +88,7 @@ def _mesh_shardings(mesh):
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     num_classes: int, hyperparams: Dict[str, Any],
                     pseudo_cfg: Optional[Dict[str, Any]] = None,
-                    mesh=None):
+                    mesh=None, phase_logits: Optional[bool] = None):
     """Build the jitted supervised (or pseudo-labeling) train step.
 
     :param hyperparams: the conf ``hyperparams`` block (C22 schema)
@@ -97,6 +98,14 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                         parallelism: batch sharded over devices, params
                         replicated, gradient/metric reductions become
                         ICI psums inserted by XLA
+    :param phase_logits: consume the model's polyphase logits and
+                        ``ops.nn.s2d_plane``-permuted labels/masks —
+                        identical loss (mod fp32 reassociation) and
+                        bit-identical confusion counts while the
+                        full-res fp32 logits plane never materializes
+                        (its d2s relayout measured +58 ms at batch 8
+                        512x1024 on v5e). ``None`` = auto: on whenever
+                        the model supports it and multiscale is off.
     """
     softmax_cfg = hyperparams.get("softmax", {})
     reg_cfg = hyperparams.get("weight_reg", {})
@@ -106,6 +115,9 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     l1 = float(reg_cfg.get("L1", 0.0))
     l2 = float(reg_cfg.get("L2", 0.0))
     glorot_scaling = bool(reg_cfg.get("glorot_scaling", False))
+    if phase_logits is None:
+        phase_logits = getattr(model, "supports_phase_logits", False)
+    use_phase = bool(phase_logits) and not multiscale
 
     sh = _mesh_shardings(mesh)
     jit_kwargs = {}
@@ -120,26 +132,34 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         image = batch["image"]          # distorted crop
         label = batch["label"]
         mask = batch["mask"] * batch["valid"][:, None, None]
+        if use_phase:
+            # per-pixel consumers only: permute labels/masks into the
+            # polyphase pixel order instead of d2s-ing the logits
+            label = xops.s2d_plane(label)
+            mask = xops.s2d_plane(mask)
 
         if pseudo_cfg is not None:
             # No-dropout forward on the raw crop with current weights +
             # running BN statistics (active_learning.py:231-233).
             pseudo_logits = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                batch["image_raw"], training=False)
+                batch["image_raw"], training=False,
+                **({"return_phase_logits": True} if use_phase else {}))
             pseudo_label, pseudo_mask, _conf = acquisition.pseudo_annotate(
                 pseudo_logits, pseudo_cfg["measure"], num_classes,
                 pseudo_cfg["threshold"])
+            # [:, None, None] broadcasts against either pixel order
             labelled = batch["labelled"][:, None, None]
+            pseudo_mask = pseudo_mask * batch["valid"][:, None, None]
             label = jnp.where(labelled, label, pseudo_label)
-            mask = jnp.where(labelled, mask,
-                             pseudo_mask * batch["valid"][:, None, None])
+            mask = jnp.where(labelled, mask, pseudo_mask)
 
         def loss_fn(params):
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 image, training=True, multiscale=multiscale,
-                rngs={"dropout": key}, mutable=["batch_stats"])
+                rngs={"dropout": key}, mutable=["batch_stats"],
+                **({"return_phase_logits": True} if use_phase else {}))
             if multiscale:
                 logits, loss_heads = outputs
                 loss = losses.multiscale_masked_softmax_cross_entropy(
@@ -175,42 +195,61 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(model, num_classes: int, mesh=None):
-    """Jitted evaluation step: logits -> argmax -> confusion matrix."""
+def make_eval_step(model, num_classes: int, mesh=None,
+                   phase_logits: Optional[bool] = None):
+    """Jitted evaluation step: logits -> argmax -> confusion matrix.
+
+    Confusion counts are permutation-invariant, so models exposing
+    polyphase logits are evaluated in that pixel order (bit-identical
+    counts, no full-res fp32 logits plane; see ``make_train_step``)."""
     sh = _mesh_shardings(mesh)
     jit_kwargs = {}
     if sh:
         jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
                           out_shardings=sh["repl"])
+    if phase_logits is None:
+        phase_logits = getattr(model, "supports_phase_logits", False)
+    use_phase = bool(phase_logits)
 
     @functools.partial(jax.jit, **jit_kwargs)
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["image"], training=False)
+            batch["image"], training=False,
+            **({"return_phase_logits": True} if use_phase else {}))
         pred = jnp.argmax(logits, axis=-1)
+        label = batch["label"]
         mask = batch["mask"] * batch["valid"][:, None, None]
-        return metrics.confusion_matrix(batch["label"], pred, num_classes,
-                                        mask)
+        if use_phase:
+            label = xops.s2d_plane(label)
+            mask = xops.s2d_plane(mask)
+        return metrics.confusion_matrix(label, pred, num_classes, mask)
 
     return eval_step
 
 
 def make_predict_step(model, mesh=None):
     """Jitted forward -> argmax trainId predictions (image summaries;
-    the reference colorized predictions in-graph, train.py:178-206)."""
+    the reference colorized predictions in-graph, train.py:178-206).
+
+    Models with polyphase logits argmax in that pixel order and
+    depth-to-space only the int32 label plane (~75x fewer bytes than
+    relayouting the fp32 logits)."""
     sh = _mesh_shardings(mesh)
     jit_kwargs = {}
     if sh:
         jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
                           out_shardings=sh["data"])
+    use_phase = getattr(model, "supports_phase_logits", False)
 
     @functools.partial(jax.jit, **jit_kwargs)
     def predict_step(state: TrainState, image: jnp.ndarray):
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            image, training=False)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            image, training=False,
+            **({"return_phase_logits": True} if use_phase else {}))
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return xops.d2s_plane(pred) if use_phase else pred
 
     return predict_step
 

@@ -1,0 +1,166 @@
+"""Phase-domain (polyphase) training-logits parity tests.
+
+The train/eval steps consume the Final deconv's logits in its polyphase
+pixel order (``models.blocks.Final(phase=True)``, flat column
+``4c + 2a + b`` = pixel ``(2r + a, 2c + b)``) with labels/masks permuted
+by ``ops.nn.s2d_plane`` — per-pixel consumers are permutation-invariant,
+so losses match (mod fp32 reassociation) and confusion counts match
+bit-exactly while the full-resolution fp32 logits plane (whose d2s
+relayout measured +58 ms on the batch-8 512x1024 v5e train step) never
+materializes. These tests pin the permutation contract and end-to-end
+step parity against the full-resolution path.
+
+Reference semantics being preserved: the per-pixel CE + per-step
+confusion counts of /root/reference/train.py:108-206.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from semanticsegmentationactivelearning_tpu.models import ENet, blocks
+from semanticsegmentationactivelearning_tpu.ops import nn as xops
+from semanticsegmentationactivelearning_tpu.train import (
+    TrainState, make_eval_step, make_train_step)
+
+HPARAMS = {
+    "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
+    "learning_rate": 5e-4,
+    "optimizer": {"type": "Adam", "kwargs": {"beta1": 0.9}},
+    "weight_reg": {"L2": 2e-4, "L1": 0.0},
+    "softmax": {"label_smoothing": 0.0, "loginverse_scaling": 0.0,
+                "multiscale": False},
+}
+
+
+def test_s2d_plane_index_mapping():
+    """Flat column 4c + 2a + b holds pixel (2r + a, 2c + b)."""
+    n, h, w = 2, 6, 8
+    x = np.arange(n * h * w).reshape(n, h, w).astype(np.int32)
+    y = np.asarray(xops.s2d_plane(jnp.asarray(x)))
+    assert y.shape == (n, h // 2, 2 * w)
+    for r in range(h // 2):
+        for c in range(w // 2):
+            for a in (0, 1):
+                for b in (0, 1):
+                    assert y[:, r, 4 * c + 2 * a + b] == pytest.approx(
+                        x[:, 2 * r + a, 2 * c + b])
+    back = np.asarray(xops.d2s_plane(jnp.asarray(y)))
+    np.testing.assert_array_equal(back, x)
+
+
+@pytest.mark.parametrize("impl", ["lax", "matmul"])
+def test_conv_transpose_phase_is_s2d_of_full(impl):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 7, 6)).astype(np.float32))
+    mod = blocks.ConvTranspose(4, impl=impl)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    full = mod.apply(variables, x)
+    phase = mod.apply(variables, x, phase=True)
+    assert phase.shape == (2, 5, 28, 4)
+    np.testing.assert_array_equal(np.asarray(xops.s2d_nhwc(full)),
+                                  np.asarray(phase))
+
+
+@pytest.mark.parametrize("impl", ["lax", "matmul"])
+def test_enet_phase_logits_is_s2d_of_logits(impl):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(size=(1, 16, 24, 3)).astype(np.float32))
+    model = ENet(num_classes=5, conv_impl=impl)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x, training=False)
+    full = model.apply(variables, x, training=False)
+    phase = model.apply(variables, x, training=False,
+                        return_phase_logits=True)
+    assert phase.shape == (1, 8, 48, 5)
+    np.testing.assert_array_equal(np.asarray(xops.s2d_nhwc(full)),
+                                  np.asarray(phase))
+
+
+def _batch(rng, b, h, w, num_classes, pseudo=False):
+    batch = {
+        "image": jnp.asarray(
+            rng.uniform(size=(b, h, w, 3)).astype(np.float32)),
+        "label": jnp.asarray(
+            rng.integers(0, num_classes, size=(b, h, w))
+            .astype(np.int32)),
+        "mask": jnp.asarray(
+            (rng.uniform(size=(b, h, w)) > 0.1).astype(np.float32)),
+        "valid": jnp.ones((b,), jnp.float32),
+    }
+    if pseudo:
+        batch["image_raw"] = jnp.asarray(
+            rng.uniform(size=(b, h, w, 3)).astype(np.float32))
+        batch["labelled"] = jnp.asarray(
+            np.array([1.0] + [0.0] * (b - 1), np.float32))
+    return batch
+
+
+@pytest.mark.parametrize("pseudo", [False, True])
+def test_train_step_phase_parity(pseudo):
+    """make_train_step(phase_logits=True) computes the same loss (fp32
+    reassociation tolerance), bit-identical confusion counts, and the
+    same parameter update as the full-resolution path."""
+    num_classes = 5
+    model = ENet(num_classes=num_classes,
+                 drop_rates=[0.0] * 5)  # rng-free: exact comparability
+    optimizer = optax.adam(5e-4)
+    rng = np.random.default_rng(2)
+    batch = _batch(rng, 2, 16, 24, num_classes, pseudo=pseudo)
+    x0 = batch["image"][:1]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x0, training=True)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32))
+    pseudo_cfg = ({"measure": "entropy", "threshold": 0.7}
+                  if pseudo else None)
+    key = jax.random.PRNGKey(7)
+
+    results = {}
+    for phase in (False, True):
+        step = make_train_step(model, optimizer, num_classes, HPARAMS,
+                               pseudo_cfg=pseudo_cfg,
+                               phase_logits=phase)
+        # donate_argnums: pass a fresh copy of the state each time
+        st = jax.tree.map(jnp.copy, state)
+        new_state, aux = step(st, dict(batch), key)
+        results[phase] = (new_state, aux)
+
+    (s_full, a_full), (s_phase, a_phase) = results[False], results[True]
+    np.testing.assert_array_equal(np.asarray(a_full["confusion"]),
+                                  np.asarray(a_phase["confusion"]))
+    np.testing.assert_allclose(float(a_full["loss"]),
+                               float(a_phase["loss"]), rtol=1e-5)
+    for pf, pp in zip(jax.tree.leaves(s_full.params),
+                      jax.tree.leaves(s_phase.params)):
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pp),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_eval_step_phase_parity():
+    num_classes = 5
+    model = ENet(num_classes=num_classes)
+    rng = np.random.default_rng(3)
+    batch = _batch(rng, 2, 16, 24, num_classes)
+    variables = jax.jit(
+        lambda k: model.init(
+            {"params": k, "dropout": jax.random.PRNGKey(1)},
+            batch["image"][:1], training=False))(jax.random.PRNGKey(0))
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=(), step=jnp.zeros((), jnp.int32),
+                       epoch=jnp.zeros((), jnp.int32))
+    cm_full = make_eval_step(model, num_classes, phase_logits=False)(
+        state, batch)
+    cm_phase = make_eval_step(model, num_classes, phase_logits=True)(
+        state, batch)
+    assert np.asarray(cm_full).sum() > 0
+    np.testing.assert_array_equal(np.asarray(cm_full),
+                                  np.asarray(cm_phase))

@@ -17,6 +17,16 @@ swapped between:
            tests whether keeping the consumer in the forward graph
            (where the logits are a live bwd residual anyway) restores
            the fusion/scheduling the post-grad placement loses
+  predonly argmax in-step, no one-hot loop (isolates the cost of a
+           second logits consumer from the loop itself)
+  labelcm  one-hot loop in-step on (label, label) with no logits
+           dependency (isolates the loop's in-step cost)
+  barrier  argmax -> int8 pred forced through an optimization_barrier
+           before the loop, so the loop's layout choices cannot
+           propagate into the logits buffer
+  bf16     barrier variant with the argmax over a bf16 logits view
+  flatadam the xla metrics path with the optimizer wrapped in
+           optax.flatten (ONE fused buffer instead of ~300 leaves)
 
 Negative result for the record (2026-08-19, TPU v5e): a Pallas fused
 argmax+confusion kernel (one-hots built in VMEM, [C,T]@[T,C] MXU
@@ -85,11 +95,24 @@ def main():
     key = jax.random.PRNGKey(1)
 
     def make_step(variant: str):
+        # "flatadam" A/Bs the optimizer applied over ONE flat buffer
+        # (optax.flatten) against per-leaf Adam: ~300 tiny param leaves
+        # cost ~2-4 unfusable kernel launches each inside the step.
+        opt = (optax.flatten(optimizer) if variant == "flatadam"
+               else optimizer)
+        state0 = (state.replace(opt_state=opt.init(state.params))
+                  if variant == "flatadam" else state)
+
         def loss_fn(params, stats, image, key):
             logits, mutated = model.apply(
                 {"params": params, "batch_stats": stats}, image,
                 training=True, rngs={"dropout": key},
                 mutable=["batch_stats"])
+            if variant == "lbarrier":
+                # force ONE materialization of the logits plane and
+                # feed every consumer (CE fwd/bwd, argmax) from it, so
+                # XLA cannot choose per-consumer relayouts/recomputes
+                logits = jax.lax.optimization_barrier(logits)
             loss = losses.masked_softmax_cross_entropy(
                 label, logits, mask, num_classes, 0.0, 0.0)
             cost = loss + losses.regularization_loss(params, 0.0, 2e-4)
@@ -106,8 +129,8 @@ def main():
              grads) = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.batch_stats,
                                        image, key)
-            updates, new_opt = optimizer.update(grads, state.opt_state,
-                                                state.params)
+            updates, new_opt = opt.update(grads, state.opt_state,
+                                          state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(params=new_params,
                                       batch_stats=new_stats,
@@ -115,7 +138,7 @@ def main():
                                       step=state.step + 1)
             if variant == "none":
                 cm = jnp.zeros((num_classes, num_classes), jnp.int32)
-            elif variant == "xla":
+            elif variant in ("xla", "flatadam", "lbarrier"):
                 pred = jnp.argmax(logits, axis=-1)
                 cm = metrics.confusion_matrix(label, pred, num_classes,
                                               mask)
@@ -125,18 +148,46 @@ def main():
                                               mask, use_matmul=False)
             elif variant == "aux":
                 cm = aux_cm
+            elif variant == "predonly":
+                # argmax in-step, NO one-hot loop: isolates the cost of
+                # the second logits consumer vs the matmul loop itself
+                pred = jnp.argmax(logits, axis=-1)
+                cm = (jnp.zeros((num_classes, num_classes), jnp.int32)
+                      .at[0, 0].set(pred.sum().astype(jnp.int32)))
+            elif variant == "labelcm":
+                # one-hot matmul loop in-step but with NO logits
+                # dependency: isolates the loop's in-step cost
+                cm = metrics.confusion_matrix(label, label, num_classes,
+                                              mask)
+            elif variant == "barrier":
+                # argmax -> int8 plane forced to materialize via an
+                # optimization barrier before the one-hot loop, so any
+                # layout/fusion choice for the loop cannot propagate
+                # back into the logits buffer
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int8)
+                pred = jax.lax.optimization_barrier(pred)
+                cm = metrics.confusion_matrix(label, pred, num_classes,
+                                              mask)
+            elif variant == "bf16":
+                # argmax over a bf16 view: halves the plane read; ties
+                # broken identically for distinct logits
+                pred = jnp.argmax(logits.astype(jnp.bfloat16), axis=-1)
+                pred = jax.lax.optimization_barrier(pred.astype(jnp.int8))
+                cm = metrics.confusion_matrix(label, pred, num_classes,
+                                              mask)
             else:
                 raise ValueError(variant)
             return new_state, {"loss": loss, "cost": cost,
                                "confusion": cm}
 
-        return step
+        return step, state0
 
     r = {}
     for variant in args.variants.split(","):
-        f = jax.jit(make_step(variant))
+        step_fn, state0 = make_step(variant)
+        f = jax.jit(step_fn)
         t0 = time.time()
-        s, aux = f(state, image, key)
+        s, aux = f(state0, image, key)
         np.asarray(aux["confusion"]).sum()
         log(f"  {variant}: compile+first {time.time() - t0:.1f}s")
         t0 = time.time()
