@@ -43,6 +43,62 @@ def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
         x, (x.shape[0], hw[0], hw[1], x.shape[-1]), method="bilinear")
 
 
+def _shift1d_clamped(x: jnp.ndarray, axis: int, d: int) -> jnp.ndarray:
+    """``y[i] = x[clamp(i + d)]`` along ``axis``, ``d`` in {-1, 0, 1}
+    (the edge-clamped neighbour reads of a bilinear upsample)."""
+    if d == 0:
+        return x
+    body = [slice(None)] * x.ndim
+    edge = [slice(None)] * x.ndim
+    if d > 0:
+        body[axis] = slice(1, None)
+        edge[axis] = slice(-1, None)
+        return jnp.concatenate([x[tuple(body)], x[tuple(edge)]],
+                               axis=axis)
+    body[axis] = slice(None, -1)
+    edge[axis] = slice(None, 1)
+    return jnp.concatenate([x[tuple(edge)], x[tuple(body)]], axis=axis)
+
+
+def _resize_bilinear_phase(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """``factor``-x bilinear upsample emitted in the
+    ``ops.nn.s2d_plane`` phase order: ``[N,h,w,C] -> [N,h,f*f*w,C]``
+    where flat column ``f*f*cc + f*a + b`` equals full-res pixel
+    ``(f*r + a, f*c + b)`` of ``_resize_bilinear(x, (f*h, f*w))``.
+
+    A bilinear upsample is a polyphase filter: each of the ``f*f``
+    output phases is a fixed 2x2-tap interpolation of the coarse grid
+    (half-pixel centers, edge clamp — jax.image.resize semantics; edge
+    taps collapse onto the border pixel exactly like its weight
+    renormalization). Emitting phases directly skips the full-res
+    interleave, whose strided relayout XLA lowers at ~12 GB/s — the
+    same pathology measured at +58 ms on the ENet train step — and
+    per-pixel consumers (argmax/CE/confusion) are permutation-
+    invariant."""
+    f = factor
+    n, h, w, c = x.shape
+
+    def taps(a):
+        off = (2 * a + 1 - f) / (2 * f)
+        lo = -1 if off < 0 else 0
+        frac = off - lo
+        return lo, 1.0 - frac, frac
+
+    rows = []
+    for a in range(f):
+        lo, w0, w1 = taps(a)
+        rows.append(w0 * _shift1d_clamped(x, 1, lo)
+                    + w1 * _shift1d_clamped(x, 1, lo + 1))
+    phases = []
+    for a in range(f):
+        for b in range(f):
+            lo, w0, w1 = taps(b)
+            phases.append(w0 * _shift1d_clamped(rows[a], 2, lo)
+                          + w1 * _shift1d_clamped(rows[a], 2, lo + 1))
+    y = jnp.stack(phases, axis=3)        # [n, h, w, f*f (a*f+b), c]
+    return y.reshape(n, h, f * f * w, c).astype(x.dtype)
+
+
 class ConvBN(nn.Module):
     features: int
     kernel: int = 3
@@ -224,6 +280,23 @@ class ICNet(nn.Module):
     output_module = "Classifier"
     # input H/W must divide this (1/32-resolution low branch)
     input_divisor = 32
+    # __call__(return_phase_logits=True) emits [N, H/4, 4W, C] logits
+    # in the 4x-upsample's polyphase pixel order (ops.nn.s2d_plane
+    # factor 4). Unlike ENet — whose Final deconv is phase-NATIVE, so
+    # phase-domain training skipped a measured +58 ms d2s relayout —
+    # ICNet's phase form must be *constructed* (16 clamped-shift
+    # weighted adds, _resize_bilinear_phase) while XLA lowers the plain
+    # bilinear resize efficiently: measured train step 91.4 ms plain vs
+    # 96.1 ms phase (batch 8 @512x1024 bf16 multiscale, v5e, incl
+    # ~28 ms relay floor). Phase therefore stays OPT-IN here
+    # (make_*_step(phase_logits=True)); parity is pinned by
+    # tests/test_phase_logits.py::TestICNetPhase.
+    supports_phase_logits = False
+    phase_factor = 4
+    # the multiscale loss heads (cls4/aux8/aux16) exclude the primary
+    # logits, so phase logits compose with multiscale training (the
+    # metrics argmax consumes them; the cascade CE never does)
+    phase_with_multiscale = True
 
     def setup(self):
         dt = self.dtype if self.dtype is not None else jnp.float32
@@ -252,7 +325,8 @@ class ICNet(nn.Module):
                  multiscale: bool = False,
                  return_pre_logits: bool = False,
                  return_features8: bool = False,
-                 return_embedding: bool = False):
+                 return_embedding: bool = False,
+                 return_phase_logits: bool = False):
         n, h, w, _c = x.shape
         if h % 32 or w % 32:
             raise ValueError(
@@ -300,7 +374,10 @@ class ICNet(nn.Module):
             # so full-res lane-padded logits never hit HBM.
             return cls4
 
-        logits = _resize_bilinear(cls4, (h, w))
+        if return_phase_logits:
+            logits = _resize_bilinear_phase(cls4, 4)
+        else:
+            logits = _resize_bilinear(cls4, (h, w))
 
         if not multiscale:
             return logits

@@ -97,11 +97,12 @@ def spatial_dropout(x: jnp.ndarray, rate: float, key: jax.Array,
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
-def s2d_plane(x: jnp.ndarray) -> jnp.ndarray:
-    """``[N, H, W] -> [N, H/2, 2W]`` spatial permutation matching the
+def s2d_plane(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """``[N, H, W] -> [N, H/f, fW]`` spatial permutation matching the
     phase-domain logits of ``shiftconv.conv_transpose_up2_phase`` /
-    ``models.blocks.Final(phase=True)``: flat column ``4c + 2a + b``
-    holds pixel ``(2r + a, 2c + b)``.
+    ``models.blocks.Final(phase=True)`` (f=2) and the ICNet polyphase
+    4x head upsample (f=4): flat column ``f*f*c + f*a + b`` holds pixel
+    ``(f*r + a, f*c + b)``.
 
     Cross-entropy, argmax and confusion counts are per-pixel, so
     permuting labels/masks with this (instead of depth-to-spacing the
@@ -109,27 +110,30 @@ def s2d_plane(x: jnp.ndarray) -> jnp.ndarray:
     identical confusion-matrix counts while the full-resolution
     lane-padded logits plane never materializes (its d2s relayout
     measured +58 ms on the batch-8 512x1024 train step)."""
+    f = factor
     n, h, w = x.shape
-    y = x.reshape(n, h // 2, 2, w // 2, 2)
+    y = x.reshape(n, h // f, f, w // f, f)
     y = y.transpose(0, 1, 3, 2, 4)
-    return y.reshape(n, h // 2, 2 * w)
+    return y.reshape(n, h // f, f * w)
 
 
-def d2s_plane(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`s2d_plane`: ``[N, H2, 2W] -> [N, 2*H2, W]``."""
-    n, h2, w2x4 = x.shape
-    w2 = w2x4 // 4
-    y = x.reshape(n, h2, w2, 2, 2)
+def d2s_plane(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Inverse of :func:`s2d_plane`: ``[N, H/f, fW] -> [N, H, W]``."""
+    f = factor
+    n, hf, wfxf = x.shape
+    wf = wfxf // (f * f)
+    y = x.reshape(n, hf, wf, f, f)
     y = y.transpose(0, 1, 3, 2, 4)
-    return y.reshape(n, 2 * h2, 2 * w2)
+    return y.reshape(n, f * hf, f * wf)
 
 
-def s2d_nhwc(x: jnp.ndarray) -> jnp.ndarray:
-    """``[N, H, W, C] -> [N, H/2, 2W, C]``: the :func:`s2d_plane`
+def s2d_nhwc(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """``[N, H, W, C] -> [N, H/f, fW, C]``: the :func:`s2d_plane`
     permutation with a trailing channel axis (used by the lax-conv
     fallback of ``Final(phase=True)`` so both conv lowerings emit the
     same phase-domain form)."""
+    f = factor
     n, h, w, c = x.shape
-    y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    y = x.reshape(n, h // f, f, w // f, f, c)
     y = y.transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(n, h // 2, 2 * w, c)
+    return y.reshape(n, h // f, f * w, c)

@@ -117,7 +117,16 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     glorot_scaling = bool(reg_cfg.get("glorot_scaling", False))
     if phase_logits is None:
         phase_logits = getattr(model, "supports_phase_logits", False)
-    use_phase = bool(phase_logits) and not multiscale
+    factor = int(getattr(model, "phase_factor", 2))
+    # under multiscale, phase logits compose only when the cascade loss
+    # heads exclude the primary logits (ICNet; ENet's head[0] IS the
+    # primary plane, so its multiscale CE needs the full-res form)
+    use_phase = bool(phase_logits) and (
+        not multiscale or getattr(model, "phase_with_multiscale", False))
+    # phase CE (and phase-ordered label/pseudo mixing) only when the
+    # primary head is the CE target; the multiscale cascade CE resizes
+    # full-resolution labels per head, so there phase feeds metrics only
+    phase_ce = use_phase and not multiscale
 
     sh = _mesh_shardings(mesh)
     jit_kwargs = {}
@@ -132,11 +141,11 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         image = batch["image"]          # distorted crop
         label = batch["label"]
         mask = batch["mask"] * batch["valid"][:, None, None]
-        if use_phase:
+        if phase_ce:
             # per-pixel consumers only: permute labels/masks into the
             # polyphase pixel order instead of d2s-ing the logits
-            label = xops.s2d_plane(label)
-            mask = xops.s2d_plane(mask)
+            label = xops.s2d_plane(label, factor)
+            mask = xops.s2d_plane(mask, factor)
 
         if pseudo_cfg is not None:
             # No-dropout forward on the raw crop with current weights +
@@ -144,7 +153,7 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
             pseudo_logits = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch["image_raw"], training=False,
-                **({"return_phase_logits": True} if use_phase else {}))
+                **({"return_phase_logits": True} if phase_ce else {}))
             pseudo_label, pseudo_mask, _conf = acquisition.pseudo_annotate(
                 pseudo_logits, pseudo_cfg["measure"], num_classes,
                 pseudo_cfg["threshold"])
@@ -182,8 +191,17 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)
 
+        if use_phase and not phase_ce:
+            # multiscale metrics-only phase: the loss consumed the
+            # full-res labels; permute a metrics view to match the
+            # phase-ordered primary logits
+            label_m = xops.s2d_plane(label, factor)
+            mask_m = xops.s2d_plane(mask, factor)
+        else:
+            label_m, mask_m = label, mask
         pred = jnp.argmax(logits, axis=-1)
-        conf_mat = metrics.confusion_matrix(label, pred, num_classes, mask)
+        conf_mat = metrics.confusion_matrix(label_m, pred, num_classes,
+                                            mask_m)
 
         new_state = state.replace(params=new_params,
                                   batch_stats=new_stats,
@@ -210,6 +228,7 @@ def make_eval_step(model, num_classes: int, mesh=None,
     if phase_logits is None:
         phase_logits = getattr(model, "supports_phase_logits", False)
     use_phase = bool(phase_logits)
+    factor = int(getattr(model, "phase_factor", 2))
 
     @functools.partial(jax.jit, **jit_kwargs)
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -221,8 +240,8 @@ def make_eval_step(model, num_classes: int, mesh=None,
         label = batch["label"]
         mask = batch["mask"] * batch["valid"][:, None, None]
         if use_phase:
-            label = xops.s2d_plane(label)
-            mask = xops.s2d_plane(mask)
+            label = xops.s2d_plane(label, factor)
+            mask = xops.s2d_plane(mask, factor)
         return metrics.confusion_matrix(label, pred, num_classes, mask)
 
     return eval_step
@@ -241,6 +260,7 @@ def make_predict_step(model, mesh=None):
         jit_kwargs = dict(in_shardings=(sh["repl"], sh["data"]),
                           out_shardings=sh["data"])
     use_phase = getattr(model, "supports_phase_logits", False)
+    factor = int(getattr(model, "phase_factor", 2))
 
     @functools.partial(jax.jit, **jit_kwargs)
     def predict_step(state: TrainState, image: jnp.ndarray):
@@ -249,7 +269,7 @@ def make_predict_step(model, mesh=None):
             image, training=False,
             **({"return_phase_logits": True} if use_phase else {}))
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return xops.d2s_plane(pred) if use_phase else pred
+        return xops.d2s_plane(pred, factor) if use_phase else pred
 
     return predict_step
 

@@ -164,3 +164,110 @@ def test_eval_step_phase_parity():
     assert np.asarray(cm_full).sum() > 0
     np.testing.assert_array_equal(np.asarray(cm_full),
                                   np.asarray(cm_phase))
+
+
+class TestICNetPhase:
+    """ICNet factor-4 polyphase head: the 4x bilinear upsample emitted
+    in phase order (models/icnet._resize_bilinear_phase) so the
+    full-res fp32 plane never exists in the train/eval steps."""
+
+    @pytest.fixture(scope="class")
+    def icnet_and_vars(self):
+        from semanticsegmentationactivelearning_tpu.models import ICNet
+        model = ICNet(num_classes=5)
+        x = jnp.zeros((1, 32, 64, 3), jnp.float32)
+        variables = jax.jit(lambda k: model.init(
+            {"params": k}, x, training=True, multiscale=True))(
+                jax.random.PRNGKey(0))
+        return model, variables
+
+    @pytest.mark.parametrize("factor", [2, 4])
+    def test_resize_phase_matches_jax_image(self, factor):
+        from semanticsegmentationactivelearning_tpu.models import icnet
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(2, 5, 7, 6)).astype(np.float32))
+        full = icnet._resize_bilinear(
+            x, (factor * x.shape[1], factor * x.shape[2]))
+        phase = icnet._resize_bilinear_phase(x, factor)
+        assert phase.shape == (2, 5, factor * factor * 7, 6)
+        np.testing.assert_allclose(
+            np.asarray(xops.s2d_nhwc(full, factor)), np.asarray(phase),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(xops.s2d_nhwc(full, factor), -1)),
+            np.asarray(jnp.argmax(phase, -1)))
+
+    def test_icnet_phase_logits_matches_full(self, icnet_and_vars):
+        model, variables = icnet_and_vars
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(size=(1, 32, 64, 3))
+                        .astype(np.float32))
+        full = model.apply(variables, x, training=False)
+        phase = model.apply(variables, x, training=False,
+                            return_phase_logits=True)
+        assert phase.shape == (1, 8, 256, 5)
+        np.testing.assert_allclose(
+            np.asarray(xops.s2d_nhwc(full, 4)), np.asarray(phase),
+            rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(xops.s2d_nhwc(full, 4), -1)),
+            np.asarray(jnp.argmax(phase, -1)))
+
+    def test_icnet_train_step_phase_parity(self, icnet_and_vars):
+        """Multiscale (the shipped conf): the cascade CE sees full-res
+        labels either way; phase affects only the metrics argmax."""
+        import optax as _optax
+        model, variables = icnet_and_vars
+        num_classes = 5
+        hparams = dict(HPARAMS)
+        hparams["softmax"] = {"label_smoothing": 0.0,
+                              "loginverse_scaling": 0.0,
+                              "multiscale": True}
+        optimizer = _optax.adam(1e-3)
+        rng = np.random.default_rng(6)
+        batch = _batch(rng, 2, 32, 64, num_classes)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=optimizer.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+            epoch=jnp.zeros((), jnp.int32))
+        results = {}
+        for phase in (False, True):
+            step = make_train_step(model, optimizer, num_classes,
+                                   hparams, phase_logits=phase)
+            st = jax.tree.map(jnp.copy, state)
+            _, aux = step(st, dict(batch), jax.random.PRNGKey(3))
+            results[phase] = aux
+        np.testing.assert_allclose(float(results[False]["loss"]),
+                                   float(results[True]["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(results[False]["confusion"]),
+            np.asarray(results[True]["confusion"]))
+
+    def test_icnet_eval_step_phase_parity(self, icnet_and_vars):
+        model, variables = icnet_and_vars
+        rng = np.random.default_rng(7)
+        batch = _batch(rng, 2, 32, 64, 5)
+        state = TrainState(params=variables["params"],
+                           batch_stats=variables["batch_stats"],
+                           opt_state=(), step=jnp.zeros((), jnp.int32),
+                           epoch=jnp.zeros((), jnp.int32))
+        cm_full = make_eval_step(model, 5, phase_logits=False)(
+            state, batch)
+        cm_phase = make_eval_step(model, 5, phase_logits=True)(
+            state, batch)
+        assert np.asarray(cm_full).sum() > 0
+        np.testing.assert_array_equal(np.asarray(cm_full),
+                                      np.asarray(cm_phase))
+
+    def test_icnet_fused_predict_fallback(self, icnet_and_vars):
+        model, variables = icnet_and_vars
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.uniform(size=(1, 32, 64, 3))
+                        .astype(np.float32))
+        full = model.apply(variables, x, training=False)
+        pred = model.fused_predict(variables, x)
+        np.testing.assert_array_equal(
+            np.asarray(pred), np.asarray(jnp.argmax(full, -1)))
