@@ -31,7 +31,11 @@ def _use_matmul(impl: str) -> bool:
     shifted-matmul / ``lax.conv`` lowerings; ``"auto"`` (the default
     everywhere) picks matmul off-CPU — measured 1.8x faster fwd+bwd on
     v5e for the low-channel segments (tools/probe_packed_bottleneck.py)
-    — and ``lax.conv`` on CPU, where eigen's conv wins."""
+    — and ``lax.conv`` on CPU, where eigen's conv wins.
+
+    Applies to SPATIAL kernels only: 1x1 convs are plain matmuls, not
+    shifted-matmul lowerings, and use the dot path under every impl —
+    so ``"lax"`` A/B baselines are hybrid (lax spatial + dot 1x1)."""
     if impl == "auto":
         return jax.default_backend() not in ("cpu",)
     return impl == "matmul"
@@ -57,22 +61,26 @@ class Conv(nn.Module):
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
         if (kh, kw) == (1, 1):
-            # a 1x1 conv IS a matmul on every backend; SAME/s2 reads
-            # the even grid positions. No preferred_element_type: the
-            # MXU accumulates fp32 internally either way, and asking
-            # for an fp32 result forces a full-size fp32 plane + a
-            # convert at EVERY bottleneck (measured +30 ms on the
-            # batch-8 512x1024 train step)
+            # a 1x1 conv IS a matmul on every backend (not a shifted-
+            # matmul lowering), so it takes this path on EVERY impl —
+            # including "lax", whose A/B baselines are therefore
+            # hybrid: lax spatial convs + dot 1x1s (see _use_matmul).
+            # SAME/s2 reads the even grid positions. No
+            # preferred_element_type: the MXU accumulates fp32
+            # internally either way, and asking for an fp32 result
+            # forces a full-size fp32 plane + a convert at EVERY
+            # bottleneck (measured +30 ms on the batch-8 512x1024 step)
             if self.strides == (2, 2):
                 x = x[:, ::2, ::2]
             n, hh, ww, cc = x.shape
             return jnp.dot(x.reshape(-1, cc),
                            k[0, 0]).reshape(n, hh, ww, -1)
-        # shapes the matmul lowerings don't cover: stride 2 with odd
-        # input dims or kernels other than 2x2/3x3 (shiftconv.conv_down2
-        # phase-decomposes even grids only)
-        covered = (self.strides == (1, 1)
-                   or (kh == kw and kh in (2, 3)
+        # shapes the matmul lowerings don't cover fall back to lax:
+        # conv_same centers odd kernels only; conv_down2 phase-
+        # decomposes even grids, 2x2/3x3 kernels, no dilation
+        covered = ((self.strides == (1, 1) and kh % 2 and kw % 2)
+                   or (self.strides == (2, 2) and self.dilation == 1
+                       and kh == kw and kh in (2, 3)
                        and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0))
         if not _use_matmul(self.impl) or not covered:
             return lax.conv_general_dilated(

@@ -69,6 +69,42 @@ def _device_snapshot(state):
         state)
 
 
+def _convert_flat_layout(target, source):
+    """Convert optimizer moments between the per-leaf and the
+    ``optax.flatten``-raveled layouts (both use ``jax.tree.flatten``
+    leaf order, so a ravel+concat / split+reshape round-trips exactly).
+    Returns ``None`` when the structures aren't that pair (e.g. a
+    genuinely different param set)."""
+    import numpy as np
+    if isinstance(source, dict) and not isinstance(target, dict):
+        # old per-leaf checkpoint -> flattened template
+        leaves = jax.tree.leaves(source)
+        if (getattr(target, "ndim", None) == 1 and leaves
+                and all(hasattr(lf, "ravel") for lf in leaves)
+                and sum(int(np.size(lf)) for lf in leaves)
+                == int(np.size(target))):
+            flat = np.concatenate(
+                [np.ravel(np.asarray(lf)) for lf in leaves])
+            return flat.astype(np.asarray(target).dtype)
+    if isinstance(target, dict) and not isinstance(source, dict):
+        # flattened checkpoint -> per-leaf template
+        t_leaves, t_def = jax.tree.flatten(target)
+        src = np.asarray(source)
+        if (src.ndim == 1 and t_leaves
+                and all(hasattr(lf, "shape") for lf in t_leaves)
+                and sum(int(np.size(lf)) for lf in t_leaves)
+                == int(src.size)):
+            out, off = [], 0
+            for lf in t_leaves:
+                n = int(np.size(lf))
+                out.append(src[off:off + n]
+                           .reshape(np.shape(lf))
+                           .astype(np.asarray(lf).dtype))
+                off += n
+            return jax.tree.unflatten(t_def, out)
+    return None
+
+
 def _merge_state_dicts(target, source, path=""):
     """Recursively copy matching-shape leaves of ``source`` into
     ``target``; report what didn't line up."""
@@ -85,6 +121,17 @@ def _merge_state_dicts(target, source, path=""):
                              path, key)
                 merged[key] = tval
         return merged
+    if isinstance(target, dict) != isinstance(source, dict):
+        # dict-vs-array: a checkpoint written with the other optimizer
+        # moment layout (optax.flatten, train/optim.py) — convert it
+        converted = _convert_flat_layout(target, source)
+        if converted is not None:
+            logger.info("checkpoint optimizer layout converted at %s "
+                        "(per-leaf <-> flattened)", path)
+            return converted
+        logger.warning("checkpoint structure mismatch at %s; "
+                       "keeping init", path)
+        return target
     t_shape = getattr(target, "shape", None)
     s_shape = getattr(source, "shape", None)
     if t_shape is not None and s_shape is not None and t_shape != s_shape:

@@ -32,8 +32,10 @@ def make_optimizer(hyperparams: Dict[str, Any],
     instead of ~300 tiny parameter leaves, whose per-leaf unfusable
     kernels measured ~6 ms of the batch-8 512x1024 v5e train step
     (tools/probe_step_metrics.py ``flatadam``). The optimizer state
-    pytree changes shape, so pass ``flatten=False`` to restore
-    checkpoints written by per-leaf optimizers."""
+    pytree changes shape; ``checkpoint.restore_checkpoint`` converts
+    per-leaf moments from older checkpoints into the raveled layout
+    (and back) automatically, since both use ``jax.tree.flatten``
+    leaf order. ``flatten=False`` keeps the per-leaf layout."""
     opt_conf = hyperparams.get("optimizer",
                                {"type": "Adam", "kwargs": {}})
     kwargs = dict(opt_conf.get("kwargs", {}))

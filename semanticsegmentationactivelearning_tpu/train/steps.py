@@ -218,8 +218,14 @@ def make_eval_step(model, num_classes: int, mesh=None,
     """Jitted evaluation step: logits -> argmax -> confusion matrix.
 
     Confusion counts are permutation-invariant, so models exposing
-    polyphase logits are evaluated in that pixel order (bit-identical
-    counts, no full-res fp32 logits plane; see ``make_train_step``)."""
+    polyphase logits are evaluated in that pixel order (no full-res
+    fp32 logits plane; see ``make_train_step``). For phase-NATIVE
+    models (ENet: the Final deconv computes the phase form, d2s merely
+    permutes it) counts are bit-identical; for constructed-phase
+    models (ICNet's ``_resize_bilinear_phase``) the phase plane is a
+    different fp evaluation of the same interpolation, so argmax can
+    flip at near-tie pixels — which is why ICNet ships with
+    ``supports_phase_logits = False``."""
     sh = _mesh_shardings(mesh)
     jit_kwargs = {}
     if sh:

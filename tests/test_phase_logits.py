@@ -138,10 +138,16 @@ def test_train_step_phase_parity(pseudo):
                                   np.asarray(a_phase["confusion"]))
     np.testing.assert_allclose(float(a_full["loss"]),
                                float(a_phase["loss"]), rtol=1e-5)
+    # Adam divides near-zero grads by near-zero sqrt(nu), amplifying
+    # the fp32 reassociation difference between the two CE orderings;
+    # the margin also absorbs XLA compile-variant noise (source-line
+    # metadata alone changes scheduling enough to move the max rel
+    # diff ~2x on CPU), so this is deliberately looser than the loss
+    # tolerance above. A real wiring bug fails by orders of magnitude.
     for pf, pp in zip(jax.tree.leaves(s_full.params),
                       jax.tree.leaves(s_phase.params)):
         np.testing.assert_allclose(np.asarray(pf), np.asarray(pp),
-                                   rtol=2e-4, atol=2e-6)
+                                   rtol=1e-3, atol=1e-5)
 
 
 def test_eval_step_phase_parity():
@@ -164,6 +170,22 @@ def test_eval_step_phase_parity():
     assert np.asarray(cm_full).sum() > 0
     np.testing.assert_array_equal(np.asarray(cm_full),
                                   np.asarray(cm_phase))
+
+
+def _assert_argmax_agree(a, b, frac=1e-3):
+    """Unlike ENet's phase logits (a bit-exact permutation), ICNet's
+    are a different fp evaluation of the same interpolation, so argmax
+    may flip at near-tie pixels; require >=99.9% agreement instead of
+    exact equality."""
+    mismatch = int((np.asarray(a) != np.asarray(b)).sum())
+    assert mismatch <= max(1, int(frac * np.asarray(a).size)), mismatch
+
+
+def _assert_confusion_close(cm_a, cm_b, frac=1e-3):
+    cm_a, cm_b = np.asarray(cm_a), np.asarray(cm_b)
+    assert cm_a.sum() == cm_b.sum()
+    # each flipped pixel moves one count between two cells
+    assert np.abs(cm_a - cm_b).sum() <= 2 * max(1, int(frac * cm_a.sum()))
 
 
 class TestICNetPhase:
@@ -193,9 +215,8 @@ class TestICNetPhase:
         np.testing.assert_allclose(
             np.asarray(xops.s2d_nhwc(full, factor)), np.asarray(phase),
             rtol=1e-5, atol=1e-6)
-        np.testing.assert_array_equal(
-            np.asarray(jnp.argmax(xops.s2d_nhwc(full, factor), -1)),
-            np.asarray(jnp.argmax(phase, -1)))
+        _assert_argmax_agree(jnp.argmax(xops.s2d_nhwc(full, factor), -1),
+                             jnp.argmax(phase, -1))
 
     def test_icnet_phase_logits_matches_full(self, icnet_and_vars):
         model, variables = icnet_and_vars
@@ -209,9 +230,8 @@ class TestICNetPhase:
         np.testing.assert_allclose(
             np.asarray(xops.s2d_nhwc(full, 4)), np.asarray(phase),
             rtol=1e-4, atol=1e-5)
-        np.testing.assert_array_equal(
-            np.asarray(jnp.argmax(xops.s2d_nhwc(full, 4), -1)),
-            np.asarray(jnp.argmax(phase, -1)))
+        _assert_argmax_agree(jnp.argmax(xops.s2d_nhwc(full, 4), -1),
+                             jnp.argmax(phase, -1))
 
     def test_icnet_train_step_phase_parity(self, icnet_and_vars):
         """Multiscale (the shipped conf): the cascade CE sees full-res
@@ -242,9 +262,8 @@ class TestICNetPhase:
         np.testing.assert_allclose(float(results[False]["loss"]),
                                    float(results[True]["loss"]),
                                    rtol=1e-5)
-        np.testing.assert_array_equal(
-            np.asarray(results[False]["confusion"]),
-            np.asarray(results[True]["confusion"]))
+        _assert_confusion_close(results[False]["confusion"],
+                                results[True]["confusion"])
 
     def test_icnet_eval_step_phase_parity(self, icnet_and_vars):
         model, variables = icnet_and_vars
@@ -259,8 +278,7 @@ class TestICNetPhase:
         cm_phase = make_eval_step(model, 5, phase_logits=True)(
             state, batch)
         assert np.asarray(cm_full).sum() > 0
-        np.testing.assert_array_equal(np.asarray(cm_full),
-                                      np.asarray(cm_phase))
+        _assert_confusion_close(cm_full, cm_phase)
 
     def test_icnet_fused_predict_fallback(self, icnet_and_vars):
         model, variables = icnet_and_vars

@@ -300,6 +300,42 @@ class TestCheckpoint:
             np.asarray(restored.params["Final"]["deconv"]["kernel"]),
             np.asarray(state.params["Final"]["deconv"]["kernel"]))
 
+    @pytest.mark.parametrize("old_flat,new_flat",
+                             [(False, True), (True, False)])
+    def test_optimizer_layout_conversion(self, setup, tmp_path,
+                                         old_flat, new_flat):
+        """A checkpoint written with one optimizer moment layout
+        (per-leaf vs optax.flatten-raveled, train/optim.py) restores
+        into a template built with the other: restore_checkpoint
+        converts the moments (same jax.tree.flatten leaf order) and
+        the next train step runs."""
+        model, _opt, _state = setup
+        old_opt = optim.make_optimizer(HPARAMS, flatten=old_flat)
+        old_state = create_train_state(model, old_opt,
+                                       jax.random.PRNGKey(0), HW)
+        # make the moments non-trivial before saving
+        step = make_train_step(model, old_opt, C, HPARAMS)
+        old_state, _ = step(old_state, _batch(1), jax.random.PRNGKey(1))
+        mu_old = jax.tree.leaves(old_state.opt_state[0].mu)
+        path = checkpoint.save_checkpoint(
+            str(tmp_path / "old.ckpt"), old_state)
+
+        new_opt = optim.make_optimizer(HPARAMS, flatten=new_flat)
+        template = create_train_state(model, new_opt,
+                                      jax.random.PRNGKey(2), HW)
+        restored = checkpoint.restore_checkpoint(path, template)
+        mu_new = jax.tree.leaves(restored.opt_state[0].mu)
+        np.testing.assert_array_equal(
+            np.concatenate([np.ravel(np.asarray(m)) for m in mu_old]),
+            np.concatenate([np.ravel(np.asarray(m)) for m in mu_new]))
+        # params restored too, and the next step runs on the new layout
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["Final"]["deconv"]["kernel"]),
+            np.asarray(old_state.params["Final"]["deconv"]["kernel"]))
+        step2 = make_train_step(model, new_opt, C, HPARAMS)
+        out, aux = step2(restored, _batch(2), jax.random.PRNGKey(3))
+        assert np.isfinite(float(aux["loss"]))
+
     def test_cache_commit_protocol(self, setup, tmp_path):
         _m, _o, state = setup
         mgr = checkpoint.CheckpointManager(str(tmp_path), max_to_keep=2)
