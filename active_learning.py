@@ -32,8 +32,7 @@ import sys
 
 import numpy as np
 
-from semanticsegmentationactivelearning_tpu.data import (device_prefetch,
-                                                         loader, pipeline,
+from semanticsegmentationactivelearning_tpu.data import (loader, pipeline,
                                                          sampler)
 from semanticsegmentationactivelearning_tpu import parallel
 from semanticsegmentationactivelearning_tpu.models import get_model
@@ -328,18 +327,30 @@ def main(args, logger):
         """Multi-host: AOT-compile on first call, then barrier, so a
         cold-compiling host can't blow its peers' Gloo rendezvous
         window (~30s) at the first collective — the same pattern the
-        train step uses. No-op single-process."""
+        train step uses. The AOT executable is KEPT and invoked from
+        then on (shapes are static: padded batches), because
+        re-invoking the jit fn would re-lower and recompile on a
+        persistent-cache miss AFTER the barrier, re-creating the
+        compile skew the barrier absorbs. No-op single-process."""
         if nproc == 1:
             return step
         done = []
 
         def wrapped(*args):
             if not done:
-                done.append(True)
                 lower = getattr(step, "lower", None)
-                if lower is not None:
-                    lower(*args).compile()
+                done.append(lower(*args).compile()
+                            if lower is not None else None)
                 parallel.sync_processes(tag)
+            compiled = done[0]
+            if compiled is not None:
+                try:
+                    return compiled(*args)
+                except TypeError:
+                    # argument shapes/dtypes drifted from the lowered
+                    # signature (e.g. a resized pool) — let jit handle
+                    # the retrace; the barrier only matters first-call
+                    return step(*args)
             return step(*args)
         return wrapped
 
@@ -445,33 +456,20 @@ def main(args, logger):
     stack_sharding = parallel.data_sharded(mesh) if mesh is not None \
         else None
 
-    def _prefetched(batches):
-        return device_prefetch.device_prefetch(batches,
-                                               sharding=stack_sharding)
-
     def _stream(loader_, order=None, with_labelled=False):
-        """Per-host batch stream: single-process -> double-buffered
-        device_put; multi-host -> each host decodes its slice of every
-        global chunk, stitched into one globally-sharded array
-        (train.py's _batch_stream pattern). ``with_labelled`` also
-        shards the per-row labelled flags (the pseudo-labeling input,
-        derived host-side from the local indices)."""
+        """Per-host batch stream (``parallel.batch_stream``):
+        single-process -> double-buffered device_put; multi-host ->
+        each host decodes its slice of every global chunk, stitched
+        into one globally-sharded array. ``with_labelled`` also shards
+        the per-row labelled flags (the pseudo-labeling input, derived
+        host-side from the local indices)."""
         if order is None:
             order = np.arange(loader_.count)
-        if nproc == 1:
-            return _prefetched(loader_.batches(order))
-
-        def gen():
-            keys = ["stack", "heights", "widths", "valid"]
-            if with_labelled:
-                keys.append("labelled")
-            for b in loader_.global_batches(order, batch_size,
-                                            jax.process_index(), nproc):
-                if with_labelled:
-                    b = dict(b, labelled=labelled_flags[b["index"]])
-                yield parallel.make_global_batch(
-                    mesh, b, batch_keys=tuple(keys))
-        return gen()
+        return parallel.batch_stream(
+            loader_, order, batch_size, mesh, sharding=stack_sharding,
+            extra_keys=("labelled",) if with_labelled else (),
+            extra_fn=(lambda b: {"labelled": labelled_flags[b["index"]]})
+            if with_labelled else None)
 
     if nproc > 1:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -529,7 +527,8 @@ def main(args, logger):
         lbl, msk = _pseudo(tstate, raw)
         images.dump_summaries(
             args.log_dir, "pseudo-iter%d" % state["iteration"], epoch,
-            np.asarray(raw), preds=np.asarray(lbl),
+            np.asarray(raw)[..., :3],  # drop modality channels for PNG
+            preds=np.asarray(lbl),
             masks=np.asarray(msk), colormap=dataset.colormap,
             count=img_count, event_writer=writer.tb)
 
@@ -787,10 +786,16 @@ def main(args, logger):
                     np.empty(0, dtype=np.float32))
         candidates = np.zeros(num_examples, dtype=bool)
         candidates[unlabelled] = True
+        # Greedy picks are prefix-stable (pick i depends only on picks
+        # < i), so always compile with the conf's fixed selection_size
+        # and slice host-side: a shrinking final-round k would
+        # otherwise bake a new static k into the jit signature and pay
+        # a fresh multi-minute remote compile for a few matvecs.
+        k_max = max(k, int(alparams["selection_size"]))
         picks, min_dist = sel.k_center_greedy(
             jnp.asarray(emb), jnp.asarray(labelled_flags),
-            jnp.asarray(candidates), k)
-        return (np.asarray(picks).astype(np.int64),
+            jnp.asarray(candidates), k_max)
+        return (np.asarray(picks).astype(np.int64)[:k],
                 np.asarray(min_dist)[unlabelled])
 
     iterations = alparams["iterations"]

@@ -267,6 +267,10 @@ class ENet(nn.Module):
         # (probed in interpret mode: H>=24 works at every width, H<=16
         # crashes; the decoder-only path is exact down to 8x16)
         fuse_front = fuse_front and image.shape[1] >= 24
+        # the packed front kernels hard-assume a 3-channel image (their
+        # tap matmuls fold C=3 into fixed-width routing matrices);
+        # multi-modal inputs take the XLA encoder + decoder kernel
+        fuse_front = fuse_front and image.shape[-1] == 3
         if use_pallas and measure == "entropy" and fuse_decoder:
             if fuse_front:
                 # image -> stage1 and stage5 -> entropy run as fused
@@ -368,7 +372,8 @@ class ENet(nn.Module):
         from ..ops import pallas_kernels
         fused = (use_pallas and image.shape[1] >= 48
                  and image.shape[1] % 8 == 0
-                 and image.shape[2] % 32 == 0)
+                 and image.shape[2] % 32 == 0
+                 and image.shape[-1] == 3)  # see fused_score
         if fused:
             packed_f = pallas_kernels.pack_enet_front_w(variables)
             x1, mask1 = pallas_kernels.fused_front_stage1_w(

@@ -420,6 +420,10 @@ class ICNet(nn.Module):
             # die with an opaque reshape error
             raise ValueError(
                 f"ICNet input dims must be divisible by 32, got {h}x{w}")
+        # the packed front kernels hard-assume a 3-channel image (the
+        # column-block reshape folds C=3 into the tap matmuls); extra
+        # modality channels take the plain XLA forward instead
+        use_pallas = use_pallas and _c == 3
         if use_pallas and measure == "entropy":
             # Front: Branch1 + half-res downsample (+ the stem's
             # conv1_1..maxpool when fuse_stem) in one kernel over the
@@ -471,6 +475,8 @@ class ICNet(nn.Module):
         if h % 32 or w % 32:
             raise ValueError(
                 f"ICNet input dims must be divisible by 32, got {h}x{w}")
+        # 3-channel assumption: see fused_score
+        use_pallas = use_pallas and _c == 3
         if use_pallas:
             dt = self.dtype if self.dtype is not None else jnp.float32
             if fuse_stem:

@@ -36,7 +36,14 @@ def k_center_greedy(embeddings: jnp.ndarray, centers: jnp.ndarray,
     :param centers:    ``[N]`` bool — already-labelled examples (the
                        initial center set; may be empty)
     :param candidates: ``[N]`` bool — selectable examples (unlabelled)
-    :param k:          number of picks (static; ``k <= candidates.sum()``)
+    :param k:          number of picks (static). Picks are
+                       prefix-stable — the first ``j`` picks of a
+                       ``k``-run equal a ``j``-run exactly — so callers
+                       with a varying pick count should compile once
+                       with the maximum and slice, not re-jit per
+                       count. Picks beyond ``candidates.sum()`` are
+                       meaningless (the candidate pool is exhausted)
+                       and must be sliced off by the caller.
     :param col_chunk:  center-columns per streamed distance block
     :returns: (picks ``[k]`` int32 indices into N,
                min_dist ``[N]`` float32 squared distance of every

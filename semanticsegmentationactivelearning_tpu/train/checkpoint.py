@@ -323,10 +323,9 @@ class CheckpointManager:
             return self._checkpoints[-1] if self._checkpoints else ""
         self._join()  # the cached file must exist before the rename
 
+        victim = None
         if len(self._checkpoints) >= self._max_to_keep:
             victim = self._checkpoints.pop(0)
-            if os.path.exists(victim):
-                os.remove(victim)
 
         self._save_counter += 1
         name = f"{os.path.basename(prefix)}-{self._save_counter}{CKPT_EXT}"
@@ -334,32 +333,43 @@ class CheckpointManager:
         os.replace(self._cached, target)
         self._cached = None
         self._checkpoints.append(target)
+        # Evict only after the replacement landed: a crash in between
+        # must never leave fewer checkpoints on disk than before.
+        if victim is not None and os.path.exists(victim):
+            os.remove(victim)
         self._write_state_file()
         return target
 
     def save(self, prefix: str, state) -> str:
         """Unconditional numbered save (checkpoint_manager.py:95-105;
         the plain train CLI's per-epoch save, train.py:352)."""
+        if self._async:
+            # The in-flight job reads self._checkpoints; settle it
+            # before mutating the FIFO below.
+            self._join()
         self._save_counter += 1
         name = f"{os.path.basename(prefix)}-{self._save_counter}{CKPT_EXT}"
         target = os.path.join(self._directory, name)
+        victim = None
         if len(self._checkpoints) >= self._max_to_keep:
             victim = self._checkpoints.pop(0)
-            if os.path.exists(victim):
-                os.remove(victim)
         self._checkpoints.append(target)
         if self._async:
-            self._join()
             snap = _device_snapshot(state)
 
             def job():
                 # checkpoint.json is updated only AFTER the file
-                # lands, so "latest" never points at a missing file
+                # lands, so "latest" never points at a missing file;
+                # the eviction victim outlives its replacement too.
                 save_checkpoint(target, snap)
+                if victim is not None and os.path.exists(victim):
+                    os.remove(victim)
                 self._write_state_file()
             self._submit(job)
         else:
             save_checkpoint(target, state)
+            if victim is not None and os.path.exists(victim):
+                os.remove(victim)
             self._write_state_file()
         return target
 

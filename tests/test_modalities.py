@@ -149,3 +149,66 @@ def test_loader_modality_dim_mismatch_raises(tmp_path):
     with pytest.raises(ValueError, match="nir.*16x48|16x48.*nir"):
         loader.load_stack(str(path), (32, 48), channels=4,
                           modalities=("nir",))
+
+
+def test_fused_score_multichannel_fallback():
+    """The packed Pallas front kernels hard-assume 3-channel images;
+    fused_score/fused_predict on a 4-channel (RGB+NIR) model must fall
+    back to the XLA path and match it exactly, not die at trace time
+    inside pack_enet_front_w (regression: the AL CLI wires -m
+    modalities straight into the default use_pallas scoring path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semanticsegmentationactivelearning_tpu.models import ENet
+    from semanticsegmentationactivelearning_tpu.ops import acquisition
+
+    rng = np.random.default_rng(13)
+    model = ENet(num_classes=5)
+    x = jnp.asarray(rng.uniform(size=(1, 64, 64, 4)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x, training=False)
+
+    got = np.asarray(model.fused_score(
+        variables, x, "entropy", use_pallas=True, interpret=True))
+    logits = model.apply(variables, x, training=False)
+    want = np.asarray(acquisition.mean_confidence(logits, "entropy", 5))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+    labels = np.asarray(model.fused_predict(
+        variables, x, use_pallas=True, interpret=True))
+    np.testing.assert_array_equal(
+        labels, np.argmax(np.asarray(logits), axis=-1))
+
+
+def test_icnet_fused_score_multichannel_fallback():
+    """Same guard for ICNet: 4-channel input takes the plain XLA
+    forward (the front kernels fold C=3 into their column-block
+    reshape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semanticsegmentationactivelearning_tpu.models import ICNet
+    from semanticsegmentationactivelearning_tpu.ops import acquisition
+
+    rng = np.random.default_rng(17)
+    model = ICNet(num_classes=5)
+    x = jnp.asarray(rng.uniform(size=(1, 64, 64, 4)).astype(np.float32))
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x,
+                           training=False))()
+
+    got = np.asarray(model.fused_score(
+        variables, x, "entropy", use_pallas=True, interpret=True))
+    cls4 = model.apply(variables, x, training=False,
+                       return_pre_logits=True)
+    want = np.asarray(acquisition.chunked_upsample_mean_confidence(
+        cls4, 4, "entropy", 5))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+    labels = np.asarray(model.fused_predict(
+        variables, x, use_pallas=True, interpret=True))
+    logits = model.apply(variables, x, training=False)
+    np.testing.assert_array_equal(
+        labels, np.argmax(np.asarray(logits), axis=-1))

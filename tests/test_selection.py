@@ -88,6 +88,34 @@ class TestKCenterGreedy:
         got_clusters = {int(p) // 10 for p in np.asarray(picks)}
         assert got_clusters == {1, 2}
 
+    def test_prefix_stability(self, pool):
+        # the AL CLI compiles once with the conf's selection_size and
+        # slices the first k picks of a shrunken final round — valid
+        # only because pick i depends solely on picks < i
+        emb, centers, candidates = pool
+        full, _ = selection.k_center_greedy(
+            jnp.asarray(emb), jnp.asarray(centers),
+            jnp.asarray(candidates), 10)
+        short, _ = selection.k_center_greedy(
+            jnp.asarray(emb), jnp.asarray(centers),
+            jnp.asarray(candidates), 4)
+        np.testing.assert_array_equal(np.asarray(full)[:4],
+                                      np.asarray(short))
+
+    def test_k_beyond_pool_prefix_valid(self):
+        # k > candidates.sum(): the first candidates.sum() picks drain
+        # the pool exactly; the overflow tail is sliced by the caller
+        rng = np.random.default_rng(9)
+        emb = rng.normal(size=(8, 4)).astype(np.float32)
+        centers = np.zeros(8, dtype=bool)
+        centers[:5] = True
+        candidates = ~centers
+        picks, _ = selection.k_center_greedy(
+            jnp.asarray(emb), jnp.asarray(centers),
+            jnp.asarray(candidates), 6)
+        first = np.asarray(picks)[:3]
+        assert sorted(first.tolist()) == [5, 6, 7]
+
     def test_min_dist_diagnostic(self, pool):
         emb, centers, candidates = pool
         _, min_dist = selection.k_center_greedy(

@@ -391,6 +391,29 @@ class TestCheckpoint:
         assert os.path.exists(p)
         checkpoint.restore_checkpoint(p, state)
 
+    @pytest.mark.parametrize("async_io", [False, True])
+    def test_save_fifo_eviction_after_write(self, setup, tmp_path,
+                                            async_io):
+        """Rapid successive saves past max_to_keep: the FIFO victim is
+        evicted only AFTER its replacement lands (a crash in between
+        must never shrink the on-disk set), checkpoint.json matches the
+        surviving files, and back-to-back async saves don't race the
+        in-flight job's state-file write."""
+        import json as _json
+        _m, _o, state = setup
+        mgr = checkpoint.CheckpointManager(str(tmp_path), max_to_keep=2,
+                                           async_io=async_io)
+        paths = [mgr.save("model", state) for _ in range(4)]
+        mgr.close()
+        assert not os.path.exists(paths[0])
+        assert not os.path.exists(paths[1])
+        assert os.path.exists(paths[2]) and os.path.exists(paths[3])
+        with open(tmp_path / "checkpoint.json") as fp:
+            meta = _json.load(fp)
+        assert meta["checkpoints"] == [os.path.basename(p)
+                                       for p in paths[2:]]
+        assert meta["save_counter"] == 4
+
     def test_chdir_keeps_counter(self, setup, tmp_path):
         _m, _o, state = setup
         mgr = checkpoint.CheckpointManager(str(tmp_path / "a"))
