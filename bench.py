@@ -108,9 +108,11 @@ def main():
     log(f"init: {time.time() - t0:.1f}s")
 
     # group several micro-batches per dispatch (lax.map): fixed per-call
-    # overhead through the TPU relay is ~26ms; 8x batch-16 fits HBM and
-    # measured 126.1 vs 123.4 img/s at group 4
-    group = int(os.environ.get("BENCH_GROUP", 8))
+    # overhead through the TPU relay is ~26ms; measured 315.7 img/s at
+    # group 16 vs 310.0 at group 8 vs 126.1/123.4 at 8/4 (round-2
+    # kernels). Group 32's fp32 input alone would be ~12.8G of 15.75G
+    # HBM — not probed.
+    group = int(os.environ.get("BENCH_GROUP", 16))
 
     # opt-in fusion knobs: ENet BENCH_FUSE="mid,tail" etc.; ICNet
     # BENCH_FUSE="nostem" falls back to the front-only kernel (the
