@@ -249,6 +249,34 @@ def main(args, logger):
         train_examples, local_bs, min_hw=in_hw,
         storage_hw=train_loader.storage_hw,
         channels=in_channels, modalities=modalities, with_label=False)
+    # Mixed-size pools (Vistas ships native resolutions): bucket the
+    # ranking pass into up to 3 storage windows so one oversized record
+    # doesn't inflate every decode/stack/H2D in the pool
+    # (loader.size_buckets). Conf knob active_learning.size_buckets:
+    # "auto" (default) plans 3 and keeps them only when they save
+    # >=15% stack bytes; an int forces that many; 0/1 disables.
+    # Single-host only: the multi-host global batch layout assumes one
+    # stream. The downstream crop shape is bucket-independent, so the
+    # score/embed steps and grouped dispatch are untouched.
+    rank_buckets = None
+    bucket_conf = alparams.get("size_buckets", "auto")
+    if nproc == 1 and bucket_conf not in (0, 1, False, None) \
+            and train_loader.record_dims is not None:
+        nb = 3 if bucket_conf == "auto" else int(bucket_conf)
+        plan, saving = loader.size_buckets(
+            train_loader.record_dims, nb, min_hw=in_hw)
+        if len(plan) > 1:
+            rank_buckets = [
+                (idx, loader.RecordLoader(
+                    train_examples, local_bs, storage_hw=hw,
+                    channels=in_channels, modalities=modalities,
+                    with_label=False))
+                for idx, hw in plan]
+            logger.info(
+                "Pool scoring in %d size buckets (windows %s): %.0f%% "
+                "fewer stack bytes than the global %s window",
+                len(plan), [hw for _, hw in plan], 100 * saving,
+                rank_loader.storage_hw)
     val_loader = loader.RecordLoader(val_examples, local_bs,
                                      min_hw=in_hw,
                                      modalities=modalities) \
@@ -354,9 +382,12 @@ def main(args, logger):
             return step(*args)
         return wrapped
 
-    train_step = make_train_step(model, optimizer, dataset.num_classes,
-                                 hparams, pseudo_cfg=pseudo_cfg,
-                                 mesh=mesh)
+    train_step = make_train_step(
+        model, optimizer, dataset.num_classes, hparams,
+        pseudo_cfg=pseudo_cfg, mesh=mesh,
+        # decay_steps must match make_optimizer above so the reported
+        # learning_rate is the one optax applies
+        steps_per_epoch=-(-max(len(labelled), 1) // batch_size))
     eval_step = _barriered(
         make_eval_step(model, dataset.num_classes, mesh=mesh),
         "al-eval-compiled")
@@ -436,11 +467,27 @@ def main(args, logger):
         embed_step = _barriered(make_embed_step(model, mesh=score_mesh),
                                 "al-embed-compiled")
 
+    group_score_step = None
     if nproc > 1:
-        # grouped dispatch concatenates buffered device arrays outside
-        # jit, which a process-spanning sharded array cannot do — the
-        # multi-host pool pass dispatches one global batch at a time
+        # host-side concat of process-spanning arrays is impossible, so
+        # multi-host grouping stacks the buffered global batches INSIDE
+        # jit instead (train.steps.make_group_score_step: leading-axis
+        # stack keeps row ownership, per-host chunks scored under
+        # shard_map). Data-only mesh, deterministic measures; the MC
+        # (BALD) scorer keeps per-dispatch keys and stays ungrouped.
         pool_score_step = None
+        if (score_group > 1 and not mc_measure
+                and score_mesh is not None
+                and tuple(score_mesh.axis_names) == ("data",)):
+            from semanticsegmentationactivelearning_tpu.train import (
+                make_group_score_step)
+            group_score_step = _barriered(
+                make_group_score_step(model, dataset.num_classes,
+                                      alparams["measure"], score_group,
+                                      score_mesh),
+                "al-group-score-compiled")
+            logger.info("Multi-host grouped pool dispatch: %d global "
+                        "batches per dispatch", score_group)
 
     # background checkpoint IO: each epoch's cache() overlaps the next
     # epoch's compute (the TrainState fetch through the TPU relay costs
@@ -451,6 +498,9 @@ def main(args, logger):
                                tensorboard=getattr(args, "tensorboard",
                                                    False))
     aug_rng = np.random.default_rng(args.seed + 2)
+    # base key for the per-round ranking passes (per-example crop
+    # derivation in pipeline.score_batch_indexed)
+    rank_key = jax.random.PRNGKey(args.seed + 13)
     # double-buffered H2D upload of the uint8 stacks (pre-sharded over
     # the mesh) so transfer overlaps the in-flight step's compute
     stack_sharding = parallel.data_sharded(mesh) if mesh is not None \
@@ -470,6 +520,27 @@ def main(args, logger):
             extra_keys=("labelled",) if with_labelled else (),
             extra_fn=(lambda b: {"labelled": labelled_flags[b["index"]]})
             if with_labelled else None)
+
+    def _rank_stream():
+        """Full-pool batch stream + batch count for the ranking/
+        embedding passes. With size buckets, per-bucket streams chain
+        (ascending window size); every batch's global ``index`` rows
+        keep the score scatter correct and the crop shape downstream
+        is bucket-independent."""
+        num_examples = len(train_examples)
+        if rank_buckets is None:
+            order = np.arange(num_examples)
+            return (_stream(rank_loader, order),
+                    -(-num_examples // batch_size))
+
+        def chain():
+            for idx, bucket_loader in rank_buckets:
+                yield from parallel.batch_stream(
+                    bucket_loader, idx, batch_size, None,
+                    sharding=stack_sharding)
+        total = sum(-(-len(idx) // batch_size)
+                    for idx, _ in rank_buckets)
+        return chain(), total
 
     if nproc > 1:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -534,12 +605,18 @@ def main(args, logger):
 
     _compiled = []
 
+    # step-resolution scalar cadence (reference wrote loss/cost/LR
+    # every iteration, train.py:167-176); 0 disables
+    summary_interval = int(params.get("summary_interval", 1))
+
     def run_train_epoch(tstate, epoch_desc):
         """One training epoch over the sampler's current set."""
         nonlocal train_step
         order = train_sampler.epoch_order()
         acc = xmetrics.ConfusionAccumulator(dataset.num_classes)
-        losses = []
+        iter_buf = cli.StepScalarBuffer(("loss", "cost",
+                                         "learning_rate"))
+        step0 = int(tstate.step)
         batches = cli.progress(
             _stream(train_loader, order, with_labelled=True),
             epoch_desc, total=-(-len(order) // batch_size))
@@ -565,10 +642,19 @@ def main(args, logger):
                     tstate, step_batch, k_drop).compile()
                 parallel.sync_processes("al-train-step-compiled")
             tstate, m = train_step(tstate, step_batch, k_drop)
-            losses.append(m["loss"])
+            iter_buf.append(m)
             acc.update(m["confusion"])
-        mean_loss = float(np.mean([float(x) for x in losses])) \
-            if losses else float("nan")
+        scalars = iter_buf.flush()      # [n_steps, 3], one relay fetch
+        if summary_interval > 0:
+            for i in range(0, scalars.shape[0], summary_interval):
+                writer.write({
+                    "split": "al_train_iter", "step": step0 + i + 1,
+                    "round": state["iteration"],
+                    "loss": float(scalars[i, 0]),
+                    "cost": float(scalars[i, 1]),
+                    "learning_rate": float(scalars[i, 2])})
+        mean_loss = float(scalars[:, 0].mean()) if len(scalars) \
+            else float("nan")
         return tstate, acc, mean_loss
 
     def run_eval(tstate, data_loader, desc):
@@ -608,7 +694,11 @@ def main(args, logger):
                 "epoch": epoch, "loss": mean_loss,
                 "val_mean_iou": val_miou,
                 "labelled": int(len(labelled)),
-                "no_improvement": no_improvement})
+                "no_improvement": no_improvement,
+                # per-epoch raw confusion counts (reference emitted the
+                # matrix summary each epoch, tensortools/metrics.py:
+                # 92-153)
+                "confusion": tacc.metrics()["ConfusionMat"].tolist()})
             if (pseudo_cadence > 0 and state["iteration"] > 0
                     and nproc == 1
                     and epoch % pseudo_cadence == 0):
@@ -656,7 +746,8 @@ def main(args, logger):
             "labelled": int(len(labelled)),
             "mean_iou": float(m["MeanIoU"]),
             "pixel_accuracy": float(m["PixelAccuracy"]),
-            "class_iou": m["ClassMeanIoU"].tolist()})
+            "class_iou": m["ClassMeanIoU"].tolist(),
+            "confusion": m["ConfusionMat"].tolist()})
         logger.info("test @%d labelled: mIoU %.4f", len(labelled),
                     m["MeanIoU"])
 
@@ -670,9 +761,9 @@ def main(args, logger):
         num_examples = len(train_examples)
         confidence = np.zeros(num_examples, dtype=np.float32)
         order = np.arange(num_examples)
-        batches = cli.progress(_stream(rank_loader, order),
-                               "ranking[%d]" % len(labelled),
-                               total=-(-num_examples // batch_size))
+        stream, total = _rank_stream()
+        batches = cli.progress(stream, "ranking[%d]" % len(labelled),
+                               total=total)
         # multi-host: per-batch global (index, valid) reconstructed
         # host-side; scores come back replicated so every process
         # scatters — and selects — identically
@@ -699,6 +790,13 @@ def main(args, logger):
                     buf_raw.append(buf_raw[-1])
                 scores = pool_score_step(
                     tstate, jnp.concatenate(buf_raw, axis=0))[:n_rows]
+            elif group_score_step is not None:
+                # multi-host grouped dispatch: tuple of global batches,
+                # [group, B] replicated scores back (row-aligned);
+                # padded tail chunks cut by the host-side slice below
+                while len(buf_raw) < score_group:
+                    buf_raw.append(buf_raw[-1])
+                scores = group_score_step(tstate, tuple(buf_raw))
             else:
                 scores = jnp.concatenate([
                     _replicate(score_step(tstate, {"image": r}))
@@ -709,24 +807,34 @@ def main(args, logger):
             buf_idx.clear()
             buf_valid.clear()
 
+        pass_key = jax.random.fold_in(rank_key,
+                                      int(state["iteration"]))
         for b in batches:
-            seed = int(aug_rng.integers(0, 2 ** 31 - 1))
-            raw = pipeline.score_batch(
-                b["stack"], b["heights"], b["widths"],
-                jax.random.PRNGKey(seed), crop_hw=in_hw,
-                channels=in_channels)
-            buf_raw.append(raw)
+            # per-EXAMPLE crop keys: an example's crop/flip depend only
+            # on (pass_key, global index), so scores are invariant to
+            # how the pool is chunked (size buckets, grouped dispatch,
+            # multi-host row layouts) and bit-identical across host
+            # counts. Multi-host indices come from the replicated
+            # global layout (identical on every process).
             if layouts is not None:
                 gidx, gval = next(layouts)
+                row_idx = np.maximum(gidx, 0)  # padding rows: any key
             else:
                 gidx, gval = b["index"], b["valid"]
+                row_idx = gidx
+            raw = pipeline.score_batch_indexed(
+                b["stack"], b["heights"], b["widths"], pass_key,
+                row_idx, crop_hw=in_hw, channels=in_channels)
+            buf_raw.append(raw)
             buf_idx.append(gidx)
             buf_valid.append(gval)
             if len(buf_raw) == score_group:
                 flush()
         flush()
         for scores, idx, val in pending:
-            scores = np.asarray(scores)
+            # grouped multi-host scores arrive [group, B]; flatten and
+            # trim the repeated tail padding to the real rows
+            scores = np.asarray(scores).reshape(-1)[:len(idx)]
             confidence[idx[val]] = scores[val]
 
         unlabelled_conf = confidence[unlabelled]
@@ -753,25 +861,28 @@ def main(args, logger):
         num_examples = len(train_examples)
         emb = None
         order = np.arange(num_examples)
-        batches = cli.progress(_stream(rank_loader, order),
-                               "embedding[%d]" % len(labelled),
-                               total=-(-num_examples // batch_size))
+        stream, total = _rank_stream()
+        batches = cli.progress(stream, "embedding[%d]" % len(labelled),
+                               total=total)
         layouts = (loader.RecordLoader.global_batch_layout(
             order, batch_size, nproc) if nproc > 1 else None)
         # embeddings stay on device until the very end (fetching syncs
         # the relay and would serialize the dispatch queue — same
         # pattern as rank_confidence above)
         pending = []
+        pass_key = jax.random.fold_in(rank_key,
+                                      int(state["iteration"]))
         for b in batches:
-            seed = int(aug_rng.integers(0, 2 ** 31 - 1))
-            raw = pipeline.score_batch(
-                b["stack"], b["heights"], b["widths"],
-                jax.random.PRNGKey(seed), crop_hw=in_hw,
-                channels=in_channels)
+            # per-example crop keys; see rank_confidence
             if layouts is not None:
                 gidx, gval = next(layouts)
+                row_idx = np.maximum(gidx, 0)
             else:
                 gidx, gval = b["index"], b["valid"]
+                row_idx = gidx
+            raw = pipeline.score_batch_indexed(
+                b["stack"], b["heights"], b["widths"], pass_key,
+                row_idx, crop_hw=in_hw, channels=in_channels)
             pending.append((
                 _replicate(embed_step(tstate, {"image": raw})),
                 gidx, gval))

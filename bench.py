@@ -14,7 +14,7 @@ throughput over that target.
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 Env knobs: BENCH_BATCH (default 16), BENCH_ITERS (default 20),
 BENCH_HW ("1024x2048"), BENCH_DTYPE ("bf16"|"fp32", default bf16),
-BENCH_MODEL ("ENet"|"ICNet", default ENet), BENCH_GROUP (default 4).
+BENCH_MODEL ("ENet"|"ICNet", default ENet), BENCH_GROUP (default 16).
 """
 
 import json

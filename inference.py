@@ -225,6 +225,20 @@ def main(args):
     # pool when csrc/ is built) so they overlap the next batch's predict
     # — the reference got the same overlap by encoding in-graph under
     # sess.run (inference.py:111-119)
+    # Live viewer: runs in a separate process CONCURRENTLY with the
+    # prediction loop, watching the shared path list (the reference's
+    # PlotThread in a multiprocessing.Process, inference.py:32-59,
+    # 137-142); results are browsable while long runs keep writing.
+    view_proc = None
+    view_paths = None
+    if args.view:
+        import multiprocessing
+        mp = multiprocessing.get_context("spawn")  # no forked jax state
+        view_manager = mp.Manager()
+        view_paths = view_manager.list()
+        view_proc = mp.Process(target=_view_process, args=(view_paths,))
+        view_proc.start()
+
     with png_writer.AsyncPngWriter() as writer:
         for b in cli.progress(batches, "inference",
                               total=rec_loader.num_batches()):
@@ -242,11 +256,13 @@ def main(args):
                 written.append(path)
                 logger.info("Writing processed sample %s", file_id)
             writer.submit(paths, out)
+            if view_paths is not None:
+                view_paths.extend(p for p in paths if p is not None)
     logger.info("Inference successfully finished (%d files).",
                 len(written))
 
-    if args.view:
-        _view(written)
+    if view_proc is not None:
+        view_proc.join()
     return 0
 
 
@@ -274,9 +290,27 @@ def _resolve_model_name(args):
     return "ENet"
 
 
+def _view_process(filepaths):
+    """Viewer child-process body: wait for the first prediction to land
+    (the reference's PlotThread busy-waited the same way,
+    inference.py:50-52), then start the key-nav figure over the shared
+    — still growing — path list."""
+    import time
+
+    while len(filepaths) == 0:
+        time.sleep(0.1)
+    try:
+        _view(filepaths)
+    except Exception:  # headless hosts: no display is non-fatal
+        logging.getLogger(__name__).exception("viewer exited")
+
+
 def _view(filepaths):
-    """matplotlib key-nav viewer (reference: inference.py:32-59),
-    in-process since there is no session loop to overlap with."""
+    """matplotlib key-nav viewer (reference: inference.py:32-59) over a
+    possibly still-growing path list; reads of a PNG the async writer
+    has not flushed yet are retried."""
+    import time
+
     import matplotlib.pyplot as plt
 
     state = {"idx": 0}
@@ -284,8 +318,17 @@ def _view(filepaths):
     ax = fig.gca()
 
     def show():
-        ax.imshow(plt.imread(filepaths[state["idx"]]))
-        ax.set_xlabel(os.path.basename(filepaths[state["idx"]]))
+        path = filepaths[state["idx"]]
+        for _ in range(50):
+            try:
+                img = plt.imread(path)
+                break
+            except (OSError, ValueError):
+                time.sleep(0.1)  # async writer still flushing
+        else:
+            return
+        ax.imshow(img)
+        ax.set_xlabel(os.path.basename(path))
         fig.canvas.draw()
 
     def on_key(event):

@@ -131,6 +131,78 @@ def probe_channels(path: str, modalities: Sequence[str] = ()) -> int:
     return total
 
 
+def size_buckets(record_dims: np.ndarray, num_buckets: int,
+                 min_hw: Optional[Tuple[int, int]] = None,
+                 min_saving: float = 0.15):
+    """Partition records into size buckets, one static storage window
+    per bucket, for mixed-size pools (Vistas ships native per-record
+    resolutions; the reference's tf.data handled arbitrary H x W
+    dynamically, tensortools/input.py:246-287, while XLA needs static
+    shapes).
+
+    A single global window sized by ``RecordLoader._scan_max_dims``
+    makes ONE oversized record inflate every decode, stack and H2D
+    transfer in the pool; bucketing pads only within each bucket.
+
+    Candidate windows come from equal-count quantile groups over the
+    records sorted by padded area (each window = the group's max (H, W),
+    clamped up to ``min_hw``, the network crop window); every record is
+    then assigned to the smallest candidate window it fits, and each
+    bucket's window is re-tightened to the max over its members.
+    Returns ``(plan, saving)`` where ``plan`` is a list of
+    ``(indices, storage_hw)`` in ascending window order and ``saving``
+    the fraction of global-window stack bytes avoided; when
+    ``saving < min_saving`` the plan degenerates to one global bucket
+    (one compiled shape costs nothing extra — don't multiply compiled
+    pipeline shapes for a few percent).
+    """
+    dims = np.asarray(record_dims, dtype=np.int64)
+    n = len(dims)
+    hw = dims.copy()
+    if min_hw is not None:
+        hw[:, 0] = np.maximum(hw[:, 0], min_hw[0])
+        hw[:, 1] = np.maximum(hw[:, 1], min_hw[1])
+    global_hw = (int(hw[:, 0].max()), int(hw[:, 1].max()))
+    order = np.argsort(hw[:, 0] * hw[:, 1], kind="stable")
+    num_buckets = max(1, min(int(num_buckets), n))
+    bounds = [(len(order) * k) // num_buckets
+              for k in range(num_buckets + 1)]
+    windows = []
+    for k in range(num_buckets):
+        idx = order[bounds[k]:bounds[k + 1]]
+        if len(idx) == 0:
+            continue
+        window = (int(hw[idx, 0].max()), int(hw[idx, 1].max()))
+        if window not in windows:
+            windows.append(window)
+    windows.sort(key=lambda w: (w[0] * w[1], w))
+    # each record -> smallest candidate window that fits both dims
+    # (the last window is the global max, so everything fits somewhere)
+    members = {w: [] for w in windows}
+    for i in range(n):
+        for w in windows:
+            if hw[i, 0] <= w[0] and hw[i, 1] <= w[1]:
+                members[w].append(i)
+                break
+        else:
+            members[windows[-1]].append(i)
+    plan = []
+    for w in windows:
+        idx = np.asarray(members[w], dtype=np.int64)
+        if len(idx) == 0:
+            continue
+        tight = (int(hw[idx, 0].max()), int(hw[idx, 1].max()))
+        if plan and plan[-1][1] == tight:
+            plan[-1] = (np.concatenate([plan[-1][0], idx]), tight)
+        else:
+            plan.append((idx, tight))
+    total = sum(len(idx) * w[0] * w[1] for idx, w in plan)
+    saving = 1.0 - total / float(n * global_hw[0] * global_hw[1])
+    if len(plan) <= 1 or saving < min_saving:
+        return [(np.arange(n), global_hw)], 0.0
+    return [(np.sort(idx), w) for idx, w in plan], saving
+
+
 class RecordLoader:
     """Batched, prefetching loader over a list of ``.tfrecord`` paths.
 
@@ -187,6 +259,7 @@ class RecordLoader:
             # the C++ fast path decodes image+label only; modality
             # stacking takes the (equivalent) Python route
             self._native = None
+        self.record_dims: Optional[np.ndarray] = None
         if storage_hw is None:
             if len(self.filenames) == 0:
                 raise ValueError("Empty dataset and no storage_hw given")
@@ -213,6 +286,8 @@ class RecordLoader:
                 self.num_workers) as pool:
             dims = list(pool.map(
                 lambda p: example.peek_dims(str(p))[:2], self.filenames))
+        # cache per-record dims for size-bucket planning (size_buckets)
+        self.record_dims = np.asarray(dims, dtype=np.int64)
         return (max(d[0] for d in dims), max(d[1] for d in dims))
 
     @property

@@ -136,6 +136,48 @@ def score_batch(stack: jnp.ndarray, heights: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("crop_hw", "channels"))
+def score_batch_indexed(stack: jnp.ndarray, heights: jnp.ndarray,
+                        widths: jnp.ndarray, pass_key: jax.Array,
+                        index: jnp.ndarray, crop_hw: Tuple[int, int],
+                        channels: int | None = None) -> jnp.ndarray:
+    """:func:`score_batch` with per-EXAMPLE crop/flip randomness.
+
+    Each row's PRNG key is ``fold_in(pass_key, global example index)``,
+    so for a fixed ``pass_key`` an example's crop window and flip are
+    functions of the example alone — pool scores become invariant to
+    how the pool is batched (grouped dispatch, size buckets and
+    multi-host row layouts all re-chunk the stream). The per-batch
+    :func:`score_batch` draws fresh randomness per dispatch instead,
+    which ties scores to the batch composition.
+
+    :param pass_key: one key per ranking pass (e.g. per AL round)
+    :param index:    ``[B]`` int global example indices
+    """
+    crop_h, crop_w = crop_hw
+
+    def one(stack_i, h_i, w_i, idx_i):
+        key_i = jax.random.fold_in(pass_key, idx_i)
+        kt, kl, kf = jax.random.split(key_i, 3)
+        top = jnp.floor(
+            jax.random.uniform(kt)
+            * (jnp.maximum(h_i - crop_h, 0) + 1)).astype(jnp.int32)
+        left = jnp.floor(
+            jax.random.uniform(kl)
+            * (jnp.maximum(w_i - crop_w, 0) + 1)).astype(jnp.int32)
+        crop = jax.lax.dynamic_slice(
+            stack_i, (top, left, 0),
+            (crop_h, crop_w, stack_i.shape[-1]))
+        flip = jax.random.bernoulli(kf, 0.5)
+        return jnp.where(flip, crop[:, ::-1, :], crop)
+
+    crops = jax.vmap(one)(stack, heights, widths,
+                          index.astype(jnp.int32))
+    if channels is not None:
+        crops = crops[..., :channels]
+    return crops.astype(jnp.float32) / 255.0
+
+
+@functools.partial(jax.jit, static_argnames=("crop_hw", "channels"))
 def eval_batch(stack: jnp.ndarray, heights: jnp.ndarray,
                widths: jnp.ndarray, crop_hw: Tuple[int, int],
                channels: int = 3):

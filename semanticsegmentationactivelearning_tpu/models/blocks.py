@@ -319,19 +319,24 @@ class BottleneckUpsample(nn.Module):
 class Final(nn.Module):
     """3x3/s2 transpose conv to class logits (enet_modules.py:1294-1381).
 
-    Computes in the model dtype but emits float32 logits so loss /
-    softmax numerics are dtype-independent. ``phase=True`` emits the
-    polyphase logits ``[N, H/2, 2W, classes]`` (``ops.nn.s2d_plane``
+    Computes in the model dtype and by default emits float32 logits so
+    loss / softmax numerics are dtype-independent. ``fp32_out=False``
+    emits the compute dtype instead — the CE loss and argmax upcast
+    per-element in registers, so the lane-padded logits plane's HBM
+    traffic halves (bf16) while loss accumulation stays fp32; only the
+    bf16 rounding of individual logits differs. ``phase=True`` emits
+    the polyphase logits ``[N, H/2, 2W, classes]`` (``ops.nn.s2d_plane``
     pixel order) so per-pixel training consumers never materialize the
     full-resolution lane-padded plane."""
 
     classes: int
     dtype: Any = jnp.float32
     conv_impl: str = "auto"
+    fp32_out: bool = True
 
     @nn.compact
     def __call__(self, x, phase: bool = False):
         out = ConvTranspose(self.classes, dtype=self.dtype,
                             impl=self.conv_impl, name="deconv")(
                                 x, phase=phase)
-        return out.astype(jnp.float32)
+        return out.astype(jnp.float32) if self.fp32_out else out

@@ -45,6 +45,10 @@ class ENet(nn.Module):
     # compile time under the matmul lowering) and on CPU;
     # "matmul"/"lax" force one lowering everywhere
     conv_impl: str = "auto"
+    # False emits logits in the compute dtype (bf16 on TPU): CE/argmax
+    # consumers upcast in registers, halving the logits plane's HBM
+    # traffic; True keeps dtype-independent fp32 logits
+    fp32_logits: bool = True
 
     # equal per-head loss weighting (see __call__ loss-head contract)
     ms_loss_weights = None
@@ -111,7 +115,7 @@ class ENet(nn.Module):
                                         conv_impl=ci,
                                         name="Bottleneck5_1")
         self.Final_ = Final(self.num_classes, dtype=dt, conv_impl=ci,
-                            name="Final")
+                            fp32_out=self.fp32_logits, name="Final")
 
         # Multiscale-loss endpoint heads (1x1 conv to classes), one per
         # endpoint below the final logits (losses.py:122-132).

@@ -88,7 +88,9 @@ def _mesh_shardings(mesh):
 def make_train_step(model, optimizer: optax.GradientTransformation,
                     num_classes: int, hyperparams: Dict[str, Any],
                     pseudo_cfg: Optional[Dict[str, Any]] = None,
-                    mesh=None, phase_logits: Optional[bool] = None):
+                    mesh=None, phase_logits: Optional[bool] = None,
+                    steps_per_epoch: int = 1,
+                    remat: Optional[str] = None):
     """Build the jitted supervised (or pseudo-labeling) train step.
 
     :param hyperparams: the conf ``hyperparams`` block (C22 schema)
@@ -98,6 +100,21 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                         parallelism: batch sharded over devices, params
                         replicated, gradient/metric reductions become
                         ICI psums inserted by XLA
+    :param steps_per_epoch: the inverse-time LR decay's ``decay_steps``
+                        (must match what ``optim.make_optimizer`` was
+                        built with) so the step can report the decayed
+                        ``learning_rate`` it is about to apply — the
+                        reference exposed it as a per-iteration scalar
+                        summary (train.py:167-176) and it is otherwise
+                        unobservable inside the optax transformation
+    :param remat:       rematerialization of the training forward for
+                        the backward pass: ``None`` keeps XLA's default
+                        residual saving; ``"dots"`` saves matmul/conv
+                        outputs only (``jax.checkpoint`` with the
+                        dots_with_no_batch_dims_saveable policy) so the
+                        elementwise BN/PReLU/shift temporaries are
+                        recomputed instead of round-tripping HBM;
+                        ``"all"`` recomputes the whole forward
     :param phase_logits: consume the model's polyphase logits and
                         ``ops.nn.s2d_plane``-permuted labels/masks —
                         identical loss (mod fp32 reassociation) and
@@ -127,6 +144,11 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
     # primary head is the CE target; the multiscale cascade CE resizes
     # full-resolution labels per head, so there phase feeds metrics only
     phase_ce = use_phase and not multiscale
+    from . import optim as _optim
+    lr_schedule = _optim.make_schedule(
+        hyperparams.get("learning_rate", 5e-4),
+        hyperparams.get("learning_rate_decay", 0.0),
+        max(int(steps_per_epoch), 1))
 
     sh = _mesh_shardings(mesh)
     jit_kwargs = {}
@@ -163,12 +185,25 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
             label = jnp.where(labelled, label, pseudo_label)
             mask = jnp.where(labelled, mask, pseudo_mask)
 
-        def loss_fn(params):
-            outputs, mutated = model.apply(
+        def fwd(params, image, key):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 image, training=True, multiscale=multiscale,
                 rngs={"dropout": key}, mutable=["batch_stats"],
                 **({"return_phase_logits": True} if use_phase else {}))
+
+        if remat == "all":
+            fwd = jax.checkpoint(fwd)
+        elif remat == "dots":
+            fwd = jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable)
+        elif remat is not None:
+            raise ValueError(f"remat must be None|'dots'|'all', "
+                             f"got {remat!r}")
+
+        def loss_fn(params):
+            outputs, mutated = fwd(params, image, key)
             if multiscale:
                 logits, loss_heads = outputs
                 loss = losses.multiscale_masked_softmax_cross_entropy(
@@ -207,7 +242,12 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                                   batch_stats=new_stats,
                                   opt_state=new_opt_state,
                                   step=state.step + 1)
+        # the decayed LR this update applied (optax schedules index by
+        # the pre-increment update count, which equals state.step here)
+        lr = jnp.asarray(lr_schedule(state.step) if callable(lr_schedule)
+                         else lr_schedule, jnp.float32)
         return new_state, {"loss": loss, "cost": cost,
+                           "learning_rate": lr,
                            "confusion": conf_mat}
 
     return train_step
@@ -367,6 +407,58 @@ def make_pool_score_step(model, num_classes: int, measure: str,
         return scores.reshape(-1)
 
     return pool_score
+
+
+def make_group_score_step(model, num_classes: int, measure: str,
+                          group: int, mesh, fused: bool = True):
+    """Grouped pool scorer for MULTI-HOST meshes: ``group`` loader
+    batches -> ONE dispatch (amortizing the fixed per-dispatch
+    overhead, ~26ms through the TPU relay), without ever concatenating
+    process-spanning arrays on the host.
+
+    ``make_pool_score_step`` concatenates buffered device batches
+    host-side, which only works when every shard is addressable;
+    across processes the batches instead arrive as a TUPLE of
+    ``group`` globally-sharded ``[B, H, W, C]`` arrays. ``jnp.stack``
+    along a NEW leading axis preserves each device's row ownership
+    (``P(None, "data")`` — zero communication, unlike a batch-axis
+    concatenate), and the per-device ``[group, B/n, ...]`` block is
+    scored chunk-by-chunk under ``jax.shard_map`` — which also keeps
+    the fused Pallas kernels enabled per shard (the custom call has no
+    GSPMD partitioning rule). Requires a pure ``("data",)`` mesh.
+
+    Returns ``group_score(state, chunks) -> [group, B]`` scores
+    replicated over the mesh, row-aligned with each input batch.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    if tuple(mesh.axis_names) != ("data",):
+        raise ValueError(
+            "make_group_score_step needs a pure ('data',) mesh, got "
+            f"{mesh.axis_names}")
+    from ..parallel import mesh as pmesh
+    score_impl = _make_score_impl(model, num_classes, measure, fused,
+                                  allow_pallas=True)
+    repl = pmesh.replicated(mesh)
+    data = pmesh.data_sharded(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, tuple([data] * group)),
+        out_shardings=repl)
+    def group_score(state: TrainState, chunks):
+        x = jnp.stack(chunks)          # [group, B, H, W, C], no comms
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(None, "data")))
+
+        def local(state, xs):          # xs: [group, B/n, ...]
+            return jax.lax.map(lambda im: score_impl(state, im), xs)
+
+        # check_vma=False: see make_pool_score_step
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(None, "data")),
+            out_specs=P(None, "data"), check_vma=False)(state, x)
+
+    return group_score
 
 
 def make_embed_step(model, mesh=None):

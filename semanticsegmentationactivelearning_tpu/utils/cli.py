@@ -174,6 +174,49 @@ def enable_compilation_cache(log_dir: Optional[str] = None) -> None:
         pass
 
 
+class StepScalarBuffer:
+    """Device-side per-step scalar buffer for iteration-cadence metrics
+    (the reference's per-iteration loss/cost/LR scalar summaries,
+    reference train.py:167-176, 339-341).
+
+    ``append`` keeps the jit-returned device scalars un-fetched;
+    ``flush`` stacks them in fixed-size chunks (one compiled shape,
+    independent of epoch length) and fetches each chunk as ONE array.
+    Fetching every step scalar individually pays the TPU relay's ~26 ms
+    round-trip per value — seconds per epoch; this costs a handful of
+    round-trips per epoch total."""
+
+    _CHUNK = 64  # rows per stacked fetch; one compiled shape per key set
+
+    def __init__(self, keys):
+        self.keys = tuple(keys)
+        self._rows = []
+
+    def append(self, metrics) -> None:
+        self._rows.append([metrics[k] for k in self.keys])
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    def flush(self):
+        """Return ``[n_steps, len(keys)]`` float32 host array."""
+        import numpy as np
+
+        rows, self._rows = self._rows, []
+        k = len(self.keys)
+        if not rows:
+            return np.zeros((0, k), np.float32)
+        import jax.numpy as jnp
+        flat = [jnp.asarray(x, jnp.float32)
+                for row in rows for x in row]
+        chunk = self._CHUNK * k
+        pad = (-len(flat)) % chunk
+        flat = flat + flat[-1:] * pad
+        out = [np.asarray(jnp.stack(flat[i:i + chunk]))
+               for i in range(0, len(flat), chunk)]
+        return np.concatenate(out)[:len(rows) * k].reshape(len(rows), k)
+
+
 class MetricsWriter:
     """Append-only JSONL metrics log under the log dir — the rebuild's
     native equivalent of the reference's TensorBoard scalar summaries

@@ -48,6 +48,41 @@ def records(tmp_path_factory):
     return out
 
 
+@pytest.fixture(scope="module")
+def mixed_records(tmp_path_factory):
+    """Freiburg-layout records with two native sizes (32x48 and 64x96,
+    alternating) — a mixed-size pool like real Vistas; the ETL keeps
+    per-record dims (no --width)."""
+    root = tmp_path_factory.mktemp("freiburg_mixed")
+    rng = np.random.default_rng(3)
+    colors = np.array([(170, 170, 170), (0, 255, 0), (102, 102, 51),
+                       (0, 120, 255), (0, 0, 0)], dtype=np.uint8)
+    img_colors = np.array([(200, 40, 40), (40, 200, 40), (40, 40, 200),
+                           (200, 200, 40), (40, 200, 200)],
+                          dtype=np.uint8)
+    for split, n in [("train", 26), ("test", 2)]:
+        (root / split / "GT_color").mkdir(parents=True)
+        (root / split / "rgb").mkdir(parents=True)
+        for i in range(n):
+            h, w = (32, 48) if i % 2 == 0 else (64, 96)
+            idx = rng.integers(0, len(colors), (h // 8, w // 8))
+            big = np.kron(idx, np.ones((8, 8), np.int64))
+            Image.fromarray(colors[big]).save(
+                root / split / "GT_color" / f"{split[0]}{i:03d}_mask.png")
+            img = np.clip(img_colors[big].astype(int) +
+                          rng.integers(-20, 20, (h, w, 3)),
+                          0, 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                root / split / "rgb" / f"{split[0]}{i:03d}.png")
+    out = tmp_path_factory.mktemp("records_mixed")
+    res = subprocess.run(
+        [sys.executable, "generate_dataset.py", "-d", str(root),
+         "-t", "freiburg", "-o", str(out)], cwd=REPO,
+        capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    return out
+
+
 def _conf(tmp_path, selection_size=3, measure="entropy",
           iterations=2, model="ENet", input_hw=(32, 48),
           extra_al=None):
@@ -214,6 +249,38 @@ class TestActiveLearningCLI:
                          model="ICNet", input_hw=(32, 64)))
         assert res.returncode != 0
         assert "needs a model with" in res.stderr + res.stdout
+
+    def test_size_buckets_reduce_bytes_keep_selection(
+            self, mixed_records, tmp_path):
+        """Mixed-size pools: the ranking pass splits into per-size
+        storage windows (loader.size_buckets) — one oversized record
+        no longer inflates every pool decode/stack/H2D — while
+        selections are IDENTICAL to the single-window run (crops are
+        per-example-keyed, pipeline.score_batch_indexed, so scores
+        don't depend on how the pool is chunked)."""
+        results = {}
+        for tag, knob in [("bucketed", "auto"), ("flat", 0)]:
+            log_dir = tmp_path / f"al_{tag}"
+            conf_dir = tmp_path / tag
+            conf_dir.mkdir()
+            res = _run(mixed_records, log_dir,
+                       _conf(conf_dir, iterations=1,
+                             extra_al={"size_buckets": knob}))
+            assert res.returncode == 0, \
+                res.stdout[-3000:] + res.stderr[-3000:]
+            results[tag] = (res, json.loads(
+                (log_dir / "state.json").read_text()))
+        res_b, state_b = results["bucketed"]
+        res_f, state_f = results["flat"]
+        out_b = res_b.stdout + res_b.stderr
+        assert "size buckets" in out_b, out_b[-2000:]
+        assert "size buckets" not in res_f.stdout + res_f.stderr
+        # identical labelled sets -> identical ranking despite the
+        # smaller per-bucket stacks
+        assert state_b["dataset"]["train"]["labelled"] == \
+            state_f["dataset"]["train"]["labelled"]
+        assert state_b["dataset"]["train"]["unlabelled"] == \
+            state_f["dataset"]["train"]["unlabelled"]
 
     def test_icnet_end_to_end(self, records, tmp_path):
         """The second model family through the full AL loop: ICNet's

@@ -246,9 +246,15 @@ def test_two_process_active_learning_cli(tmp_path):
              str(conf_path)],
             cwd=REPO, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True))
+    outs = []
     for p in procs:
         out, err = p.communicate(timeout=840)
         assert p.returncode == 0, out + err
+        outs.append(out + err)
+    # grouped pool dispatch engages multi-host (VERDICT r3 weak #5:
+    # it used to be unconditionally disabled for nproc > 1)
+    assert any("Multi-host grouped pool dispatch" in o for o in outs), \
+        outs[0][-2000:]
 
     state = json.loads((log_dir / "state.json").read_text())
     assert state["iteration"] == 1
@@ -284,6 +290,36 @@ def test_two_process_active_learning_cli(tmp_path):
     mean_sp = [l for l in lines_sp
                if l["split"] == "al_confidence"][0]["mean"]
     assert abs(mean_mh - mean_sp) < 5e-3, (mean_mh, mean_sp)
+
+    # two-process UNGROUPED run (score_group=1): the selection must be
+    # IDENTICAL to the grouped two-process run — grouping only changes
+    # the dispatch packaging, and the per-example crop keys
+    # (pipeline.score_batch_indexed) make scores chunking-invariant
+    conf2 = json.loads(conf_path.read_text())
+    conf2["active_learning"]["score_group"] = 1
+    conf2_path = tmp_path / "conf_ungrouped.json"
+    conf2_path.write_text(json.dumps(conf2))
+    port = _free_port()
+    log_ug = tmp_path / "al_mh_ungrouped"
+    procs = []
+    for pid in range(2):
+        env = dict(base_env, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1",
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid),
+                   JAX_COMPILATION_CACHE_DIR="/tmp/ssal_test_jax_cache")
+        procs.append(subprocess.Popen(
+            [sys.executable, "active_learning.py", "freiburg",
+             "-d", str(records), "-l", str(log_ug), "-p",
+             str(conf2_path)],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        out, err = p.communicate(timeout=840)
+        assert p.returncode == 0, out + err
+    state_ug = json.loads((log_ug / "state.json").read_text())
+    assert state_ug["dataset"]["train"]["labelled"] == \
+        state["dataset"]["train"]["labelled"]
 
 
 @pytest.mark.xdist_group("multihost")

@@ -161,6 +161,46 @@ class TestDataParallelSteps:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+class TestGroupScoreStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = ENet(num_classes=C)
+        optimizer = optim.make_optimizer(HPARAMS)
+        state = create_train_state(model, optimizer,
+                                   jax.random.PRNGKey(0), HW)
+        return model, optimizer, state
+
+    def test_group_score_matches_per_batch(self, setup):
+        """Multi-host grouped dispatch (tuple of sharded batches
+        stacked inside jit, per-shard chunks under shard_map) must
+        score exactly like the per-batch path — grouping only changes
+        the dispatch packaging (train.steps.make_group_score_step)."""
+        from semanticsegmentationactivelearning_tpu.train import (
+            make_group_score_step)
+        model, _opt, state = setup
+        mesh = make_mesh(8)
+        batches = [_batch(8, seed=s)["image"] for s in (1, 2, 3)]
+        group = make_group_score_step(model, C, "entropy", group=3,
+                                      mesh=mesh)
+        got = np.asarray(group(state, tuple(
+            jnp.asarray(b) for b in batches)))
+        assert got.shape == (3, 8)
+        single_sc = make_score_step(model, C, "entropy", mesh=mesh)
+        want = np.stack([
+            np.asarray(single_sc(state, {"image": b}))
+            for b in batches])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_group_score_rejects_spatial_mesh(self, setup):
+        from semanticsegmentationactivelearning_tpu.train import (
+            make_group_score_step)
+        model, _opt, _state = setup
+        mesh = make_mesh(8, ("data", "space"))
+        with pytest.raises(ValueError, match="data"):
+            make_group_score_step(model, C, "entropy", group=2,
+                                  mesh=mesh)
+
+
 class TestSpatialScoreStep:
     """Full spatially-sharded scoring: on a ("data","space") mesh the
     whole ENet forward runs width-sharded (GSPMD inserts per-conv halo

@@ -120,6 +120,79 @@ class TestScoreBatch:
                                       np.asarray(raw))
 
 
+class TestScoreBatchIndexed:
+    def test_invariant_to_batch_chunking(self):
+        """Per-example crop keys: an example's crop/flip depend only on
+        (pass_key, global index), so scores can't change when the pool
+        is re-chunked (size buckets, grouped dispatch)."""
+        rng = np.random.default_rng(0)
+        stack = rng.integers(0, 255, (4, 16, 24, 3), np.uint8)
+        h = np.array([16, 12, 16, 10], np.int32)
+        w = np.array([24, 20, 18, 24], np.int32)
+        key = jax.random.PRNGKey(7)
+        idx = np.arange(4, dtype=np.int32)
+        full = np.asarray(pipeline.score_batch_indexed(
+            stack, h, w, key, idx, crop_hw=(8, 12)))
+        # same rows re-chunked (reversed pairs) must crop identically
+        order = np.array([2, 3, 0, 1])
+        re = np.asarray(pipeline.score_batch_indexed(
+            stack[order], h[order], w[order], key, idx[order],
+            crop_hw=(8, 12)))
+        np.testing.assert_array_equal(re, full[order])
+        # different pass keys change the crops (randomness is real)
+        other = np.asarray(pipeline.score_batch_indexed(
+            stack, h, w, jax.random.PRNGKey(8), idx, crop_hw=(8, 12)))
+        assert not np.array_equal(other, full)
+
+    def test_channels_slice(self):
+        stack = _make_stack()
+        out = pipeline.score_batch_indexed(
+            stack, np.array([16, 12], np.int32),
+            np.array([24, 20], np.int32), jax.random.PRNGKey(0),
+            np.arange(2, dtype=np.int32), crop_hw=(8, 12), channels=3)
+        assert out.shape == (2, 8, 12, 3)
+
+
+class TestSizeBuckets:
+    def test_partition_and_windows(self):
+        dims = np.array([[32, 48]] * 5 + [[64, 96]] * 5)
+        plan, saving = loader.size_buckets(dims, 3, min_hw=(32, 48))
+        assert len(plan) == 2  # equal-window groups merge
+        sizes = sorted((tuple(hw), len(idx)) for idx, hw in plan)
+        assert sizes == [((32, 48), 5), ((64, 96), 5)]
+        all_idx = np.sort(np.concatenate([idx for idx, _ in plan]))
+        np.testing.assert_array_equal(all_idx, np.arange(10))
+        # bytes saved vs the global 64x96 window
+        assert saving == pytest.approx(
+            1 - (5 * 32 * 48 + 5 * 64 * 96) / (10 * 64 * 96))
+
+    def test_min_hw_clamps_windows(self):
+        dims = np.array([[8, 8]] * 4 + [[64, 96]] * 4)
+        plan, _ = loader.size_buckets(dims, 2, min_hw=(32, 48))
+        assert plan[0][1] == (32, 48)  # clamped up to the crop window
+
+    def test_small_saving_degenerates_to_one_bucket(self):
+        dims = np.array([[30, 46]] * 5 + [[32, 48]] * 5)
+        plan, saving = loader.size_buckets(dims, 3, min_hw=(30, 46))
+        assert len(plan) == 1 and saving == 0.0
+        assert plan[0][1] == (32, 48)
+        np.testing.assert_array_equal(plan[0][0], np.arange(10))
+
+    def test_uniform_sizes_single_bucket(self):
+        dims = np.array([[32, 48]] * 7)
+        plan, saving = loader.size_buckets(dims, 3)
+        assert len(plan) == 1 and saving == 0.0
+
+    def test_loader_caches_record_dims(self, record_dir):
+        files = sorted(
+            str(record_dir / f) for f in record_dir.iterdir()
+            if str(f).endswith(".tfrecord"))
+        ld = loader.RecordLoader(files, 2)
+        assert ld.record_dims is not None
+        assert ld.record_dims.shape == (len(files), 2)
+        assert tuple(ld.record_dims.max(axis=0)) == ld.storage_hw
+
+
 class TestEvalBatch:
     def test_center_crop(self):
         stack = np.zeros((1, 16, 16, 4), dtype=np.uint8)

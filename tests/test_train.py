@@ -81,6 +81,84 @@ class TestTrainStep:
         assert conf.shape == (C, C)
         assert conf.sum() == 2 * HW[0] * HW[1]
 
+    def test_remat_matches_default(self, setup):
+        # remat only changes WHEN the forward recomputes, not the math:
+        # one step with remat="dots"/"all" must match the default step
+        model, optimizer, state = setup
+        batch = _batch()
+        key = jax.random.PRNGKey(3)
+        outs = {}
+        for mode in (None, "dots", "all"):
+            s = jax.tree.map(jnp.copy, state)
+            step = make_train_step(model, optimizer, C, HPARAMS,
+                                   remat=mode)
+            s, m = step(s, batch, key)
+            outs[mode] = (s, m)
+        for mode in ("dots", "all"):
+            # recompute changes fp association; Adam's m/sqrt(v) then
+            # amplifies ~1e-7 grad drift on near-zero grads, so the
+            # bound is absolute on the ~1e-3-sized update, not relative
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a, np.float32),
+                    np.asarray(b, np.float32), rtol=1e-3, atol=1e-5),
+                outs[None][0].params, outs[mode][0].params)
+            np.testing.assert_allclose(float(outs[mode][1]["loss"]),
+                                       float(outs[None][1]["loss"]),
+                                       rtol=1e-6)
+
+    def test_bf16_logits_close_to_fp32(self):
+        # fp32_logits=False: CE/confusion consume compute-dtype logits;
+        # loss must track the fp32-logits model closely
+        key = jax.random.PRNGKey(0)
+        batch = _batch()
+        out = {}
+        for fp32 in (True, False):
+            model = ENet(num_classes=C, dtype=jnp.bfloat16,
+                         fp32_logits=fp32)
+            optimizer = optim.make_optimizer(HPARAMS)
+            state = create_train_state(model, optimizer, key, HW)
+            step = make_train_step(model, optimizer, C, HPARAMS)
+            _, m = step(state, batch, jax.random.PRNGKey(1))
+            out[fp32] = m
+        assert np.asarray(out[False]["confusion"]).sum() \
+            == np.asarray(out[True]["confusion"]).sum()
+        np.testing.assert_allclose(float(out[False]["loss"]),
+                                   float(out[True]["loss"]), rtol=5e-2)
+
+    def test_reported_learning_rate_decays(self, setup):
+        # the step reports the decayed LR it applies (reference exposed
+        # it as a per-iteration scalar summary, train.py:167-176)
+        model, optimizer, state = setup
+        hp = dict(HPARAMS, learning_rate_decay=2.0)
+        opt = optim.make_optimizer(hp, steps_per_epoch=4)
+        state = state.replace(opt_state=opt.init(state.params))
+        step = make_train_step(model, opt, C, hp, steps_per_epoch=4)
+        batch = _batch()
+        lrs = []
+        for i in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+            lrs.append(float(m["learning_rate"]))
+        # inverse-time decay: lr / (1 + rate * step / decay_steps)
+        expect = [1e-3 / (1.0 + 2.0 * s / 4) for s in range(3)]
+        np.testing.assert_allclose(lrs, expect, rtol=1e-6)
+
+    def test_step_scalar_buffer_single_fetch(self, setup):
+        # device-side buffering: values survive the chunked stack/fetch
+        # across the chunk boundary (chunk=64) and the buffer drains
+        from semanticsegmentationactivelearning_tpu.utils import cli
+        buf = cli.StepScalarBuffer(("loss", "cost"))
+        n = 70
+        for i in range(n):
+            buf.append({"loss": jnp.float32(i),
+                        "cost": jnp.float32(2 * i + 1)})
+        assert len(buf) == n
+        out = buf.flush()
+        assert out.shape == (n, 2) and len(buf) == 0
+        np.testing.assert_allclose(out[:, 0], np.arange(n))
+        np.testing.assert_allclose(out[:, 1], 2 * np.arange(n) + 1)
+        assert buf.flush().shape == (0, 2)
+
     def test_invalid_examples_excluded(self, setup):
         model, optimizer, state = setup
         step = make_train_step(model, optimizer, C, HPARAMS)

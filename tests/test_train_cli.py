@@ -100,6 +100,26 @@ def test_train_cli_end_to_end(records, tiny_conf, tmp_path):
     # the task is trivially learnable: loss must drop epoch 1 -> 2
     train_lines = [l for l in lines if l["split"] == "train"]
     assert train_lines[1]["loss"] < train_lines[0]["loss"]
+    # step-resolution scalars (reference train.py:167-176): one record
+    # per train step with loss / total cost / decayed LR
+    iters = [l for l in lines if l["split"] == "train_iter"]
+    assert iters, "no per-iteration scalar records"
+    steps = [l["step"] for l in iters]
+    assert steps == sorted(steps) and len(set(steps)) == len(steps)
+    assert all(np.isfinite(l["loss"]) and np.isfinite(l["cost"])
+               for l in iters)
+    # decay 0.0 -> constant LR, observable every step
+    assert all(abs(l["learning_rate"] - 1e-3) < 1e-9 for l in iters)
+    # per-step losses reconcile with the epoch aggregate
+    ep1 = [l["loss"] for l in iters if l["epoch"] == 1]
+    assert len(ep1) > 1
+    assert abs(np.mean(ep1) - train_lines[0]["loss"]) < 1e-4
+    # per-epoch raw confusion matrices (reference metrics.py:92-153)
+    val_lines = [l for l in lines if l["split"] == "val"]
+    for rec in (train_lines[0], val_lines[0]):
+        conf = np.asarray(rec["confusion"])
+        assert conf.ndim == 2 and conf.shape[0] == conf.shape[1]
+        assert conf.sum() > 0
     # per-epoch colorized image summaries (reference train.py:178-206)
     image_names = sorted(p.name for p in (log_dir / "images").glob("*"))
     assert "val-00001-0-pred.png" in image_names

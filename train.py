@@ -178,7 +178,8 @@ def main(args):
                      "global device count %d", jax.device_count())
         return 1
     train_step = make_train_step(model, optimizer, dataset.num_classes,
-                                 hparams, mesh=mesh)
+                                 hparams, mesh=mesh,
+                                 steps_per_epoch=train_batches)
     eval_step = make_eval_step(model, dataset.num_classes, mesh=mesh)
     # double-buffered H2D upload of the uint8 stacks (pre-sharded over
     # the mesh) so transfer overlaps the in-flight step's compute
@@ -210,6 +211,9 @@ def main(args):
 
     aug_rng = np.random.default_rng(args.seed)
     order_rng = np.random.default_rng(args.seed + 1)
+    # step-resolution scalar cadence (reference wrote loss/cost/LR
+    # every iteration, train.py:167-176, 339-341); 0 disables
+    summary_interval = int(params.get("summary_interval", 1))
     start_epoch = int(state.epoch)
     logger.info("Starting training loop at epoch %d...", start_epoch + 1)
 
@@ -218,7 +222,9 @@ def main(args):
     for epoch in range(start_epoch + 1, params["epochs"] + 1):
         # --- train epoch ---
         acc = xmetrics.ConfusionAccumulator(dataset.num_classes)
-        losses, costs = [], []
+        iter_buf = cli.StepScalarBuffer(("loss", "cost",
+                                         "learning_rate"))
+        step0 = int(state.step)
         order = order_rng.permutation(len(train_files))
         batches = cli.progress(
             _batch_stream(train_loader, order, batch_size, mesh,
@@ -235,7 +241,8 @@ def main(args):
             step_batch = {
                 "image": image, "label": label, "mask": mask,
                 "valid": b["valid"].astype(np.float32)}
-            if nproc > 1 and epoch == start_epoch + 1 and not losses:
+            if nproc > 1 and epoch == start_epoch + 1 \
+                    and not len(iter_buf):
                 # Compile before the first collective executes, then
                 # barrier: the CPU Gloo rendezvous window (~30s) is far
                 # shorter than a cold compile, so a host that compiles
@@ -254,17 +261,35 @@ def main(args):
                     state, step_batch, k_drop).compile()
                 parallel.sync_processes("train-step-compiled")
             state, m = train_step(state, step_batch, k_drop)
-            losses.append(m["loss"])
-            costs.append(m["cost"])
+            iter_buf.append(m)
             acc.update(m["confusion"])
+        scalars = iter_buf.flush()      # [n_steps, 3], one relay fetch
         train_metrics = acc.metrics()
         state = state.replace(epoch=state.epoch + 1)
+        if summary_interval > 0:
+            for i in range(0, scalars.shape[0], summary_interval):
+                # step numbering: the i-th batch advanced the global
+                # step to step0 + i + 1 (reference train.py:339-341)
+                writer.write({
+                    "split": "train_iter", "step": step0 + i + 1,
+                    "epoch": epoch,
+                    "loss": float(scalars[i, 0]),
+                    "cost": float(scalars[i, 1]),
+                    "learning_rate": float(scalars[i, 2])})
         writer.write({
             "split": "train", "epoch": epoch, "step": int(state.step),
-            "loss": float(np.mean([float(x) for x in losses])),
-            "cost": float(np.mean([float(x) for x in costs])),
+            "loss": float(scalars[:, 0].mean()) if len(scalars)
+            else float("nan"),
+            "cost": float(scalars[:, 1].mean()) if len(scalars)
+            else float("nan"),
+            "learning_rate": float(scalars[-1, 2]) if len(scalars)
+            else float("nan"),
             "mean_iou": float(train_metrics["MeanIoU"]),
             "pixel_accuracy": float(train_metrics["PixelAccuracy"]),
+            # per-epoch raw confusion counts (the reference emitted the
+            # matrix text summary each epoch, tensortools/metrics.py:
+            # 92-153, train.py:178-206)
+            "confusion": train_metrics["ConfusionMat"].tolist(),
         })
 
         # --- validation epoch ---
@@ -281,6 +306,7 @@ def main(args):
                 "mean_iou": float(vm["MeanIoU"]),
                 "pixel_accuracy": float(vm["PixelAccuracy"]),
                 "class_iou": vm["ClassMeanIoU"].tolist(),
+                "confusion": vm["ConfusionMat"].tolist(),
             })
             logger.info("epoch %d: val mIoU %.4f pixel-acc %.4f", epoch,
                         vm["MeanIoU"], vm["PixelAccuracy"])
