@@ -609,6 +609,23 @@ def main(args, logger):
     # every iteration, train.py:167-176); 0 disables
     summary_interval = int(params.get("summary_interval", 1))
 
+    # Grouped training dispatch (train.steps.make_grouped_train_step):
+    # identical trajectory, the fixed per-dispatch overhead amortized
+    # over `train_group` scanned steps. Single-host only (the
+    # multi-host loop keeps its per-step compile-barrier pattern).
+    train_group = int(params.get("train_group", 1))
+    grouped_train = None
+    if train_group > 1 and nproc == 1:
+        from semanticsegmentationactivelearning_tpu.train import (
+            make_grouped_train_step)
+        grouped_train = make_grouped_train_step(
+            model, optimizer, dataset.num_classes, hparams,
+            group=train_group, crop_hw=in_hw, channels=in_channels,
+            pseudo_cfg=pseudo_cfg, mesh=mesh,
+            steps_per_epoch=-(-max(len(labelled), 1) // batch_size))
+        logger.info("Grouped training dispatch: %d steps/call",
+                    train_group)
+
     def run_train_epoch(tstate, epoch_desc):
         """One training epoch over the sampler's current set."""
         nonlocal train_step
@@ -620,17 +637,20 @@ def main(args, logger):
         batches = cli.progress(
             _stream(train_loader, order, with_labelled=True),
             epoch_desc, total=-(-len(order) // batch_size))
-        for b in batches:
-            seed = int(aug_rng.integers(0, 2 ** 31 - 1))
-            k_aug, k_drop = jax.random.split(jax.random.PRNGKey(seed))
+
+        def row_labelled(b):
+            return (b["labelled"] if "labelled" in b
+                    else labelled_flags[b["index"]])
+
+        def run_single(b, key):
+            nonlocal tstate, train_step
+            k_aug, k_drop = jax.random.split(key)
             raw, image, label, mask = pipeline.augment_batch(
                 b["stack"], b["heights"], b["widths"], k_aug,
                 crop_hw=in_hw, channels=in_channels)
             step_batch = {
                 "image": image, "image_raw": raw, "label": label,
-                "mask": mask,
-                "labelled": (b["labelled"] if "labelled" in b
-                             else labelled_flags[b["index"]]),
+                "mask": mask, "labelled": row_labelled(b),
                 "valid": b["valid"].astype(np.float32)}
             if nproc > 1 and not _compiled:
                 # compile before the first collective executes, then
@@ -644,6 +664,48 @@ def main(args, logger):
             tstate, m = train_step(tstate, step_batch, k_drop)
             iter_buf.append(m)
             acc.update(m["confusion"])
+
+        pending = []   # (batch, key) buffered toward one grouped call
+
+        def run_pending():
+            nonlocal tstate
+            if not pending:
+                return
+            if grouped_train is not None \
+                    and len(pending) == train_group:
+                import jax.numpy as jnp
+                gb = {
+                    "stack": jnp.stack([b["stack"]
+                                        for b, _ in pending]),
+                    "heights": np.stack([b["heights"]
+                                         for b, _ in pending]),
+                    "widths": np.stack([b["widths"]
+                                        for b, _ in pending]),
+                    "valid": np.stack([b["valid"].astype(np.float32)
+                                       for b, _ in pending]),
+                    "labelled": np.stack([row_labelled(b)
+                                          for b, _ in pending]),
+                }
+                keys = jnp.stack([k for _, k in pending])
+                tstate, gm = grouped_train(tstate, gb, keys)
+                for k in range(train_group):
+                    iter_buf.append({
+                        kk: gm[kk][k]
+                        for kk in ("loss", "cost", "learning_rate")})
+                acc.update(gm["confusion"])  # device-summed over group
+            else:
+                # partial tail group (or grouping off): per-step path
+                for b, key in pending:
+                    run_single(b, key)
+            pending.clear()
+
+        for b in batches:
+            seed = int(aug_rng.integers(0, 2 ** 31 - 1))
+            pending.append((b, jax.random.PRNGKey(seed)))
+            if len(pending) == (train_group
+                                if grouped_train is not None else 1):
+                run_pending()
+        run_pending()
         scalars = iter_buf.flush()      # [n_steps, 3], one relay fetch
         if summary_interval > 0:
             for i in range(0, scalars.shape[0], summary_interval):

@@ -238,20 +238,32 @@ class LowResTail(nn.Module):
     conv_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, training: bool):
+    def __call__(self, x, training: bool, upto: str = None):
+        # ``upto`` returns the intermediate after that group — the
+        # attribution entry points for tools/probe_icnet_cff.py (apply
+        # with a partial graph leaves later params unused, which is
+        # fine outside init)
         dt = self.dtype
         ci = self.conv_impl
         h = x
         for i in range(3):
             h = ResBottleneck(256, dtype=dt, conv_impl=ci,
                               name=f"res3_{i + 2}")(h, training)
+        if upto == "res3":
+            return h
         for i in range(6):
             h = ResBottleneck(512, dilation=2, dtype=dt, conv_impl=ci,
                               name=f"res4_{i + 1}")(h, training)
+        if upto == "res4":
+            return h
         for i in range(3):
             h = ResBottleneck(1024, dilation=4, dtype=dt, conv_impl=ci,
                               name=f"res5_{i + 1}")(h, training)
+        if upto == "res5":
+            return h
         h = PyramidPooling(name="ppm")(h, training)
+        if upto == "ppm":
+            return h
         return ConvBN(256, 1, dtype=dt, conv_impl=ci,
                       name="reduce")(h, training)
 

@@ -29,6 +29,13 @@ DEFAULTS: Dict[str, Any] = {
     # disables, AL pseudo-label snapshots use pseudo_cadence
     # (active_learning.py:367-388 wrote them every 100 epochs)
     "image_summaries": {"cadence": 1, "count": 2, "pseudo_cadence": 100},
+    # step-resolution scalar cadence (reference wrote loss/cost/LR
+    # every iteration, train.py:167-176); 0 disables
+    "summary_interval": 1,
+    # sequential train steps scanned into ONE dispatch (amortizes the
+    # fixed per-dispatch overhead, ~27ms through the TPU relay);
+    # 1 = per-step dispatch, single-host only
+    "train_group": 1,
 }
 
 

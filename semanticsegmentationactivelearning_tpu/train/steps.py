@@ -90,7 +90,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                     pseudo_cfg: Optional[Dict[str, Any]] = None,
                     mesh=None, phase_logits: Optional[bool] = None,
                     steps_per_epoch: int = 1,
-                    remat: Optional[str] = None):
+                    remat: Optional[str] = None,
+                    _body_only: bool = False):
     """Build the jitted supervised (or pseudo-labeling) train step.
 
     :param hyperparams: the conf ``hyperparams`` block (C22 schema)
@@ -157,9 +158,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                                         sh["repl"]),
                           out_shardings=(sh["repl"], sh["repl"]))
 
-    @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   key: jax.Array):
+    def step_body(state: TrainState, batch: Dict[str, jnp.ndarray],
+                  key: jax.Array):
         image = batch["image"]          # distorted crop
         label = batch["label"]
         mask = batch["mask"] * batch["valid"][:, None, None]
@@ -234,7 +234,18 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
             mask_m = xops.s2d_plane(mask, factor)
         else:
             label_m, mask_m = label, mask
-        pred = jnp.argmax(logits, axis=-1)
+        if getattr(model, "dtype", jnp.float32) == jnp.bfloat16:
+            # bf16 models: the fp32 logits are exact bf16 values (the
+            # Final head computes in bf16, then upcasts), so the bf16
+            # VIEW argmax is bit-identical while halving the plane read;
+            # the barrier keeps the one-hot loop's layout choices from
+            # propagating into the logits buffer (measured -4 ms on the
+            # batch-8 512x1024 v5e step, tools/probe_train_levers.py
+            # 'cmbf16')
+            pred = jnp.argmax(logits.astype(jnp.bfloat16), axis=-1)
+            pred = jax.lax.optimization_barrier(pred.astype(jnp.int8))
+        else:
+            pred = jnp.argmax(logits, axis=-1)
         conf_mat = metrics.confusion_matrix(label_m, pred, num_classes,
                                             mask_m)
 
@@ -250,7 +261,92 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
                            "learning_rate": lr,
                            "confusion": conf_mat}
 
-    return train_step
+    if _body_only:
+        return step_body
+    return functools.partial(jax.jit, donate_argnums=(0,),
+                             **jit_kwargs)(step_body)
+
+
+def make_grouped_train_step(model, optimizer: optax.GradientTransformation,
+                            num_classes: int, hyperparams: Dict[str, Any],
+                            group: int, crop_hw, channels: int = 3,
+                            pseudo_cfg: Optional[Dict[str, Any]] = None,
+                            mesh=None,
+                            phase_logits: Optional[bool] = None,
+                            steps_per_epoch: int = 1):
+    """``group`` SEQUENTIAL train steps — each with its own on-device
+    augmentation — in ONE jit dispatch via ``lax.scan``.
+
+    Through the TPU relay every dispatch pays a fixed ~26-28 ms
+    round-trip (the same overhead the scoring path amortizes with
+    ``make_pool_score_step``); a batch-8 512x1024 train step is ~60 ms
+    of device compute, so per-step dispatch costs ~30% of the hot loop.
+    Scanning ``group`` micro-steps in one call divides that fixed cost
+    by ``group`` while computing EXACTLY the per-step math: the scan
+    body is the same ``make_train_step`` body, fed by the same
+    ``pipeline.augment_batch`` with the same key-split convention as
+    the CLI loop (``jax.random.split(key)`` -> augment, dropout), so a
+    grouped run's trajectory equals the ungrouped run's for the same
+    per-step keys.
+
+    Inputs: ``gbatch`` with a leading ``[group]`` axis on every leaf —
+    ``stack`` uint8 ``[K, B, Hs, Ws, C(+1)]`` (H2D ships uint8, like
+    the per-step loop), ``heights``/``widths`` int32 ``[K, B]``,
+    ``valid`` float32 ``[K, B]`` and, with ``pseudo_cfg``, ``labelled``
+    bool ``[K, B]`` — plus ``keys`` ``[K]`` PRNG keys. Returns
+    ``(state, metrics)`` with metrics leaves stacked ``[K, ...]``
+    (step-resolution scalars survive grouping).
+
+    Reference hot loop being amortized: train.py:319-341 (one
+    ``sess.run`` per step)."""
+    from ..data import pipeline
+    body = make_train_step(model, optimizer, num_classes, hyperparams,
+                           pseudo_cfg=pseudo_cfg, mesh=None,
+                           phase_logits=phase_logits,
+                           steps_per_epoch=steps_per_epoch,
+                           _body_only=True)
+    crop_hw = tuple(crop_hw)
+    with_pseudo = pseudo_cfg is not None
+
+    sh = _mesh_shardings(mesh)
+    jit_kwargs = {}
+    if sh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        gdata = NamedSharding(mesh, P(None, "data"))
+        jit_kwargs = dict(
+            in_shardings=(sh["repl"],
+                          {k: gdata for k in
+                           (("stack", "heights", "widths", "valid",
+                             "labelled") if with_pseudo else
+                            ("stack", "heights", "widths", "valid"))},
+                          sh["repl"]),
+            out_shardings=(sh["repl"], sh["repl"]))
+
+    @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
+    def grouped_train_step(state: TrainState, gbatch, keys):
+        def scan_body(st, xs):
+            b, key = xs
+            k_aug, k_drop = jax.random.split(key)
+            raw, image, label, mask = pipeline.augment_batch(
+                b["stack"], b["heights"], b["widths"], k_aug,
+                crop_hw=crop_hw, channels=channels)
+            batch = {"image": image, "label": label, "mask": mask,
+                     "valid": b["valid"]}
+            if with_pseudo:
+                batch["image_raw"] = raw
+                batch["labelled"] = b["labelled"]
+            return body(st, batch, k_drop)
+
+        state, ms = jax.lax.scan(scan_body, state, (gbatch, keys))
+        # per-step scalars keep the [group] axis (step-resolution
+        # metrics survive grouping); confusion counts accumulate on
+        # device — one [C,C] per dispatch instead of per step (int32 is
+        # ample: group*B*px << 2^31)
+        ms["confusion"] = jnp.sum(ms["confusion"], axis=0,
+                                  dtype=jnp.int32)
+        return state, ms
+
+    return grouped_train_step
 
 
 def make_eval_step(model, num_classes: int, mesh=None,

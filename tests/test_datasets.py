@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast CI lane (pytest -m quick)
+
 from semanticsegmentationactivelearning_tpu import datasets
 from semanticsegmentationactivelearning_tpu.datasets.base import (
     embed_label_image)

@@ -42,6 +42,17 @@ def _bn(x, p, s):
         x, s["mean"], s["var"], p["bias"], p["scale"], _BN_EPS)
 
 
+def _bn_train(x, p, _s):
+    """Training-mode BN: normalize by the BATCH statistics
+    (tf.nn.fused_batch_norm is_training=True semantics,
+    extra_ops.py:154-185). Moving-average updates are not threaded —
+    they don't affect the training trajectory (each step normalizes by
+    its own batch stats; update parity is TestBatchNormUpdateParity)."""
+    mean, var = tf.nn.moments(x, axes=[0, 1, 2])
+    return tf.nn.batch_normalization(x, mean, var, p["bias"],
+                                     p["scale"], _BN_EPS)
+
+
 def _prelu(x, alpha):
     """relu(x) - alpha * relu(-x) (extra_ops.py:9-26)."""
     return tf.nn.relu(x) - alpha * tf.nn.relu(-x)
@@ -76,61 +87,65 @@ def _unpool(x, idx):
     return tf.reshape(flat, (n, 2 * h, 2 * w, c))
 
 
-def _bottleneck(x, p, s, dilation=1, asymmetric=False):
+def _bottleneck(x, p, s, dilation=1, asymmetric=False, bn=_bn):
     """Plain / dilated / asymmetric bottleneck
     (enet_modules.py:226-599): proj 1x1 -> conv -> expand 1x1, BN+PReLU
     between, residual add -> PReLU. Inference mode (no dropout)."""
-    h = _prelu(_bn(_conv(x, p["proj_conv"]["kernel"]),
+    h = _prelu(bn(_conv(x, p["proj_conv"]["kernel"]),
                    p["proj_bn"], s["proj_bn"]),
                p["proj_prelu"]["alpha"])
     if asymmetric:
         h = _conv(h, p["conv_col"]["kernel"])
         h = _conv(h, p["conv_row"]["kernel"])
-        h = _prelu(_bn(h, p["conv_bn"], s["conv_bn"]),
+        h = _prelu(bn(h, p["conv_bn"], s["conv_bn"]),
                    p["conv_prelu"]["alpha"])
     else:
-        h = _prelu(_bn(_conv(h, p["conv"]["kernel"], dilation=dilation),
+        h = _prelu(bn(_conv(h, p["conv"]["kernel"], dilation=dilation),
                        p["conv_bn"], s["conv_bn"]),
                    p["conv_prelu"]["alpha"])
-    h = _bn(_conv(h, p["exp_conv"]["kernel"]), p["exp_bn"], s["exp_bn"])
+    h = bn(_conv(h, p["exp_conv"]["kernel"]), p["exp_bn"], s["exp_bn"])
     return _prelu(h + x, p["res_prelu"]["alpha"])
 
 
-def _bottleneck_down(x, p, s):
+def _bottleneck_down(x, p, s, bn=_bn):
     """Downsampling bottleneck (enet_modules.py:601-938): 2x2/s2 proj,
     3x3 conv, 1x1 expand; residual = argmax maxpool + channel zero-pad.
     Returns (out, argmax)."""
-    h = _prelu(_bn(_conv(x, p["proj_conv"]["kernel"], strides=2),
+    h = _prelu(bn(_conv(x, p["proj_conv"]["kernel"], strides=2),
                    p["proj_bn"], s["proj_bn"]),
                p["proj_prelu"]["alpha"])
-    h = _prelu(_bn(_conv(h, p["conv"]["kernel"]),
+    h = _prelu(bn(_conv(h, p["conv"]["kernel"]),
                    p["conv_bn"], s["conv_bn"]),
                p["conv_prelu"]["alpha"])
-    h = _bn(_conv(h, p["exp_conv"]["kernel"]), p["exp_bn"], s["exp_bn"])
+    h = bn(_conv(h, p["exp_conv"]["kernel"]), p["exp_bn"], s["exp_bn"])
     res, argmax = tf.nn.max_pool_with_argmax(x, 2, 2, "SAME")
     pad_c = int(h.shape[-1]) - int(res.shape[-1])
     res = tf.pad(res, [[0, 0], [0, 0], [0, 0], [0, pad_c]])
     return _prelu(h + res, p["res_prelu"]["alpha"]), argmax
 
 
-def _bottleneck_up(x, argmax, p, s):
+def _bottleneck_up(x, argmax, p, s, bn=_bn):
     """Upsampling bottleneck (enet_modules.py:940-1292): 1x1 proj,
     3x3/s2 transpose conv, 1x1 expand; residual = 1x1 conv + unpool."""
-    h = _prelu(_bn(_conv(x, p["proj_conv"]["kernel"]),
+    h = _prelu(bn(_conv(x, p["proj_conv"]["kernel"]),
                    p["proj_bn"], s["proj_bn"]),
                p["proj_prelu"]["alpha"])
-    h = _prelu(_bn(_deconv(h, p["deconv"]["kernel"]),
+    h = _prelu(bn(_deconv(h, p["deconv"]["kernel"]),
                    p["conv_bn"], s["conv_bn"]),
                p["conv_prelu"]["alpha"])
-    h = _bn(_conv(h, p["exp_conv"]["kernel"]), p["exp_bn"], s["exp_bn"])
+    h = bn(_conv(h, p["exp_conv"]["kernel"]), p["exp_bn"], s["exp_bn"])
     res = _unpool(_conv(x, p["res_conv"]["kernel"]), argmax)
     return _prelu(h + res, p["res_prelu"]["alpha"])
 
 
-def tf_enet_forward(variables, x):
-    """The full reference ENet inference forward in TF ops
-    (enet.py:320-367), reading transplanted flax parameters."""
-    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+def tf_enet_forward(variables, x, training=False):
+    """The full reference ENet forward in TF ops (enet.py:320-367),
+    reading transplanted flax parameters. ``training=True`` normalizes
+    every BN by batch statistics (dropout rates are zero in the
+    trajectory test, so no dropout is modeled)."""
+    bn = _bn_train if training else _bn
+    to_np = lambda t: (t if training  # keep tf.Variables for autodiff
+                       else jax.tree_util.tree_map(np.asarray, t))
     params = to_np(variables["params"])
     stats = to_np(variables["batch_stats"])
 
@@ -139,17 +154,17 @@ def tf_enet_forward(variables, x):
     ini, sini = params["Initial"], stats["Initial"]
     conv = _conv(x, ini["conv"]["kernel"], strides=2)
     pool = tf.nn.max_pool2d(x, 2, 2, "SAME")
-    h = _prelu(_bn(tf.concat([conv, pool], axis=-1), ini["bn"],
+    h = _prelu(bn(tf.concat([conv, pool], axis=-1), ini["bn"],
                    sini["bn"]), ini["prelu"]["alpha"])
 
     h, am1 = _bottleneck_down(h, params["Bottleneck1_0"],
-                              stats["Bottleneck1_0"])
+                              stats["Bottleneck1_0"], bn=bn)
     for i in range(1, 5):
         h = _bottleneck(h, params[f"Bottleneck1_{i}"],
-                        stats[f"Bottleneck1_{i}"])
+                        stats[f"Bottleneck1_{i}"], bn=bn)
 
     h, am2 = _bottleneck_down(h, params["Bottleneck2_0"],
-                              stats["Bottleneck2_0"])
+                              stats["Bottleneck2_0"], bn=bn)
     # the repeated stage-2/3 pattern: plain, dilated 2, asym 5x5,
     # dilated 4, plain, dilated 8, asym 5x5, dilated 16
     # (enet.py:96-143, 147-210)
@@ -159,17 +174,18 @@ def tf_enet_forward(variables, x):
         for i, (dil, asym) in enumerate(spec, start=1):
             h = _bottleneck(h, params[f"Bottleneck{stage}_{i}"],
                             stats[f"Bottleneck{stage}_{i}"],
-                            dilation=dil, asymmetric=asym)
+                            dilation=dil, asymmetric=asym, bn=bn)
 
     h = _bottleneck_up(h, am2, params["Bottleneck4_0"],
-                       stats["Bottleneck4_0"])
+                       stats["Bottleneck4_0"], bn=bn)
     for i in (1, 2):
         h = _bottleneck(h, params[f"Bottleneck4_{i}"],
-                        stats[f"Bottleneck4_{i}"])
+                        stats[f"Bottleneck4_{i}"], bn=bn)
 
     h = _bottleneck_up(h, am1, params["Bottleneck5_0"],
-                       stats["Bottleneck5_0"])
-    h = _bottleneck(h, params["Bottleneck5_1"], stats["Bottleneck5_1"])
+                       stats["Bottleneck5_0"], bn=bn)
+    h = _bottleneck(h, params["Bottleneck5_1"], stats["Bottleneck5_1"],
+                    bn=bn)
 
     return _deconv(h, params["Final"]["deconv"]["kernel"])
 
@@ -219,6 +235,152 @@ class TestWholeModelParity:
         assert heads[1].shape == (n, h // 2, w // 2, c)
         assert heads[2].shape == (n, h // 4, w // 4, c)
         assert heads[3].shape == (n, h // 8, w // 8, c)
+
+
+class TestTrainingTrajectoryParity:
+    """Lockstep TRAINING parity (ACCURACY.md §2c): from
+    transplanted-identical init, train the real flax step and the TF
+    re-derivation side by side for N steps on an identical synthetic
+    stream and assert the loss and confusion trajectories track within
+    fp32 tolerance. The TF side differentiates the re-derived graph
+    with GradientTape and applies plain SGD (update = -lr * grad), so
+    any divergence isolates to the framework math (forward, batch-stats
+    BN, autodiff), not the optimizer.
+
+    SGD, not Adam, deliberately: Adam's first update is
+    ``±lr * sign(g)`` for every nonzero gradient element, so weights
+    whose true gradient sits below fp32 noise (~1e-7) receive
+    full-magnitude updates in framework-noise-determined directions —
+    measured here as exactly-2*lr param diffs on otherwise-perfect
+    parity (losses matching to 1e-7). SGD keeps noise at noise scale;
+    Adam's own math is oracle-tested against optax in
+    test_train.py::TestOptim and the gradients themselves in the §2
+    fp64 ladder. GradientDescent is a conf-legal reference optimizer
+    (reference train.py:136-150).
+
+    Dropout rates are zero (cross-framework RNGs can't be aligned);
+    dropout-off training is a valid reference configuration
+    (conf ``dropout_rates`` are data, reference train.py:82-90)."""
+
+    N_STEPS = 3
+    C = 5
+    HW = (32, 48)
+    B = 2
+    L2 = 2e-4
+    LR = 0.005
+
+    def _tf_loss(self, logits, labels, mask):
+        """ops/losses.masked_softmax_cross_entropy with weight=0,
+        smoothing=0 (reference tensortools/losses.py:3-74)."""
+        lse = tf.reduce_logsumexp(logits, axis=-1)
+        logit_label = tf.reduce_sum(
+            logits * tf.one_hot(labels, self.C), axis=-1)
+        pix = -(logit_label - lse) * mask
+        return tf.reduce_sum(tf.reduce_sum(pix, axis=0)
+                             / tf.reduce_sum(mask))
+
+    def _tf_reg(self, tf_params):
+        total = tf.constant(0.0)
+        flat = jax.tree_util.tree_flatten_with_path(tf_params)[0]
+        for path, leaf in flat:
+            name = path[-1].key if hasattr(path[-1], "key") \
+                else str(path[-1])
+            if name in ("kernel", "alpha"):
+                total = total + self.L2 * tf.reduce_sum(
+                    tf.square(leaf))
+        return total
+
+    def test_lockstep_trajectories_track(self):
+        from semanticsegmentationactivelearning_tpu.train import (
+            create_train_state, make_train_step, optim)
+
+        hparams = {
+            "dropout_rates": [0.0] * 5,
+            "learning_rate": self.LR, "learning_rate_decay": 0.0,
+            "optimizer": {"type": "GradientDescent", "kwargs": {}},
+            "weight_reg": {"L2": self.L2, "L1": 0.0,
+                           "glorot_scaling": False},
+            "softmax": {"label_smoothing": 0.0,
+                        "loginverse_scaling": 0.0,
+                        "multiscale": False},
+        }
+        model = ENet(num_classes=self.C, drop_rates=(0.0,) * 5)
+        optimizer = optim.make_optimizer(hparams)
+        state = create_train_state(model, optimizer,
+                                   jax.random.PRNGKey(0), self.HW)
+        step = make_train_step(model, optimizer, self.C, hparams)
+
+        # transplant the SAME init into tf.Variables
+        tf_params = jax.tree_util.tree_map(
+            lambda a: tf.Variable(np.asarray(a)), state.params)
+        stats_np = jax.tree_util.tree_map(np.asarray,
+                                          state.batch_stats)
+        tf_vars = jax.tree_util.tree_leaves(tf_params)
+
+        rng = np.random.default_rng(11)
+        total_px = self.B * self.HW[0] * self.HW[1]
+        for t in range(1, self.N_STEPS + 1):
+            img = rng.uniform(size=(self.B, *self.HW, 3)) \
+                .astype(np.float32)
+            lbl = rng.integers(0, self.C, (self.B, *self.HW)) \
+                .astype(np.int32)
+            mask = np.ones((self.B, *self.HW), np.float32)
+            batch = {"image": jnp.asarray(img), "label": jnp.asarray(lbl),
+                     "mask": jnp.asarray(mask),
+                     "valid": jnp.ones((self.B,), jnp.float32)}
+            # full-res flax logits at the CURRENT params (what this
+            # step differentiates) for logits-level tracking; fetched
+            # before the step call donates the state buffers
+            logits_f = np.asarray(model.apply(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats},
+                jnp.asarray(img), training=True,
+                rngs={"dropout": jax.random.PRNGKey(t)},
+                mutable=["batch_stats"])[0])
+            state, metrics = step(state, batch, jax.random.PRNGKey(t))
+            loss_f = float(metrics["loss"])
+            conf_f = np.asarray(metrics["confusion"], np.int64)
+
+            with tf.GradientTape() as tape:
+                logits = tf_enet_forward(
+                    {"params": tf_params, "batch_stats": stats_np},
+                    tf.constant(img), training=True)
+                ce = self._tf_loss(logits, lbl, mask)
+                cost = ce + self._tf_reg(tf_params)
+            grads = tape.gradient(cost, tf_vars)
+            for var, g in zip(tf_vars, grads):
+                var.assign_sub(self.LR * np.asarray(g))
+            loss_t = float(ce)
+            logits_t = np.asarray(logits)
+
+            np.testing.assert_allclose(
+                loss_f, loss_t, rtol=2e-3,
+                err_msg=f"loss diverged at step {t}")
+            # logits-level tracking is DIFFUSE, not pointwise: fp32
+            # drift back-propagated through ~30 training-BN layers is
+            # ill-conditioned (measured ~4e-3 relative gradient noise
+            # at the front, isolated logit spikes by step 3 at any lr),
+            # so the mean tracks tightly while the max cannot
+            diff = np.abs(logits_f - logits_t)
+            assert diff.mean() < 5e-2, (t, diff.mean())
+            # confusion tracking, margin-aware: at near-init most
+            # pixels are NEAR-TIES where argmax flips are fp noise —
+            # predictions must agree at EVERY pixel whose TF decision
+            # margin clearly exceeds the measured drift (calibrated:
+            # zero disagreements at 10x headroom over all steps)
+            pred_f = np.argmax(logits_f, axis=-1)
+            pred_t = np.argmax(logits_t, axis=-1)
+            top2 = np.sort(logits_t, axis=-1)
+            margin = top2[..., -1] - top2[..., -2]
+            disagree = pred_f != pred_t
+            # POINTWISE: a flip is meaningful only where the decision
+            # margin exceeds that pixel's own measured drift
+            dpix = diff.max(axis=-1)
+            bad = disagree & (margin > 4 * dpix)
+            assert not bad.any(), (t, int(bad.sum()))
+            assert disagree.mean() < 0.05, (t, disagree.mean())
+            # and the step's own confusion counts cover every pixel
+            assert conf_f.sum() == total_px
 
 
 class TestBatchNormUpdateParity:

@@ -9,6 +9,10 @@ import jax.numpy as jnp
 
 from semanticsegmentationactivelearning_tpu.ops import nn as xops
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast CI lane (pytest -m quick)
+
 
 class TestPReLU:
     def test_matches_formula(self):

@@ -6,6 +6,8 @@ active_learning.py:705-715)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast CI lane (pytest -m quick)
+
 import jax
 import jax.numpy as jnp
 

@@ -16,6 +16,8 @@ import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.quick  # fast CI lane (pytest -m quick)
 from jax import lax
 
 from semanticsegmentationactivelearning_tpu.models import ENet

@@ -81,6 +81,67 @@ class TestTrainStep:
         assert conf.shape == (C, C)
         assert conf.sum() == 2 * HW[0] * HW[1]
 
+    def test_grouped_step_matches_sequential(self, setup):
+        """K scanned micro-steps in one dispatch == K sequential
+        make_train_step calls with the same per-step keys (the grouped
+        step amortizes the fixed per-dispatch overhead without changing
+        the trajectory)."""
+        from semanticsegmentationactivelearning_tpu.data import pipeline
+        from semanticsegmentationactivelearning_tpu.train import (
+            make_grouped_train_step)
+        model, optimizer, state = setup
+        K, B = 3, 2
+        rng = np.random.default_rng(5)
+        stacks = rng.integers(0, 255, (K, B, 40, 56, 4), np.uint8)
+        heights = np.full((K, B), 40, np.int32)
+        widths = np.full((K, B), 56, np.int32)
+        valid = np.ones((K, B), np.float32)
+        keys = jnp.stack([jax.random.PRNGKey(100 + i)
+                          for i in range(K)])
+
+        # SGD keeps fp drift proportional: the scan body compiles in a
+        # different fusion context than the standalone step, so values
+        # drift at ulp scale — under Adam that sub-noise drift is
+        # amplified to ±lr sign flips on near-zero-grad weights
+        # (measured ~500x growth per step; see
+        # test_model_parity.TestTrainingTrajectoryParity's docstring)
+        hp = dict(HPARAMS,
+                  optimizer={"type": "GradientDescent", "kwargs": {}})
+        optimizer = optim.make_optimizer(hp)
+        state = state.replace(opt_state=optimizer.init(state.params))
+        grouped = make_grouped_train_step(model, optimizer, C, hp,
+                                          group=K, crop_hw=HW)
+        gs, gm = grouped(jax.tree.map(jnp.copy, state),
+                         {"stack": stacks, "heights": heights,
+                          "widths": widths, "valid": valid}, keys)
+        assert gm["loss"].shape == (K,)
+        assert gm["confusion"].shape == (C, C)
+
+        step = make_train_step(model, optimizer, C, hp)
+        st = jax.tree.map(jnp.copy, state)
+        conf_total = np.zeros((C, C), np.int64)
+        for i in range(K):
+            k_aug, k_drop = jax.random.split(keys[i])
+            _raw, image, label, mask = pipeline.augment_batch(
+                stacks[i], heights[i], widths[i], k_aug, crop_hw=HW)
+            st, m = step(st, {"image": image, "label": label,
+                              "mask": mask,
+                              "valid": jnp.asarray(valid[i])}, k_drop)
+            np.testing.assert_allclose(float(gm["loss"][i]),
+                                       float(m["loss"]), rtol=1e-5)
+            np.testing.assert_allclose(float(gm["learning_rate"][i]),
+                                       float(m["learning_rate"]),
+                                       rtol=1e-6)
+            conf_total += np.asarray(m["confusion"], np.int64)
+        np.testing.assert_array_equal(np.asarray(gm["confusion"]),
+                                      conf_total)
+        assert int(gs.step) == int(st.step) == K
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-4, atol=1e-5),
+            gs.params, st.params)
+
     def test_remat_matches_default(self, setup):
         # remat only changes WHEN the forward recomputes, not the math:
         # one step with remat="dots"/"all" must match the default step
@@ -98,10 +159,12 @@ class TestTrainStep:
             # recompute changes fp association; Adam's m/sqrt(v) then
             # amplifies ~1e-7 grad drift on near-zero grads, so the
             # bound is absolute on the ~1e-3-sized update, not relative
+            # the bound is absolute at half-an-update scale (lr=1e-3):
+            # a real math change diverges wholesale, fp drift doesn't
             jax.tree.map(
                 lambda a, b: np.testing.assert_allclose(
                     np.asarray(a, np.float32),
-                    np.asarray(b, np.float32), rtol=1e-3, atol=1e-5),
+                    np.asarray(b, np.float32), rtol=0, atol=5e-4),
                 outs[None][0].params, outs[mode][0].params)
             np.testing.assert_allclose(float(outs[mode][1]["loss"]),
                                        float(outs[None][1]["loss"]),

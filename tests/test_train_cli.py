@@ -75,6 +75,7 @@ ENV = dict(os.environ, JAX_PLATFORMS="cpu",
            JAX_COMPILATION_CACHE_DIR="/tmp/ssal_test_jax_cache")
 
 
+@pytest.mark.quick  # the fast lane's one end-to-end CLI smoke
 def test_train_cli_end_to_end(records, tiny_conf, tmp_path):
     log_dir = tmp_path / "log"
     res = subprocess.run(
@@ -133,6 +134,51 @@ def test_train_cli_end_to_end(records, tiny_conf, tmp_path):
         cwd=REPO, env=ENV, capture_output=True, text=True, timeout=900)
     assert res2.returncode == 0, res2.stdout + res2.stderr
     assert "Resuming from checkpoint" in res2.stdout
+
+
+def test_train_cli_grouped_matches_ungrouped(records, tiny_conf,
+                                             tmp_path):
+    """`train_group` scans K steps per dispatch without changing the
+    trajectory: per-step losses and the final validation must equal an
+    ungrouped run with the same seed (tail batches that don't fill a
+    group take the per-step path)."""
+    runs = {}
+    for tag, group in [("flat", 1), ("grouped", 3)]:
+        conf = json.loads(tiny_conf.read_text())
+        conf["train_group"] = group
+        # SGD: the scan body compiles in a different fusion context, so
+        # fp drifts at ulp scale — Adam amplifies that to per-mille
+        # loss divergence within a few steps (sign-descent on
+        # sub-noise gradients); with SGD the trajectories stay tight
+        conf["hyperparams"]["optimizer"] = {"type": "GradientDescent",
+                                            "kwargs": {}}
+        conf_path = tmp_path / f"conf_{tag}.json"
+        conf_path.write_text(json.dumps(conf))
+        log_dir = tmp_path / f"log_{tag}"
+        res = subprocess.run(
+            [sys.executable, "train.py", "freiburg", "-d",
+             str(records), "-l", str(log_dir), "-p", str(conf_path)],
+            cwd=REPO, env=ENV, capture_output=True, text=True,
+            timeout=900)
+        assert res.returncode == 0, res.stdout + res.stderr
+        lines = [json.loads(l) for l in
+                 (log_dir / "metrics.jsonl").read_text().splitlines()]
+        runs[tag] = (res, lines)
+    assert "Grouped training dispatch: 3 steps/call" \
+        in runs["grouped"][0].stdout
+    for split in ("train_iter", "final_val"):
+        flat = [l for l in runs["flat"][1] if l["split"] == split]
+        grp = [l for l in runs["grouped"][1] if l["split"] == split]
+        assert len(flat) == len(grp) > 0
+        for a, b in zip(flat, grp):
+            # scan-vs-unrolled compilation drifts at ulp scale and
+            # grows ~30x/step through the net's conditioning (measured;
+            # see steps' grouped unit test for the tight same-context
+            # equality); 2e-3 relative still pins the trajectory
+            for key in ("loss", "mean_iou", "step"):
+                if key in a:
+                    assert abs(a[key] - b[key]) <= 2e-3 * (
+                        1 + abs(a[key])), (split, key, a, b)
 
 
 def test_train_cli_no_data(tiny_conf, tmp_path):

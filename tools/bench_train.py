@@ -1,18 +1,27 @@
 #!/usr/bin/env python
-"""Train-step throughput probe: measures the end-to-end hot-loop step
-time (H2D upload of uint8 stacks + on-device augment + train step) vs
-pure on-device compute, quantifying the transfer/compute overlap from
-``data/device_prefetch`` (reference equivalent: tf.data prefetch after
-batching, tensortools/input.py:193-195).
+"""Train-loop throughput benchmark: ENet 512x1024 supervised training,
+images/sec/chip, printed as ONE JSON line (the training counterpart of
+bench.py's scoring north-star; reference hot loop train.py:319-341).
 
-Run on the real TPU from the repo root:
-    python tools/bench_train.py
-Env knobs: BT_BATCH (8), BT_HW ("512x1024"), BT_STEPS (12),
-BT_DTYPE ("bf16"), BT_CONV ("auto" | "lax" | "matmul" — the
-models/blocks.py conv lowering, for A/Bing shifted matmuls vs
-lax.conv).
+Measures the REAL hot-loop configuration: fresh host uint8 stacks
+uploaded through double-buffered ``device_prefetch``, on-device
+augmentation, and the grouped training dispatch
+(``train.steps.make_grouped_train_step``, ``BT_GROUP`` scanned steps
+per jit call — the round-4 lever that amortizes the ~28 ms relay
+round-trip; measured 98 -> 60.5 ms/step at group 16,
+tools/probe_train_group.py).
+
+Env knobs: BT_BATCH (8), BT_HW ("512x1024"), BT_GROUPS (number of
+grouped dispatches timed, 4), BT_GROUP (16), BT_DTYPE ("bf16"|"fp32"),
+BT_CONV ("auto"|"lax"|"matmul").
+
+Baseline: the round-3 per-step dispatch measured 97.9 ms/step at this
+shape = 81.7 img/s/chip; ``vs_baseline`` is measured throughput over
+that. Writes the JSON to stdout; run from the repo root on the real
+TPU and copy the line into BENCH_TRAIN.json.
 """
 
+import json
 import os
 import sys
 import time
@@ -22,6 +31,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+_BASELINE_IMG_S = 8 / 0.0979   # round-3: 97.9 ms/step at batch 8
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
@@ -29,19 +40,22 @@ def log(msg):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from semanticsegmentationactivelearning_tpu.data import (
-        device_prefetch, pipeline)
+        device_prefetch)
     from semanticsegmentationactivelearning_tpu.models import ENet
     from semanticsegmentationactivelearning_tpu.train import (
-        create_train_state, make_train_step, optim)
+        create_train_state, make_grouped_train_step, make_train_step,
+        optim)
     from semanticsegmentationactivelearning_tpu.utils import cli
 
     cli.enable_compilation_cache()
     batch = int(os.environ.get("BT_BATCH", 8))
     h, w = (int(v) for v in
             os.environ.get("BT_HW", "512x1024").split("x"))
-    steps = int(os.environ.get("BT_STEPS", 12))
+    group = int(os.environ.get("BT_GROUP", 16))
+    n_groups = int(os.environ.get("BT_GROUPS", 4))
     num_classes = 19
     hparams = {
         "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
@@ -52,74 +66,80 @@ def main():
         "softmax": {"label_smoothing": 0.0, "loginverse_scaling": 0.0,
                     "multiscale": False},
     }
-    dtype = None
+    model_kwargs = {"conv_impl": os.environ.get("BT_CONV", "auto")}
     if os.environ.get("BT_DTYPE", "bf16") == "bf16":
-        import jax.numpy as jnp
-        dtype = jnp.bfloat16
-    model = ENet(num_classes=num_classes,
-                 conv_impl=os.environ.get("BT_CONV", "auto"),
-                 **({"dtype": dtype} if dtype is not None else {}))
+        model_kwargs["dtype"] = jnp.bfloat16
+    model = ENet(num_classes=num_classes, **model_kwargs)
     optimizer = optim.make_optimizer(hparams)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
                                (h, w))
-    train_step = make_train_step(model, optimizer, num_classes, hparams)
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind}, batch={batch}, group={group}, "
+        f"input={h}x{w}")
+
+    if group > 1:
+        step = make_grouped_train_step(model, optimizer, num_classes,
+                                       hparams, group=group,
+                                       crop_hw=(h, w))
+    else:
+        single = make_train_step(model, optimizer, num_classes, hparams)
+        from semanticsegmentationactivelearning_tpu.data import pipeline
+
+        def step(state, gb, keys):
+            k_aug, k_drop = jax.random.split(keys[0])
+            _raw, image, label, mask = pipeline.augment_batch(
+                gb["stack"][0], gb["heights"][0], gb["widths"][0],
+                k_aug, crop_hw=(h, w))
+            state, m = single(state, {
+                "image": image, "label": label, "mask": mask,
+                "valid": jnp.asarray(gb["valid"][0])}, k_drop)
+            return state, m
 
     rng = np.random.default_rng(0)
-    n_bufs = 4  # distinct host batches so uploads are real
-    stacks = [rng.integers(0, 255, (batch, h, w, 4), dtype=np.uint8)
-              for _ in range(n_bufs)]
-    heights = np.full(batch, h, np.int32)
-    widths = np.full(batch, w, np.int32)
-    valid = np.ones(batch, np.float32)
+    n_bufs = 3   # distinct host buffers so uploads are real
+    stacks = [rng.integers(0, 255, (group, batch, h, w, 4),
+                           dtype=np.uint8) for _ in range(n_bufs)]
+    heights = np.full((group, batch), h, np.int32)
+    widths = np.full((group, batch), w, np.int32)
+    valid = np.ones((group, batch), np.float32)
 
     def batches(n):
         for i in range(n):
             yield {"stack": stacks[i % n_bufs]}
 
-    def run(n, prefetched, fetch_every_step=True):
-        it = batches(n)
-        if prefetched:
-            it = device_prefetch.device_prefetch(it)
+    def run(n, i0=0):
         nonlocal state
-        t0 = time.time()
         last = None
+        it = device_prefetch.device_prefetch(batches(n))
         for i, b in enumerate(it):
-            key = jax.random.PRNGKey(i)
-            _raw, image, label, mask = pipeline.augment_batch(
-                b["stack"], heights, widths, key, crop_hw=(h, w))
-            state, m = train_step(state, {
-                "image": image, "label": label, "mask": mask,
-                "valid": valid}, key)
+            keys = jnp.stack([
+                jax.random.PRNGKey(i0 + i * group + k)
+                for k in range(group)])
+            state, m = step(state, {
+                "stack": b["stack"], "heights": heights,
+                "widths": widths, "valid": valid}, keys)
             last = m["loss"]
-            if fetch_every_step:
-                float(last)  # sync through the relay
-        float(last)
-        return (time.time() - t0) / n
+        return float(np.asarray(last).reshape(-1)[-1])
 
     log("compiling...")
-    run(2, prefetched=True)
+    t0 = time.time()
+    loss = run(1)
+    log(f"compile+first: {time.time() - t0:.1f}s, loss={loss:.3f}")
 
-    results = {}
-    for name, pf, sync in [("numpy-feed/sync", False, True),
-                           ("prefetch/sync", True, True),
-                           ("numpy-feed/nosync", False, False),
-                           ("prefetch/nosync", True, False)]:
-        results[name] = run(steps, prefetched=pf, fetch_every_step=sync)
-    # compute-only: resident device buffers, no fresh upload
-    dev = [jax.device_put(s) for s in stacks]
-    stacks_host = stacks
-    try:
-        stacks[:] = dev
-        results["compute-only"] = run(steps, prefetched=False,
-                                      fetch_every_step=False)
-    finally:
-        stacks[:] = stacks_host
-
-    log(f"batch {batch} @{h}x{w}:")
-    base = results["compute-only"]
-    for name, t in results.items():
-        log(f"  {name:20s} {t*1e3:7.1f} ms/step ({t/base:.2f}x compute)")
-    print(" ".join(f"{results[k]*1e3:.1f}" for k in results))
+    t0 = time.time()
+    loss = run(n_groups, i0=1000)
+    dt = time.time() - t0
+    per_step = dt / (n_groups * group)
+    img_s = batch / per_step
+    log(f"steady state: {per_step * 1e3:.1f} ms/step "
+        f"({n_groups} dispatches x {group} steps), loss={loss:.3f}")
+    print(json.dumps({
+        "metric": "enet_512x1024_train_images_per_sec_per_chip",
+        "value": round(img_s, 1),
+        "unit": "images/sec/chip",
+        "ms_per_step": round(per_step * 1e3, 1),
+        "batch": batch, "group": group,
+        "vs_baseline": round(img_s / _BASELINE_IMG_S, 3)}))
     return 0
 
 
