@@ -229,6 +229,14 @@ class ENet(nn.Module):
             h = block(h, training)
         return h, switches2
 
+    def decode_from_stage4(self, f4, switches1, training: bool = False):
+        """Stage 5 through pre-logits: consumes stage-4 features +
+        stage-1 pool switches (the spatial-mesh scoring path composes
+        the per-shard Pallas front with this XLA decoder; see
+        ``fused_score``)."""
+        h = self.Bottleneck5_0(f4, switches1, training)
+        return self.Bottleneck5_1(h, training)
+
     def forward_stage4(self, y, switches2, training: bool = False):
         """Stage 4 only: consumes stage-3 features + stage-2 pool
         switches (as produced by the fused mid-section kernel,
@@ -239,10 +247,70 @@ class ENet(nn.Module):
             h = block(h, training)
         return h
 
+    def spatial_front_score(self, variables, image, measure: str,
+                            mesh, interpret: bool = False):
+        """Width-sharded scoring with the Pallas FRONT kernel running
+        per shard under ``jax.shard_map`` — the ``("data", "space")``
+        mesh no longer forces the full XLA fallback.
+
+        Exactness by halo analysis: a stage-1 output column depends on
+        at most ±24 image columns (Initial 3x3/s2 ±2, B1_0 conv ±1
+        quarter, 4 bottlenecks ±1 quarter each → ±5 quarter + pooling
+        alignment), so each shard computes the front on its slice
+        extended by 32 zero-or-neighbor columns
+        (``parallel.spatial.halo_exchange_width``; ppermute zero-fill
+        at the global edges == the model's SAME zero padding, and the
+        2x2 pools are stride-aligned so padding never enters a pool
+        window) and crops 8 quarter columns per side — bit-equal to
+        the unsharded kernel (tests/test_spatial.py). Stages 2-5 and
+        the chunked deconv scoring stay XLA under GSPMD (their dilated
+        receptive fields span most of a shard: exact halos for the
+        W-packed mid kernel would recompute nearly the full width, and
+        the tail kernel's in-kernel per-image mean cannot crop halo
+        contributions), so the spatial mesh keeps the dominant front
+        fusion while XLA inserts the remaining halo exchanges.
+        """
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops import acquisition, pallas_kernels
+        from ..parallel import spatial as sp
+
+        packed = pallas_kernels.pack_enet_front_w(variables)
+        halo = 32            # >= the measured ±24-col receptive field
+        axis = "space"
+
+        def local(img):
+            padded = sp.halo_exchange_width(img, axis, halo)
+            x1, m1 = pallas_kernels.fused_front_stage1_w(
+                padded, packed, out_dtype=self.dtype,
+                interpret=interpret)
+            c = halo // 4
+            return x1[:, :, c:-c], m1[:, :, c:-c]
+
+        spec = P("data", None, axis, None)
+        x1, m1 = jax.shard_map(
+            local, mesh=mesh, in_specs=spec, out_specs=(spec, spec),
+            check_vma=False)(image)
+        n, hq, wq, _ = m1.shape
+        # kernel mask [.,4*16] one-hot (phase-major) -> the model's
+        # compact int8 switch format (ops/nn.max_pool_with_switches)
+        switches = jnp.argmax(
+            m1.reshape(n, hq, wq, 4, 16), axis=3).astype(jnp.int8) \
+            .reshape(n, hq, wq * 16)
+        f4 = self.apply(variables, x1, training=False,
+                        method="forward_from_stage1")
+        features = self.apply(variables, f4, switches, training=False,
+                              method="decode_from_stage4")
+        kernel = variables["params"]["Final"]["deconv"]["kernel"]
+        return acquisition.chunked_deconv_mean_confidence(
+            features, kernel, measure, self.num_classes)
+
     def fused_score(self, variables, image, measure: str,
                     use_pallas: bool = False, fuse_decoder: bool = True,
                     fuse_front: bool = True, fuse_mid: bool = True,
-                    fuse_tail: bool = True, interpret: bool = False):
+                    fuse_tail: bool = True, interpret: bool = False,
+                    spatial_mesh=None):
         """Acquisition scoring without materializing full-res logits.
         The AL pool-ranking hot loop (reference
         active_learning.py:229-263).
@@ -262,6 +330,21 @@ class ENet(nn.Module):
         divisible by 32 fall back to the unpacked v1 front/mid
         kernels. Other measures use the chunked XLA tail."""
         from ..ops import acquisition, pallas_kernels
+        if spatial_mesh is not None:
+            # ("data","space") mesh: per-shard front kernel + XLA rest
+            # when the shard geometry allows it, else full XLA (an
+            # unsharded pallas_call under GSPMD would be replicated by
+            # the partitioner — never let one through here)
+            ns = spatial_mesh.shape.get("space", 1)
+            wl = image.shape[2] // max(ns, 1)
+            if (measure == "entropy" and image.shape[-1] == 3
+                    and image.shape[1] >= 24 and ns > 1
+                    and image.shape[2] % ns == 0
+                    and wl % 32 == 0 and wl >= 64):
+                return self.spatial_front_score(
+                    variables, image, measure, spatial_mesh,
+                    interpret=interpret)
+            use_pallas = False
         # the eighth-grid tail kernel's halo window needs >= 6 eighth
         # rows; tiny inputs take the stage4+decoder path instead
         fuse_tail = fuse_tail and image.shape[1] // 8 >= 6

@@ -417,19 +417,34 @@ def make_predict_step(model, mesh=None):
 
 
 def _make_score_impl(model, num_classes: int, measure: str,
-                     fused: bool = True, allow_pallas: bool = True):
+                     fused: bool = True, allow_pallas: bool = True,
+                     spatial_mesh=None):
     """Un-jitted scoring body shared by the per-batch and pooled steps.
 
     ``allow_pallas=False`` forces the XLA chunked path — used under a
-    mesh, where the Pallas custom call has no SPMD partitioning rule
-    and would be replicated by the partitioner."""
+    mesh, where an unsharded Pallas custom call has no SPMD
+    partitioning rule and would be replicated by the partitioner. On a
+    2-D ``("data", "space")`` mesh, models exposing
+    ``spatial_front_score`` (ENet) instead run their front kernel
+    PER SHARD under ``jax.shard_map`` with explicit halo exchange
+    (``spatial_mesh``), composing Pallas with the GSPMD-width-sharded
+    XLA remainder."""
     use_fused = fused and getattr(model, "supports_fused_scoring", False)
     use_pallas = (allow_pallas and use_fused
                   and jax.default_backend() not in ("cpu",))
+    use_spatial = (spatial_mesh is not None and use_fused
+                   and hasattr(model, "spatial_front_score"))
 
     def score_impl(state: TrainState, image: jnp.ndarray):
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+        if use_spatial:
+            # interpret on CPU so the dryrun/CI exercise the sharded
+            # kernel without TPU hardware
+            return model.fused_score(
+                variables, image, measure, use_pallas=False,
+                spatial_mesh=spatial_mesh,
+                interpret=jax.default_backend() == "cpu")
         if use_fused:
             # model-specific fused tail (ENet: chunked/Pallas deconv +
             # entropy; ICNet: chunked 4x upsample of the 1/4-res head)
@@ -475,7 +490,8 @@ def make_pool_score_step(model, num_classes: int, measure: str,
                  and micro_batch % mesh.shape["data"] == 0)
     score_impl = _make_score_impl(
         model, num_classes, measure, fused,
-        allow_pallas=mesh is None or data_only)
+        allow_pallas=mesh is None or data_only,
+        spatial_mesh=mesh if spatial else None)
 
     @functools.partial(jax.jit, **jit_kwargs)
     def pool_score(state: TrainState, images: jnp.ndarray):
@@ -692,9 +708,11 @@ def make_score_step(model, num_classes: int, measure: str, mesh=None,
     # exchanges.
     data_only = (mesh is not None
                  and tuple(mesh.axis_names) == ("data",))
+    spatial = mesh is not None and "space" in mesh.axis_names
     score_impl = _make_score_impl(
         model, num_classes, measure, fused,
-        allow_pallas=mesh is None or data_only)
+        allow_pallas=mesh is None or data_only,
+        spatial_mesh=mesh if spatial else None)
 
     @functools.partial(jax.jit, **jit_kwargs)
     def score_step(state: TrainState, batch: Dict[str, jnp.ndarray]):

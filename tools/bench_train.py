@@ -11,9 +11,17 @@ per jit call — the round-4 lever that amortizes the ~28 ms relay
 round-trip; measured 98 -> 60.5 ms/step at group 16,
 tools/probe_train_group.py).
 
+Like bench.py, the timed loop runs over DEVICE-RESIDENT uint8 stacks:
+through this container's loopback relay a fresh 268 MB group upload
+costs ~7-10 s (pure transport, ~36 MB/s — measured 669.6 ms/step at
+group 16 with fresh uploads), which benchmarks the relay, not the
+trainer; production hosts overlap PCIe DMA with compute
+(data/device_prefetch, PERF.md §3). ``BT_UPLOAD=1`` opts into the
+fresh-upload mode as a transport diagnostic.
+
 Env knobs: BT_BATCH (8), BT_HW ("512x1024"), BT_GROUPS (number of
 grouped dispatches timed, 4), BT_GROUP (16), BT_DTYPE ("bf16"|"fp32"),
-BT_CONV ("auto"|"lax"|"matmul").
+BT_CONV ("auto"|"lax"|"matmul"), BT_UPLOAD (0).
 
 Baseline: the round-3 per-step dispatch measured 97.9 ms/step at this
 shape = 81.7 img/s/chip; ``vs_baseline`` is measured throughput over
@@ -96,9 +104,12 @@ def main():
             return state, m
 
     rng = np.random.default_rng(0)
-    n_bufs = 3   # distinct host buffers so uploads are real
+    n_bufs = 3   # distinct buffers so data varies across dispatches
     stacks = [rng.integers(0, 255, (group, batch, h, w, 4),
                            dtype=np.uint8) for _ in range(n_bufs)]
+    if not int(os.environ.get("BT_UPLOAD", 0)):
+        stacks = [jax.device_put(s) for s in stacks]
+        np.asarray(stacks[-1][0, 0, 0, 0])   # sync the uploads
     heights = np.full((group, batch), h, np.int32)
     widths = np.full((group, batch), w, np.int32)
     valid = np.ones((group, batch), np.float32)
