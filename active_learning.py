@@ -257,7 +257,10 @@ def main(args, logger):
     # >=15% stack bytes; an int forces that many; 0/1 disables.
     # Single-host only: the multi-host global batch layout assumes one
     # stream. The downstream crop shape is bucket-independent, so the
-    # score/embed steps and grouped dispatch are untouched.
+    # score/embed steps and grouped dispatch are untouched. (Crops are
+    # per-example-keyed so deterministic-measure selections are
+    # bucket-invariant; BALD's MC noise is keyed per dispatch, so
+    # bucketing re-draws it — still deterministic per run.)
     rank_buckets = None
     bucket_conf = alparams.get("size_buckets", "auto")
     if nproc == 1 and bucket_conf not in (0, 1, False, None) \
@@ -673,26 +676,9 @@ def main(args, logger):
                 return
             if grouped_train is not None \
                     and len(pending) == train_group:
-                import jax.numpy as jnp
-                gb = {
-                    "stack": jnp.stack([b["stack"]
-                                        for b, _ in pending]),
-                    "heights": np.stack([b["heights"]
-                                         for b, _ in pending]),
-                    "widths": np.stack([b["widths"]
-                                        for b, _ in pending]),
-                    "valid": np.stack([b["valid"].astype(np.float32)
-                                       for b, _ in pending]),
-                    "labelled": np.stack([row_labelled(b)
-                                          for b, _ in pending]),
-                }
-                keys = jnp.stack([k for _, k in pending])
-                tstate, gm = grouped_train(tstate, gb, keys)
-                for k in range(train_group):
-                    iter_buf.append({
-                        kk: gm[kk][k]
-                        for kk in ("loss", "cost", "learning_rate")})
-                acc.update(gm["confusion"])  # device-summed over group
+                tstate = cli.dispatch_grouped_train(
+                    pending, tstate, grouped_train, iter_buf, acc,
+                    extra_row_fn=row_labelled)
             else:
                 # partial tail group (or grouping off): per-step path
                 for b, key in pending:

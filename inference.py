@@ -236,7 +236,10 @@ def main(args):
         mp = multiprocessing.get_context("spawn")  # no forked jax state
         view_manager = mp.Manager()
         view_paths = view_manager.list()
-        view_proc = mp.Process(target=_view_process, args=(view_paths,))
+        # daemon: an exception in the predict loop must not leave the
+        # interpreter blocked at exit joining a busy-waiting child
+        view_proc = mp.Process(target=_view_process, args=(view_paths,),
+                               daemon=True)
         view_proc.start()
 
     with png_writer.AsyncPngWriter() as writer:
@@ -262,7 +265,12 @@ def main(args):
                 len(written))
 
     if view_proc is not None:
-        view_proc.join()
+        if len(view_paths) == 0:
+            # nothing was ever written: the child is still in its
+            # wait-for-first-image loop and would never exit
+            view_proc.terminate()
+        else:
+            view_proc.join()
     return 0
 
 

@@ -156,6 +156,8 @@ def score_batch_indexed(stack: jnp.ndarray, heights: jnp.ndarray,
     crop_h, crop_w = crop_hw
 
     def one(stack_i, h_i, w_i, idx_i):
+        # same crop-origin formula and slice helper as
+        # _random_crop_flip, keyed per example instead of per batch
         key_i = jax.random.fold_in(pass_key, idx_i)
         kt, kl, kf = jax.random.split(key_i, 3)
         top = jnp.floor(
@@ -164,9 +166,7 @@ def score_batch_indexed(stack: jnp.ndarray, heights: jnp.ndarray,
         left = jnp.floor(
             jax.random.uniform(kl)
             * (jnp.maximum(w_i - crop_w, 0) + 1)).astype(jnp.int32)
-        crop = jax.lax.dynamic_slice(
-            stack_i, (top, left, 0),
-            (crop_h, crop_w, stack_i.shape[-1]))
+        crop = _crop_one(stack_i, top, left, crop_h, crop_w)
         flip = jax.random.bernoulli(kf, 0.5)
         return jnp.where(flip, crop[:, ::-1, :], crop)
 

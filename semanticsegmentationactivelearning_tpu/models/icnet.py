@@ -43,6 +43,28 @@ def _resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
         x, (x.shape[0], hw[0], hw[1], x.shape[-1]), method="bilinear")
 
 
+def _resize_bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x bilinear upsample (``jax.image.resize`` semantics:
+    half-pixel centers, edge clamp) as explicit polyphase taps
+    (0.25/0.75 of clamped neighbours) + lane-full interleaves.
+
+    ``jax.image.resize``'s general lowering of the same op measured
+    +8.9 ms/batch-16 inside the CFF segment on v5e
+    (tools/probe_icnet_boundary.py ``chain`` 53.6 vs ``phup`` 44.7
+    ms/batch): in context XLA lowers it through gathers, while the tap
+    form is two weighted adds per axis on full-lane 128-channel
+    planes. Agreement with ``_resize_bilinear(x, (2H, 2W))`` is
+    pinned to fp tolerance in tests/test_icnet.py."""
+    n, h, w, c = x.shape
+    r0 = 0.25 * _shift1d_clamped(x, 1, -1) + 0.75 * x
+    r1 = 0.75 * x + 0.25 * _shift1d_clamped(x, 1, 1)
+    r = jnp.stack([r0, r1], axis=2).reshape(n, 2 * h, w, c)
+    c0 = 0.25 * _shift1d_clamped(r, 2, -1) + 0.75 * r
+    c1 = 0.75 * r + 0.25 * _shift1d_clamped(r, 2, 1)
+    return jnp.stack([c0, c1], axis=3).reshape(n, 2 * h, 2 * w, c) \
+        .astype(x.dtype)
+
+
 def _shift1d_clamped(x: jnp.ndarray, axis: int, d: int) -> jnp.ndarray:
     """``y[i] = x[clamp(i + d)]`` along ``axis``, ``d`` in {-1, 0, 1}
     (the edge-clamped neighbour reads of a bilinear upsample)."""
@@ -177,6 +199,13 @@ class CascadeFeatureFusion(nn.Module):
 
     @nn.compact
     def __call__(self, low, high, training: bool):
+        # NOTE: the polyphase-tap 2x form (_resize_bilinear_up2)
+        # measured 8.9 ms/batch-16 FASTER here in the XLA-only chain
+        # (tools/probe_icnet_boundary.py 'phup') but 20x SLOWER when
+        # the fused8 output feeds the head8 Pallas kernel (the
+        # interleaved layout collides with the custom-call boundary:
+        # BENCH_MODEL=ICNet measured 18.5 img/s vs 364) — so the
+        # resize lowering stays; see docs/PERF.md ICNet notes.
         low_up = _resize_bilinear(low, (high.shape[1], high.shape[2]))
         # aux logits in fp32 for loss stability
         aux_logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,

@@ -140,7 +140,13 @@ class ConfusionAccumulator:
         if self._pending:
             pending, self._pending = self._pending, []
             for m in pending:
-                self._matrix += np.asarray(m, dtype=np.int64)
+                m = np.asarray(m, dtype=np.int64)
+                if m.ndim == 3:
+                    # a grouped step's per-step [K,C,C] stack (kept
+                    # un-summed when the dispatch pixel count could
+                    # overflow an int32 device sum): exact here
+                    m = m.sum(axis=0)
+                self._matrix += m
 
     @property
     def matrix(self) -> np.ndarray:

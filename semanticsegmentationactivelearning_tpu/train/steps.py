@@ -340,10 +340,14 @@ def make_grouped_train_step(model, optimizer: optax.GradientTransformation,
         state, ms = jax.lax.scan(scan_body, state, (gbatch, keys))
         # per-step scalars keep the [group] axis (step-resolution
         # metrics survive grouping); confusion counts accumulate on
-        # device — one [C,C] per dispatch instead of per step (int32 is
-        # ample: group*B*px << 2^31)
-        ms["confusion"] = jnp.sum(ms["confusion"], axis=0,
-                                  dtype=jnp.int32)
+        # device — one [C,C] per dispatch instead of per step — but
+        # ONLY when the per-dispatch pixel count provably fits int32
+        # (shapes are static here); otherwise the [group,C,C] stack is
+        # returned and ConfusionAccumulator sums it host-side in int64
+        n_rows = keys.shape[0] * gbatch["valid"].shape[1]
+        if n_rows * crop_hw[0] * crop_hw[1] < 2 ** 31:
+            ms["confusion"] = jnp.sum(ms["confusion"], axis=0,
+                                      dtype=jnp.int32)
         return state, ms
 
     return grouped_train_step

@@ -195,8 +195,19 @@ class StepScalarBuffer:
     def append(self, metrics) -> None:
         self._rows.append([metrics[k] for k in self.keys])
 
+    def extend_group(self, metrics) -> None:
+        """Append a grouped step's K rows at once: ``metrics`` leaves
+        carry a leading ``[K]`` axis. ONE tiny stack dispatch per
+        group instead of per-element device slicing (3K gathers)."""
+        import jax.numpy as jnp
+
+        self._rows.append(jnp.stack(
+            [jnp.asarray(metrics[k], jnp.float32)
+             for k in self.keys], axis=1))          # [K, nkeys]
+
     def __len__(self) -> int:
-        return len(self._rows)
+        return sum(r.shape[0] if hasattr(r, "shape") else 1
+                   for r in self._rows)
 
     def flush(self):
         """Return ``[n_steps, len(keys)]`` float32 host array."""
@@ -207,14 +218,70 @@ class StepScalarBuffer:
         if not rows:
             return np.zeros((0, k), np.float32)
         import jax.numpy as jnp
-        flat = [jnp.asarray(x, jnp.float32)
-                for row in rows for x in row]
-        chunk = self._CHUNK * k
-        pad = (-len(flat)) % chunk
-        flat = flat + flat[-1:] * pad
-        out = [np.asarray(jnp.stack(flat[i:i + chunk]))
-               for i in range(0, len(flat), chunk)]
-        return np.concatenate(out)[:len(rows) * k].reshape(len(rows), k)
+
+        # scalar rows: chunk-stacked (fixed compiled shape regardless
+        # of epoch length); group rows ([K, k] arrays, K constant — the
+        # tail takes the per-step path): chunk-stacked the same way.
+        # Fetch each stream once, then merge back in append order.
+        scalar_idx, scalar_rows = [], []
+        group_idx, group_rows = [], []
+        for i, r in enumerate(rows):
+            if hasattr(r, "shape"):
+                group_idx.append(i)
+                group_rows.append(r)
+            else:
+                scalar_idx.append(i)
+                scalar_rows.append(r)
+
+        def chunked(items, chunk):
+            pad = (-len(items)) % chunk
+            items = items + items[-1:] * pad
+            parts = [np.asarray(jnp.stack(items[i:i + chunk]))
+                     for i in range(0, len(items), chunk)]
+            return np.concatenate(parts)
+
+        fetched = {}
+        if scalar_rows:
+            flat = [jnp.asarray(x, jnp.float32)
+                    for row in scalar_rows for x in row]
+            arr = chunked(flat, self._CHUNK * k)[:len(scalar_rows) * k]
+            arr = arr.reshape(len(scalar_rows), k)
+            for i, v in zip(scalar_idx, arr):
+                fetched[i] = v[None]
+        if group_rows:
+            arr = chunked(group_rows, 8)[:len(group_rows)]
+            for i, v in zip(group_idx, arr):
+                fetched[i] = np.asarray(v)
+        return np.concatenate([fetched[i] for i in range(len(rows))])
+
+
+def dispatch_grouped_train(pending, state, grouped_step, iter_buf,
+                           acc, extra_row_fn=None):
+    """Dispatch buffered ``(batch, key)`` pairs as ONE grouped train
+    call (``train.steps.make_grouped_train_step``), shared by the
+    train and AL CLIs: stacks the loader batches (uint8 stacks on
+    device — ``jnp.stack`` is one dispatch, no re-upload), records the
+    per-step scalars and device-summed confusion, and returns the new
+    state. ``extra_row_fn(batch) -> [B] bool`` supplies the
+    pseudo-labeling ``labelled`` rows when present."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    gb = {
+        "stack": jnp.stack([b["stack"] for b, _ in pending]),
+        "heights": np.stack([b["heights"] for b, _ in pending]),
+        "widths": np.stack([b["widths"] for b, _ in pending]),
+        "valid": np.stack([b["valid"].astype(np.float32)
+                           for b, _ in pending]),
+    }
+    if extra_row_fn is not None:
+        gb["labelled"] = np.stack([extra_row_fn(b)
+                                   for b, _ in pending])
+    keys = jnp.stack([key for _, key in pending])
+    state, gm = grouped_step(state, gb, keys)
+    iter_buf.extend_group(gm)
+    acc.update(gm["confusion"])
+    return state
 
 
 class MetricsWriter:

@@ -90,6 +90,24 @@ class TestICNetScoring:
         want = self._direct_score(model, variables, x, measure)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
+    def test_up2_taps_match_jax_image_resize(self):
+        """The CFF units' explicit polyphase 2x upsample must equal
+        jax.image.resize bilinear to fp tolerance (it replaces the
+        resize lowering, which measured +8.9 ms/batch-16 in the CFF
+        context on v5e — tools/probe_icnet_boundary.py)."""
+        from semanticsegmentationactivelearning_tpu.models.icnet import (
+            _resize_bilinear_up2)
+        rng = np.random.default_rng(5)
+        for shape in ((2, 8, 12, 7), (1, 5, 3, 2), (3, 1, 1, 4)):
+            x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+            want = jax.image.resize(
+                x, (shape[0], 2 * shape[1], 2 * shape[2], shape[3]),
+                method="bilinear")
+            got = _resize_bilinear_up2(x)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(want),
+                                       rtol=1e-6, atol=1e-6)
+
     @pytest.mark.parametrize("chunk", [2, 3, 4, 16])
     def test_chunked_upsample_exact(self, chunk):
         """Slice-resize with edge-replicated halo == global resize,

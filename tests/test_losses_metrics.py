@@ -196,6 +196,17 @@ class TestConfusionMatrix:
         acc.reset()
         assert acc.matrix.sum() == 0
 
+    def test_accumulator_grouped_stack(self):
+        # a grouped train step may hand back per-step [K,C,C] counts
+        # (kept un-summed when the dispatch pixel count could overflow
+        # an int32 device sum): the host accumulates them exactly
+        acc = metrics.ConfusionAccumulator(2)
+        stack = np.stack([np.eye(2, dtype=np.int32),
+                          2 * np.eye(2, dtype=np.int32)])
+        acc.update(stack)
+        acc.update(np.eye(2, dtype=np.int32))
+        np.testing.assert_array_equal(acc.matrix, 4 * np.eye(2))
+
 
 class TestAcquisition:
     @pytest.fixture

@@ -221,6 +221,17 @@ class TestTrainStep:
         np.testing.assert_allclose(out[:, 0], np.arange(n))
         np.testing.assert_allclose(out[:, 1], 2 * np.arange(n) + 1)
         assert buf.flush().shape == (0, 2)
+        # mixed scalar + grouped rows keep append order (the grouped
+        # step's [K]-leading metrics via extend_group)
+        buf.append({"loss": jnp.float32(0.5), "cost": jnp.float32(1.5)})
+        buf.extend_group({"loss": jnp.arange(3, dtype=jnp.float32),
+                          "cost": jnp.arange(3, dtype=jnp.float32)
+                          + 10})
+        buf.append({"loss": jnp.float32(9.0), "cost": jnp.float32(9.5)})
+        assert len(buf) == 5
+        out = buf.flush()
+        np.testing.assert_allclose(out[:, 0], [0.5, 0, 1, 2, 9.0])
+        np.testing.assert_allclose(out[:, 1], [1.5, 10, 11, 12, 9.5])
 
     def test_invalid_examples_excluded(self, setup):
         model, optimizer, state = setup

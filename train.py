@@ -289,24 +289,8 @@ def main(args):
                 return
             if grouped_step is not None \
                     and len(pending) == train_group:
-                import jax.numpy as jnp
-                gb = {
-                    "stack": jnp.stack([b["stack"]
-                                        for b, _ in pending]),
-                    "heights": np.stack([b["heights"]
-                                         for b, _ in pending]),
-                    "widths": np.stack([b["widths"]
-                                        for b, _ in pending]),
-                    "valid": np.stack([b["valid"].astype(np.float32)
-                                       for b, _ in pending]),
-                }
-                keys = jnp.stack([k for _, k in pending])
-                state, gm = grouped_step(state, gb, keys)
-                for k in range(train_group):
-                    iter_buf.append({
-                        kk: gm[kk][k]
-                        for kk in ("loss", "cost", "learning_rate")})
-                acc.update(gm["confusion"])  # device-summed over group
+                state = cli.dispatch_grouped_train(
+                    pending, state, grouped_step, iter_buf, acc)
             else:
                 # partial tail group (or grouping off): per-step path
                 for b, key in pending:
