@@ -5,7 +5,6 @@
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.quick  # fast CI lane (pytest -m quick)
 
 import jax
 import jax.numpy as jnp

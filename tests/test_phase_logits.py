@@ -20,7 +20,6 @@ import numpy as np
 import optax
 import pytest
 
-pytestmark = pytest.mark.quick  # fast CI lane (pytest -m quick)
 
 from semanticsegmentationactivelearning_tpu.models import ENet, blocks
 from semanticsegmentationactivelearning_tpu.ops import nn as xops

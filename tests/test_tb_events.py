@@ -18,7 +18,6 @@ import sys
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.quick  # fast CI lane (pytest -m quick)
 from PIL import Image
 
 from semanticsegmentationactivelearning_tpu.utils import cli, tb_events

@@ -5,7 +5,6 @@ interoperability with TensorFlow's TFRecord/Example implementation
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.quick  # fast CI lane (pytest -m quick)
 
 from semanticsegmentationactivelearning_tpu.data import (
     SegExample, example, make_example, parse_example, proto, tfrecord)
