@@ -435,6 +435,16 @@ class ICNet(nn.Module):
         fused8, _ = self.cff2(fused16, f1, training)
         return fused8
 
+    def fuse_to_cff1(self, stem1, training: bool = False):
+        """Stem res-blocks -> tail -> CFF1 only: returns the 1/16-res
+        fused features for the CFF2+head Pallas kernel
+        (ops/pallas_kernels.fused_cff2_head8_entropy_score)."""
+        f2 = self.stem.from_pool(stem1, training)
+        f3 = _resize_bilinear(f2, (f2.shape[1] // 2, f2.shape[2] // 2))
+        f3 = self.tail(f3, training)
+        fused16, _ = self.cff1(f3, f2, training)
+        return fused16
+
     def fuse_from_stem1(self, f1, stem1, training: bool = False):
         """Stem res-blocks -> tail -> cascade fusion from precomputed
         Branch1 features and pooled stem-front features (both produced
@@ -449,7 +459,7 @@ class ICNet(nn.Module):
 
     def fused_score(self, variables, image, measure: str,
                     use_pallas: bool = False, fuse_stem: bool = True,
-                    interpret: bool = False):
+                    fuse_cff2: bool = True, interpret: bool = False):
         """Acquisition scoring without materializing full-res logits
         (the AL pool-ranking hot loop, reference
         active_learning.py:229-263)."""
@@ -478,6 +488,21 @@ class ICNet(nn.Module):
                 packed = pallas_kernels.pack_icnet_front_stem(variables)
                 f1, stem1 = pallas_kernels.fused_icnet_front_stem(
                     image.astype(dt), packed, interpret=interpret)
+                if fuse_cff2:
+                    # CFF2 + head in ONE kernel over the 1/16-res CFF1
+                    # output — pins the resize lowering and the fused8
+                    # custom-call boundary (measured 63.3 -> 55.9
+                    # ms/batch-16 at group 4 on v5e; docs/PERF.md)
+                    fused16 = self.apply(variables, stem1,
+                                         training=False,
+                                         method=ICNet.fuse_to_cff1)
+                    packed_ch = pallas_kernels.pack_icnet_cff2_head(
+                        variables, self.num_classes)
+                    return (pallas_kernels
+                            .fused_cff2_head8_entropy_score(
+                                fused16.astype(dt), f1.astype(dt),
+                                packed_ch, self.num_classes,
+                                interpret=interpret))
                 fused8 = self.apply(variables, f1, stem1,
                                     training=False,
                                     method=ICNet.fuse_from_stem1)

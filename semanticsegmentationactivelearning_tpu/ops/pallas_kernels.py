@@ -3394,3 +3394,248 @@ def fused_icnet_front_stem(image: jnp.ndarray, packed: dict,
 
     return (f1.reshape(n, h // 8, w // 8, 64),
             st.reshape(n, h // 8, w // 8, 64))
+
+
+# ---------------------------------------------------------------------------
+# Fused ICNet CFF2 + head: cascade fusion 2 folded into the head kernel
+# ---------------------------------------------------------------------------
+#
+# tools/probe_icnet_boundary.py localized the ICNet chain's largest
+# XLA segment cost to CFF2's composition in context: jax.image.resize's
+# 2x upsample lowers through gathers in the full graph (an explicit
+# polyphase-tap rewrite wins 8.9 ms/batch-16 in XLA but collapses 20x
+# at the head8 custom-call boundary — docs/PERF.md ICNet notes). The
+# fix with real headroom is to PIN the whole segment inside the kernel:
+# this extension computes, per 1/8-row tile,
+#
+#   low_up = resize2x(fused16)        polyphase taps, clamped edges
+#   low_f  = dil-2 3x3 conv 128->128  9 shifted matmuls, BN folded
+#   high_f = 1x1(f1) 64->128          BN folded
+#   fused8 = relu(low_f + high_f)
+#
+# and then the unchanged head math (classifier + composed 8x upsample +
+# softmax + normalized entropy). Neither fused8, the 1/4-res logits,
+# nor any resize intermediate exists in HBM. Ships OFF by default
+# (`ICNet.fused_score(fuse_cff2=True)`) until benched on hardware.
+
+
+def pack_icnet_cff2_head(variables, num_classes: int):
+    """Fold CFF2's two ConvBN branches (inference running stats) and
+    bundle the head constants for :func:`fused_cff2_head8_entropy_score`.
+
+    Reference math being folded (models/icnet.py CascadeFeatureFusion):
+    ``y = (conv(x) - mean) / sqrt(var + eps) * scale + bias`` with
+    eps 1e-3 — per-output-channel kernel scaling + bias."""
+    # jnp throughout: the pack may run under jit (trace-safe)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    p = variables["params"]["CFF2"]
+    s = variables["batch_stats"]["CFF2"]
+
+    def fold(branch):
+        k = f32(p[branch]["conv"]["kernel"])
+        bn_p, bn_s = p[branch]["bn"], s[branch]["bn"]
+        inv = f32(bn_p["scale"]) / jnp.sqrt(f32(bn_s["var"]) + 1e-3)
+        return k * inv, (f32(bn_p["bias"])
+                         - f32(bn_s["mean"]) * inv)[None, :]
+
+    kc, bc = fold("low")              # [3,3,128,128], [1,128]
+    kh, bh = fold("high")             # [1,1,64,128],  [1,128]
+
+    cls_p = variables["params"]["Classifier"]
+    c = num_classes
+    eye = np.eye(c, dtype=np.float32)
+    ml = np.concatenate([w[0] * eye for w in _HEAD8_W], axis=-1)
+    m0 = np.concatenate([w[1] * eye for w in _HEAD8_W], axis=-1)
+    mr = np.concatenate([w[2] * eye for w in _HEAD8_W], axis=-1)
+    seg = np.repeat(np.eye(8, dtype=np.float32), c, axis=0)
+    return dict(
+        kc=kc.reshape(9, 128, 128),
+        bc=bc,
+        kh=kh[0, 0], bh=bh,
+        wcls=f32(cls_p["kernel"][0, 0]),
+        bcls=f32(cls_p["bias"])[None, :],
+        ml=jnp.asarray(ml), m0=jnp.asarray(m0), mr=jnp.asarray(mr),
+        seg=jnp.asarray(seg))
+
+
+def _cff2_head8_kernel(f16_ref, u2_ref, u1_ref, d1_ref, d2_ref,
+                       f1_ref, f1u_ref, f1d_ref,
+                       kc_ref, bc_ref, kh_ref, bh_ref,
+                       wcls_ref, bcls_ref, ml_ref, m0_ref, mr_ref,
+                       seg_ref, out_ref,
+                       *, num_classes: int, tile_h: int, h8: int):
+    """See the section comment. Grid (N, H8/tile_h); the fused16 tile
+    carries four single-row clipped halos (the resize's edge clamp),
+    f1 two; the conv's SAME zero padding comes from masking rows
+    outside the global image."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    f32 = jnp.float32
+    th = tile_h
+    th2 = th // 2
+    dt = f16_ref.dtype
+
+    # --- resize2x rows: sixteenth rows (clamped) -> eighth rows ---
+    y16 = jnp.concatenate(
+        [u2_ref[0], u1_ref[0], f16_ref[0], d1_ref[0], d2_ref[0]],
+        axis=0)                        # [th2+4, W16, 128], row k ↦
+    #                                    global sixteenth j*th2 - 2 + k
+    rows = []
+    for er in range(th + 6):           # eighth rows j*th - 3 + er
+        off = er - 3
+        par = off % 2
+        base = (off - par) // 2 + 2    # y16 index of sixteenth row i16
+        if par == 0:                   # out[2i] = .25 y[i-1] + .75 y[i]
+            rows.append(0.25 * y16[base - 1] + 0.75 * y16[base])
+        else:                          # out[2i+1] = .75 y[i] + .25 y[i+1]
+            rows.append(0.75 * y16[base] + 0.25 * y16[base + 1])
+    lu = jnp.stack(rows)               # [th+6, W16, 128]
+    # resize2x columns (edge clamp)
+    left = jnp.concatenate([lu[:, :1], lu[:, :-1]], axis=1)
+    right = jnp.concatenate([lu[:, 1:], lu[:, -1:]], axis=1)
+    ce = 0.25 * left + 0.75 * lu
+    co = 0.75 * lu + 0.25 * right
+    low_up = jnp.stack([ce, co], axis=2)
+    w8 = 2 * lu.shape[1]
+    low_up = low_up.reshape(th + 6, w8, 128).astype(dt)
+    # conv SAME zero padding at the global top/bottom edges
+    ge = (jax.lax.broadcasted_iota(jnp.int32, (th + 6, 1, 1), 0)
+          + j * th - 3)
+    low_up = jnp.where((ge >= 0) & (ge < h8), low_up,
+                       jnp.zeros((), dt))
+
+    # --- dil-2 3x3 conv (BN folded), output eighth rows j*th-1 .. ---
+    zeros2 = jnp.zeros_like(low_up[:, :2])
+    l2 = jnp.concatenate([zeros2, low_up[:, :-2]], axis=1)
+    r2 = jnp.concatenate([low_up[:, 2:], zeros2], axis=1)
+    nrows = th + 2
+    flatc = lambda a: a.reshape(nrows * w8, 128)
+    acc = bc_ref[...].astype(f32)
+    for ty in range(3):                 # dy = 2*(ty-1)
+        r0 = 2 * ty                     # low_up rel row of out row 0
+        for tx, src in enumerate((l2, low_up, r2)):
+            acc = acc + jnp.dot(
+                flatc(src[r0:r0 + nrows]),
+                kc_ref[ty * 3 + tx].astype(dt),
+                preferred_element_type=f32)
+
+    # --- 1x1 high branch (BN folded) on clamped f1 rows ---
+    f1rows = jnp.concatenate([f1u_ref[0], f1_ref[0], f1d_ref[0]],
+                             axis=0)    # [th+2, W8, 64]
+    high = jnp.dot(f1rows.reshape(nrows * w8, -1),
+                   kh_ref[...].astype(dt),
+                   preferred_element_type=f32) + bh_ref[...].astype(f32)
+
+    f8 = jnp.maximum(acc + high, 0.0).reshape(nrows, w8, 128) \
+        .astype(dt)
+    # the head's row clamp at the GLOBAL edges: row above the first
+    # tile / below the last tile must equal the boundary row itself
+    grid_h = h8 // th
+    top = jnp.where(j == 0, f8[1], f8[0])
+    bot = jnp.where(j == grid_h - 1, f8[th], f8[th + 1])
+    f8 = jnp.concatenate([top[None], f8[1:th + 1], bot[None]], axis=0)
+
+    # --- unchanged head math (classifier + composed 8x + entropy) ---
+    wcls = wcls_ref[...].astype(dt)
+    bcls = bcls_ref[...].astype(f32)
+    cls = lambda a: (jnp.dot(a.reshape(th * w8, 128), wcls,
+                             preferred_element_type=f32)
+                     + bcls).reshape(th, w8, -1)
+    y, yu, yd = cls(f8[1:th + 1]), cls(f8[0:th]), cls(f8[2:th + 2])
+
+    c = y.shape[-1]
+    flat = lambda a: a.reshape(th * w8, c)
+    ml = ml_ref[...].astype(f32)
+    m0 = m0_ref[...].astype(f32)
+    mr = mr_ref[...].astype(f32)
+    seg = seg_ref[...].astype(f32)
+    log_c = jnp.log(jnp.float32(num_classes))
+    neg_entropy_sum = jnp.float32(0.0)
+    for t in range(8):
+        w = _HEAD8_W[t]
+        r = w[0] * yu + w[1] * y + w[2] * yd
+        rl = jnp.concatenate([r[:, :1], r[:, :-1]], axis=1)
+        rr = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=1)
+        lp = (jnp.dot(flat(rl), ml, preferred_element_type=f32)
+              + jnp.dot(flat(r), m0, preferred_element_type=f32)
+              + jnp.dot(flat(rr), mr, preferred_element_type=f32))
+        m = jnp.max(lp, axis=-1, keepdims=True)
+        lshift = lp - m
+        e = jnp.exp(lshift)
+        z = jnp.dot(e, seg, preferred_element_type=f32)
+        s = jnp.dot(e * lshift, seg, preferred_element_type=f32)
+        neg_entropy_sum = neg_entropy_sum + jnp.sum(s / z - jnp.log(z))
+    pixels = jnp.float32(64 * th * w8)
+    out_ref[i, j] = pixels + neg_entropy_sum / log_c
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "tile_h", "interpret"))
+def fused_cff2_head8_entropy_score(fused16: jnp.ndarray,
+                                   f1: jnp.ndarray, packed: dict,
+                                   num_classes: int, tile_h: int = 4,
+                                   interpret: bool = False
+                                   ) -> jnp.ndarray:
+    """Per-image mean entropy-confidence of CFF2 + the full ICNet head
+    in ONE Pallas pass over the 1/16-res fused features and the
+    1/8-res branch-1 features (see the section comment; exactness vs
+    the XLA ``cff2 -> fused_head8_entropy_score`` composition is
+    pinned in tests/test_icnet.py).
+
+    :param fused16: ``[N, H16, W16, 128]`` CFF1 output
+    :param f1:      ``[N, H8, W8, 64]`` branch-1 features (H8 = 2*H16)
+    :param packed:  :func:`pack_icnet_cff2_head` output
+    :returns: ``[N]`` float32 mean confidences
+    """
+    n, h16, w16, _ = fused16.shape
+    h8 = 2 * h16
+    w8 = 2 * w16
+    if tile_h % 2 or h8 % tile_h:
+        tile_h = h8 if h8 % 2 == 0 else 2 * h8  # h8 always even
+    grid_h = h8 // tile_h
+    th2 = tile_h // 2
+
+    names = ("kc", "bc", "kh", "bh", "wcls", "bcls", "ml", "m0", "mr",
+             "seg")
+    consts = [packed[k] for k in names]
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    f16_spec = pl.BlockSpec((1, th2, w16, 128),
+                            lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def row16(off):
+        return pl.BlockSpec(
+            (1, 1, w16, 128),
+            lambda i, j, off=off: (i, jnp.clip(j * th2 + off, 0,
+                                               h16 - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    f1_spec = pl.BlockSpec((1, tile_h, w8, 64),
+                           lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def row8(off, scale):
+        return pl.BlockSpec(
+            (1, 1, w8, 64),
+            lambda i, j, off=off: (i, jnp.clip(j * scale + off, 0,
+                                               h8 - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    partial_sums = pl.pallas_call(
+        functools.partial(_cff2_head8_kernel, num_classes=num_classes,
+                          tile_h=tile_h, h8=h8),
+        grid=(n, grid_h),
+        in_specs=[f16_spec, row16(-2), row16(-1), row16(th2),
+                  row16(th2 + 1), f1_spec, row8(-1, tile_h),
+                  row8(tile_h, tile_h)]
+        + [const(a) for a in consts],
+        out_specs=pl.BlockSpec((n, grid_h), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n, grid_h), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(fused16, fused16, fused16, fused16, fused16, f1, f1, f1,
+      *consts)
+
+    return jnp.sum(partial_sums, axis=1) / jnp.float32(64 * h8 * w8)

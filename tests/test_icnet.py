@@ -90,6 +90,59 @@ class TestICNetScoring:
         want = self._direct_score(model, variables, x, measure)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
+    def test_fused_cff2_head_kernel_matches_composition(self):
+        """The CFF2+head Pallas kernel (interpret mode) must match the
+        XLA composition cff2 -> fused_head8_entropy_score on real
+        model features — the resize clamp, dil-2 conv SAME padding,
+        folded BN, and the head's edge rows all line up
+        (pallas_kernels.fused_cff2_head8_entropy_score, flag-gated as
+        fused_score(fuse_cff2=True))."""
+        from semanticsegmentationactivelearning_tpu.ops import (
+            pallas_kernels)
+        model = ICNet(num_classes=7)
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.uniform(size=(2, 64, 96, 3)), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                               training=False)
+        # noised BN stats so the folding is non-trivial
+        stats = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(np.abs(
+                rng.normal(size=a.shape, scale=0.2)).astype(np.float32)),
+            variables["batch_stats"])
+        variables = {**variables, "batch_stats": stats}
+
+        fused16 = jnp.asarray(
+            rng.normal(size=(2, 4, 6, 128)).astype(np.float32))
+        f1 = jnp.asarray(
+            rng.normal(size=(2, 8, 12, 64)).astype(np.float32))
+
+        def want_fn(v, fused16, f1):
+            def run(m):
+                fused8, _ = m.cff2(fused16, f1, False)
+                return fused8
+            fused8 = model.apply(v, method=run)
+            cls_p = v["params"]["Classifier"]
+            return pallas_kernels.fused_head8_entropy_score(
+                fused8, cls_p["kernel"][0, 0].astype(jnp.float32),
+                cls_p["bias"].astype(jnp.float32), 7, interpret=True)
+
+        want = np.asarray(want_fn(variables, fused16, f1))
+        packed = pallas_kernels.pack_icnet_cff2_head(variables, 7)
+        got = np.asarray(pallas_kernels.fused_cff2_head8_entropy_score(
+            fused16, f1, packed, 7, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        # and through the flag-gated model path end to end
+        got_e2e = np.asarray(jax.jit(
+            lambda v, im: model.fused_score(
+                v, im, "entropy", use_pallas=True, fuse_cff2=True,
+                interpret=True))(variables, x))
+        want_e2e = np.asarray(jax.jit(
+            lambda v, im: model.fused_score(
+                v, im, "entropy", use_pallas=True,
+                interpret=True))(variables, x))
+        np.testing.assert_allclose(got_e2e, want_e2e, rtol=5e-4,
+                                   atol=5e-4)
+
     def test_up2_taps_match_jax_image_resize(self):
         """The CFF units' explicit polyphase 2x upsample must equal
         jax.image.resize bilinear to fp tolerance (it replaces the
