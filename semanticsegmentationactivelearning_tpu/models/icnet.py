@@ -525,7 +525,7 @@ class ICNet(nn.Module):
 
     def fused_predict(self, variables, image,
                       use_pallas: bool = False, fuse_stem: bool = True,
-                      interpret: bool = False):
+                      fuse_cff2: bool = True, interpret: bool = False):
         """Per-pixel argmax labels without materializing full-res (or
         even 1/4-res) logits — the inference CLI's forward (reference
         inference.py:90-98) through the same kernel chain as
@@ -549,6 +549,18 @@ class ICNet(nn.Module):
                 packed = pallas_kernels.pack_icnet_front_stem(variables)
                 f1, stem1 = pallas_kernels.fused_icnet_front_stem(
                     image.astype(dt), packed, interpret=interpret)
+                if fuse_cff2:
+                    # CFF2 + head in one kernel (the predict twin of
+                    # the scoring path's fusion; see fused_score)
+                    fused16 = self.apply(variables, stem1,
+                                         training=False,
+                                         method=ICNet.fuse_to_cff1)
+                    packed_ch = pallas_kernels.pack_icnet_cff2_head(
+                        variables, self.num_classes)
+                    labels = pallas_kernels.fused_cff2_head8_predict(
+                        fused16.astype(dt), f1.astype(dt), packed_ch,
+                        self.num_classes, interpret=interpret)
+                    return labels.astype(jnp.int32)
                 fused8 = self.apply(variables, f1, stem1,
                                     training=False,
                                     method=ICNet.fuse_from_stem1)

@@ -3463,7 +3463,8 @@ def _cff2_head8_kernel(f16_ref, u2_ref, u1_ref, d1_ref, d2_ref,
                        kc_ref, bc_ref, kh_ref, bh_ref,
                        wcls_ref, bcls_ref, ml_ref, m0_ref, mr_ref,
                        seg_ref, out_ref,
-                       *, num_classes: int, tile_h: int, h8: int):
+                       *, num_classes: int, tile_h: int, h8: int,
+                       mode: str = "entropy"):
     """See the section comment. Grid (N, H8/tile_h); the fused16 tile
     carries four single-row clipped halos (the resize's edge clamp),
     f1 two; the conv's SAME zero padding comes from masking rows
@@ -3548,6 +3549,29 @@ def _cff2_head8_kernel(f16_ref, u2_ref, u1_ref, d1_ref, d2_ref,
     m0 = m0_ref[...].astype(f32)
     mr = mr_ref[...].astype(f32)
     seg = seg_ref[...].astype(f32)
+
+    if mode == "predict":
+        # ml/m0/mr arrive CLASS-major (see fused_head8_predict):
+        # first-max running argmax == XLA's lowest-index tie-breaking
+        labs = []
+        for t in range(8):
+            w = _HEAD8_W[t]
+            r = w[0] * yu + w[1] * y + w[2] * yd
+            rl = jnp.concatenate([r[:, :1], r[:, :-1]], axis=1)
+            rr = jnp.concatenate([r[:, 1:], r[:, -1:]], axis=1)
+            lp = (jnp.dot(flat(rl), ml, preferred_element_type=f32)
+                  + jnp.dot(flat(r), m0, preferred_element_type=f32)
+                  + jnp.dot(flat(rr), mr, preferred_element_type=f32))
+            best = lp[:, 0:8]
+            idx = jnp.zeros_like(best, dtype=jnp.int32)
+            for cc in range(1, num_classes):
+                v = lp[:, 8 * cc:8 * (cc + 1)]
+                idx = jnp.where(v > best, cc, idx)
+                best = jnp.maximum(v, best)
+            labs.append(idx.reshape(th, w8, 8))
+        out_ref[0] = jnp.concatenate(labs, axis=-1).astype(jnp.int8)
+        return
+
     log_c = jnp.log(jnp.float32(num_classes))
     neg_entropy_sum = jnp.float32(0.0)
     for t in range(8):
@@ -3639,3 +3663,83 @@ def fused_cff2_head8_entropy_score(fused16: jnp.ndarray,
       *consts)
 
     return jnp.sum(partial_sums, axis=1) / jnp.float32(64 * h8 * w8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "tile_h", "interpret"))
+def fused_cff2_head8_predict(fused16: jnp.ndarray, f1: jnp.ndarray,
+                             packed: dict, num_classes: int,
+                             tile_h: int = 4,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Per-pixel argmax labels of CFF2 + the full ICNet head in ONE
+    Pallas pass (the predict twin of
+    :func:`fused_cff2_head8_entropy_score`; same tile/halo layout,
+    ending in the in-kernel argmax of :func:`fused_head8_predict`).
+    Returns int8 ``[N, H, W]`` full-resolution class labels."""
+    n, h16, w16, _ = fused16.shape
+    h8 = 2 * h16
+    w8 = 2 * w16
+    if tile_h % 2 or h8 % tile_h:
+        tile_h = h8
+    grid_h = h8 // tile_h
+    th2 = tile_h // 2
+    c = num_classes
+
+    eye = np.eye(c, dtype=np.float32)
+    ml = np.concatenate([w[0] * eye for w in _HEAD8_W], axis=-1)
+    m0 = np.concatenate([w[1] * eye for w in _HEAD8_W], axis=-1)
+    mr = np.concatenate([w[2] * eye for w in _HEAD8_W], axis=-1)
+    # class-major permutation (see fused_head8_predict)
+    perm = (np.arange(8)[None, :] * c
+            + np.arange(c)[:, None]).reshape(-1)
+    ml, m0, mr = ml[:, perm], m0[:, perm], mr[:, perm]
+    seg = np.repeat(np.eye(8, dtype=np.float32), c, axis=0)
+
+    consts = [packed["kc"], packed["bc"], packed["kh"], packed["bh"],
+              packed["wcls"], packed["bcls"], jnp.asarray(ml),
+              jnp.asarray(m0), jnp.asarray(mr), jnp.asarray(seg)]
+    const = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    f16_spec = pl.BlockSpec((1, th2, w16, 128),
+                            lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def row16(off):
+        return pl.BlockSpec(
+            (1, 1, w16, 128),
+            lambda i, j, off=off: (i, jnp.clip(j * th2 + off, 0,
+                                               h16 - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    f1_spec = pl.BlockSpec((1, tile_h, w8, 64),
+                           lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def row8(off):
+        return pl.BlockSpec(
+            (1, 1, w8, 64),
+            lambda i, j, off=off: (i, jnp.clip(j * tile_h + off, 0,
+                                               h8 - 1), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    labels8 = pl.pallas_call(
+        functools.partial(_cff2_head8_kernel, num_classes=num_classes,
+                          tile_h=tile_h, h8=h8, mode="predict"),
+        grid=(n, grid_h),
+        in_specs=[f16_spec, row16(-2), row16(-1), row16(th2),
+                  row16(th2 + 1), f1_spec, row8(-1), row8(tile_h)]
+        + [const(a) for a in consts],
+        out_specs=pl.BlockSpec((1, tile_h, w8, 64),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h8, w8, 64), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(fused16, fused16, fused16, fused16, fused16, f1, f1, f1,
+      *consts)
+
+    # lane layout t*8+p -> spatial: labels[., 8r+t, 8q+p]
+    return (labels8.reshape(n, h8, w8, 8, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n, h8 * 8, w8 * 8))

@@ -143,6 +143,48 @@ class TestICNetScoring:
         np.testing.assert_allclose(got_e2e, want_e2e, rtol=5e-4,
                                    atol=5e-4)
 
+    def test_fused_cff2_head_predict_matches_composition(self):
+        """The predict twin of the CFF2+head kernel: labels must match
+        the cff2 -> fused_head8_predict composition (fp32 model; at
+        most a near-tie pixel or two may flip under fp reassociation
+        of the folded BN)."""
+        from semanticsegmentationactivelearning_tpu.ops import (
+            pallas_kernels)
+        model = ICNet(num_classes=7)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.uniform(size=(1, 64, 96, 3)), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(1)}, x,
+                               training=False)
+        fused16 = jnp.asarray(
+            rng.normal(size=(1, 4, 6, 128)).astype(np.float32))
+        f1 = jnp.asarray(
+            rng.normal(size=(1, 8, 12, 64)).astype(np.float32))
+
+        def run(m):
+            fused8, _ = m.cff2(fused16, f1, False)
+            return fused8
+        fused8 = model.apply(variables, method=run)
+        cls_p = variables["params"]["Classifier"]
+        want = np.asarray(pallas_kernels.fused_head8_predict(
+            fused8, cls_p["kernel"][0, 0].astype(jnp.float32),
+            cls_p["bias"].astype(jnp.float32), 7, interpret=True))
+        packed = pallas_kernels.pack_icnet_cff2_head(variables, 7)
+        got = np.asarray(pallas_kernels.fused_cff2_head8_predict(
+            fused16, f1, packed, 7, interpret=True))
+        assert got.shape == want.shape
+        agree = (got == want).mean()
+        assert agree > 0.9999, agree
+        # and through the flag-gated model path end to end
+        got_e2e = np.asarray(jax.jit(
+            lambda v, im: model.fused_predict(
+                v, im, use_pallas=True, fuse_cff2=True,
+                interpret=True))(variables, x))
+        want_e2e = np.asarray(jax.jit(
+            lambda v, im: model.fused_predict(
+                v, im, use_pallas=True, fuse_cff2=False,
+                interpret=True))(variables, x))
+        assert (got_e2e == want_e2e).mean() > 0.999
+
     def test_up2_taps_match_jax_image_resize(self):
         """The CFF units' explicit polyphase 2x upsample must equal
         jax.image.resize bilinear to fp tolerance (it replaces the
