@@ -282,6 +282,13 @@ def fused_head8_predict(features8: jnp.ndarray, wcls: jnp.ndarray,
     reshape/transpose unpacks them.
     """
     n, h8, w8, cf = features8.shape
+    # predict mode keeps the int8 output tile plus the class-major
+    # phase-logit sweep live in VREG/vmem stack, so the footprint
+    # scales with tile_h*w8: at w8=256 (2048-wide input) tile_h=4
+    # measured a 17.4M scoped-vmem stack against the 16M limit and
+    # fails to compile — clamp the row tile on wide inputs
+    while tile_h > 1 and tile_h * w8 > 512:
+        tile_h //= 2
     if h8 % tile_h != 0:
         tile_h = h8
     grid_h = h8 // tile_h
@@ -3679,6 +3686,11 @@ def fused_cff2_head8_predict(fused16: jnp.ndarray, f1: jnp.ndarray,
     n, h16, w16, _ = fused16.shape
     h8 = 2 * h16
     w8 = 2 * w16
+    # same scoped-vmem stack clamp as fused_head8_predict (the argmax
+    # sweep's footprint scales with tile_h*w8), floored at 2 because
+    # the kernel consumes 1/16-res rows in pairs
+    while tile_h > 2 and tile_h * w8 > 512:
+        tile_h -= 2
     if tile_h % 2 or h8 % tile_h:
         tile_h = h8
     grid_h = h8 // tile_h

@@ -174,6 +174,17 @@ class TestICNetScoring:
         assert got.shape == want.shape
         agree = (got == want).mean()
         assert agree > 0.9999, agree
+        # tile-size invariance: wide inputs clamp tile_h to bound the
+        # kernel's scoped-vmem stack (tile_h*w8 <= 512), so the
+        # smaller row tiles must produce identical labels
+        got_t2 = np.asarray(pallas_kernels.fused_cff2_head8_predict(
+            fused16, f1, packed, 7, tile_h=2, interpret=True))
+        np.testing.assert_array_equal(got_t2, got)
+        want_t1 = np.asarray(pallas_kernels.fused_head8_predict(
+            fused8, cls_p["kernel"][0, 0].astype(jnp.float32),
+            cls_p["bias"].astype(jnp.float32), 7, tile_h=1,
+            interpret=True))
+        np.testing.assert_array_equal(want_t1, want)
         # and through the flag-gated model path end to end
         got_e2e = np.asarray(jax.jit(
             lambda v, im: model.fused_predict(
