@@ -381,7 +381,13 @@ def parse_arguments(argv=None):
                              "RGB (must match training, e.g. "
                              "nir_gray).")
     parser.add_argument("-b", "--batch-size", type=int, default=1,
-                        dest="batch_size", required=False)
+                        dest="batch_size", required=False,
+                        help="Images per predict dispatch (default 1 "
+                             "matches the reference's batch-1 "
+                             "pipeline; on TPU larger batches "
+                             "amortize the dispatch overhead — 16 "
+                             "measured best at 1024x2048, see "
+                             "docs/PERF.md serving tables).")
     parser.add_argument("--view", action="store_true", default=False,
                         dest="view", help="Interactive result viewer.")
     return parser.parse_args(argv)
