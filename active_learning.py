@@ -29,6 +29,7 @@ import json
 import logging
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -614,18 +615,22 @@ def main(args, logger):
 
     # Grouped training dispatch (train.steps.make_grouped_train_step):
     # identical trajectory, the fixed per-dispatch overhead amortized
-    # over `train_group` scanned steps. Single-host only (the
-    # multi-host loop keeps its per-step compile-barrier pattern).
+    # over `train_group` scanned steps. Multi-host runs pass the
+    # globally-sharded batches as a tuple (stacked inside jit, zero
+    # cross-host data movement) and AOT-compile + barrier before the
+    # first collective executes.
     train_group = int(params.get("train_group", 1))
     grouped_train = None
-    if train_group > 1 and nproc == 1:
+    grouped_aot = [] if nproc > 1 else None
+    if train_group > 1:
         from semanticsegmentationactivelearning_tpu.train import (
             make_grouped_train_step)
         grouped_train = make_grouped_train_step(
             model, optimizer, dataset.num_classes, hparams,
             group=train_group, crop_hw=in_hw, channels=in_channels,
             pseudo_cfg=pseudo_cfg, mesh=mesh,
-            steps_per_epoch=-(-max(len(labelled), 1) // batch_size))
+            steps_per_epoch=-(-max(len(labelled), 1) // batch_size),
+            stacked_inputs=nproc == 1)
         logger.info("Grouped training dispatch: %d steps/call",
                     train_group)
 
@@ -678,7 +683,10 @@ def main(args, logger):
                     and len(pending) == train_group:
                 tstate = cli.dispatch_grouped_train(
                     pending, tstate, grouped_train, iter_buf, acc,
-                    extra_row_fn=row_labelled)
+                    extra_row_fn=row_labelled, multihost=nproc > 1,
+                    aot_box=grouped_aot,
+                    barrier=lambda: parallel.sync_processes(
+                        "al-grouped-train-compiled"))
             else:
                 # partial tail group (or grouping off): per-step path
                 for b, key in pending:
@@ -965,6 +973,14 @@ def main(args, logger):
 
     sel_rng = np.random.default_rng(args.seed + 3)
     while state["iteration"] < iterations:
+        # Per-round phase wall clocks -> one "al_timing" record per
+        # round (consumed by tools/bench_al_round.py; catches
+        # between-phase stalls — checkpoint restore, host-side
+        # selection — that the component benches can't see)
+        _t_round0 = time.time()
+        _phase_s = {}
+        _labelled0 = int(len(labelled))
+
         # Step 1: train on the labelled set (+ pseudo-label sample)
         train_sampler.set_indices(labelled)
         if state["iteration"] == 0:
@@ -982,7 +998,9 @@ def main(args, logger):
         ckpt_manager.chdir(log_subdir)
 
         try:
+            _t0 = time.time()
             tstate, checkpoint_path = train_loop(tstate, log_subdir)
+            _phase_s["train"] = time.time() - _t0
         except KeyboardInterrupt:
             if ckpt_manager.latest_checkpoint != "":
                 state["checkpoint"] = ckpt_manager.latest_checkpoint
@@ -991,14 +1009,19 @@ def main(args, logger):
             raise
 
         # Reload the round's best checkpoint (active_learning.py:766-769)
+        _t0 = time.time()
         if checkpoint_path:
             tstate = ckpt.restore_checkpoint(checkpoint_path, tstate)
+        _phase_s["restore"] = time.time() - _t0
 
         # Step 2: test set metrics
+        _t0 = time.time()
         if test_loader is not None and len(test_examples) > 0:
             test_loop(tstate)
+        _phase_s["test"] = time.time() - _t0
 
         # Step 3: acquisition
+        _t0 = time.time()
         train_sampler.set_indices(None)
         train_sampler.set_sample_size(0)
         if alparams["selection_size"] > 0:
@@ -1034,6 +1057,7 @@ def main(args, logger):
                                   len(unlabelled)))
             low_conf = sel_rng.choice(unlabelled, draw, replace=False) \
                 if draw > 0 else np.empty(0, dtype=np.int64)
+        _phase_s["score_select"] = time.time() - _t0
 
         # Human annotation pause for truly-unlabelled selections
         to_annotate = no_label_indices[np.isin(no_label_indices,
@@ -1062,6 +1086,11 @@ def main(args, logger):
         state["dataset"]["train"]["labelled"] = labelled.tolist()
         state["dataset"]["train"]["unlabelled"] = unlabelled.tolist()
         state["dataset"]["train"]["no_label"] = no_label_indices.tolist()
+        writer.write({
+            "split": "al_timing", "round": state["iteration"],
+            "labelled": _labelled0,
+            "round_s": round(time.time() - _t_round0, 3),
+            **{f"{k}_s": round(v, 3) for k, v in _phase_s.items()}})
         state["iteration"] += 1
         state["checkpoint"] = checkpoint_path
         if is_main:

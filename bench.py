@@ -14,7 +14,16 @@ throughput over that target.
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 Env knobs: BENCH_BATCH (default 16), BENCH_ITERS (default 20),
 BENCH_HW ("1024x2048"), BENCH_DTYPE ("bf16"|"fp32", default bf16),
-BENCH_MODEL ("ENet"|"ICNet", default ENet), BENCH_GROUP (default 16).
+BENCH_MODEL ("ENet"|"ICNet", default ENet), BENCH_GROUP (default 16),
+BENCH_REPEATS (default 3).
+
+Variance protocol (round 5): the steady-state iterations are split
+into ``BENCH_REPEATS`` >= 3 equal blocks timed independently;
+``value`` is the MEDIAN block throughput and ``value_min``/
+``value_max`` record the spread, so a single platform-variance
+excursion (round 4 measured a 25% swing on one unchanged ICNet
+kernel across sessions, docs/PERF.md) is visible in the JSON instead
+of silently becoming "the" number.
 """
 
 import json
@@ -150,13 +159,21 @@ def main():
         f"scores[:2]={s[:2]}")
     np.asarray(score(variables, image))
 
-    t0 = time.time()
-    for _ in range(iters):
-        s = np.asarray(score(variables, image))
-    dt = (time.time() - t0) / iters
-    imgs_per_sec = group * batch / dt
-    log(f"steady state: {dt * 1e3:.1f} ms/{group}x batch-{batch} "
-        f"-> {imgs_per_sec:.2f} img/s/chip")
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", 3)))
+    block = max(1, iters // repeats)
+    block_rates = []
+    for r in range(repeats):
+        t0 = time.time()
+        for _ in range(block):
+            s = np.asarray(score(variables, image))
+        dt = (time.time() - t0) / block
+        block_rates.append(group * batch / dt)
+        log(f"block {r + 1}/{repeats}: {dt * 1e3:.1f} ms/{group}x "
+            f"batch-{batch} -> {block_rates[-1]:.2f} img/s/chip")
+    imgs_per_sec = float(np.median(block_rates))
+    log(f"steady state median of {repeats} blocks x {block} iters: "
+        f"{imgs_per_sec:.2f} img/s/chip "
+        f"(min {min(block_rates):.2f}, max {max(block_rates):.2f})")
 
     # Scale to the baseline resolution if a smaller probe size was used
     scale = (h * w) / (1024 * 2048)
@@ -168,6 +185,12 @@ def main():
         "value": round(value, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / baseline, 3),
+        # spread over the independently-timed measurement blocks (the
+        # round-5 variance protocol; see module docstring)
+        "value_min": round(min(block_rates) * scale, 3),
+        "value_max": round(max(block_rates) * scale, 3),
+        "repeats": repeats,
+        "block_iters": block,
     }
     if scale != 1.0:
         # Linear pixel-ratio extrapolation from a smaller probe is an

@@ -273,7 +273,8 @@ def make_grouped_train_step(model, optimizer: optax.GradientTransformation,
                             pseudo_cfg: Optional[Dict[str, Any]] = None,
                             mesh=None,
                             phase_logits: Optional[bool] = None,
-                            steps_per_epoch: int = 1):
+                            steps_per_epoch: int = 1,
+                            stacked_inputs: bool = True):
     """``group`` SEQUENTIAL train steps — each with its own on-device
     augmentation — in ONE jit dispatch via ``lax.scan``.
 
@@ -297,6 +298,17 @@ def make_grouped_train_step(model, optimizer: optax.GradientTransformation,
     ``(state, metrics)`` with metrics leaves stacked ``[K, ...]``
     (step-resolution scalars survive grouping).
 
+    ``stacked_inputs=False`` builds the MULTI-HOST form: ``gbatch`` is
+    a TUPLE of ``group`` per-batch dicts whose leaves are
+    globally-sharded ``[B, ...]`` arrays (``parallel.batch_stream``'s
+    multi-host output) — host code cannot stack process-spanning
+    arrays, so ``jnp.stack`` runs INSIDE jit along a new leading axis
+    with a ``P(None, "data")`` constraint, preserving each device's
+    row ownership with zero communication (the same trick as
+    ``make_group_score_step``). Identical math either way; exact
+    parity across process counts is pinned by
+    tests/test_multihost.py.
+
     Reference hot loop being amortized: train.py:319-341 (one
     ``sess.run`` per step)."""
     from ..data import pipeline
@@ -308,22 +320,35 @@ def make_grouped_train_step(model, optimizer: optax.GradientTransformation,
     crop_hw = tuple(crop_hw)
     with_pseudo = pseudo_cfg is not None
 
+    batch_keys = (("stack", "heights", "widths", "valid", "labelled")
+                  if with_pseudo else
+                  ("stack", "heights", "widths", "valid"))
     sh = _mesh_shardings(mesh)
     jit_kwargs = {}
     if sh:
         from jax.sharding import NamedSharding, PartitionSpec as P
         gdata = NamedSharding(mesh, P(None, "data"))
+        batch_in = {k: gdata for k in batch_keys} if stacked_inputs \
+            else tuple([{k: sh["data"] for k in batch_keys}] * group)
         jit_kwargs = dict(
-            in_shardings=(sh["repl"],
-                          {k: gdata for k in
-                           (("stack", "heights", "widths", "valid",
-                             "labelled") if with_pseudo else
-                            ("stack", "heights", "widths", "valid"))},
-                          sh["repl"]),
+            in_shardings=(sh["repl"], batch_in, sh["repl"]),
             out_shardings=(sh["repl"], sh["repl"]))
 
     @functools.partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def grouped_train_step(state: TrainState, gbatch, keys):
+        if not stacked_inputs:
+            # tuple of globally-sharded [B,...] batches -> [K,B,...]
+            # leaves; stacking on a NEW axis keeps every row on its
+            # owning device (no comms), unlike a batch-axis concat
+            gbatch = {k: jnp.stack([c[k] for c in gbatch])
+                      for k in batch_keys}
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec \
+                    as P
+                gb_sharding = NamedSharding(mesh, P(None, "data"))
+                gbatch = {k: jax.lax.with_sharding_constraint(
+                    v, gb_sharding) for k, v in gbatch.items()}
+
         def scan_body(st, xs):
             b, key = xs
             k_aug, k_drop = jax.random.split(key)

@@ -256,29 +256,55 @@ class StepScalarBuffer:
 
 
 def dispatch_grouped_train(pending, state, grouped_step, iter_buf,
-                           acc, extra_row_fn=None):
+                           acc, extra_row_fn=None, multihost=False,
+                           aot_box=None, barrier=None):
     """Dispatch buffered ``(batch, key)`` pairs as ONE grouped train
     call (``train.steps.make_grouped_train_step``), shared by the
     train and AL CLIs: stacks the loader batches (uint8 stacks on
     device — ``jnp.stack`` is one dispatch, no re-upload), records the
     per-step scalars and device-summed confusion, and returns the new
     state. ``extra_row_fn(batch) -> [B] bool`` supplies the
-    pseudo-labeling ``labelled`` rows when present."""
+    pseudo-labeling ``labelled`` rows when present.
+
+    ``multihost=True`` pairs with ``make_grouped_train_step(...,
+    stacked_inputs=False)``: the loader batches arrive as
+    globally-sharded arrays that host code cannot stack, so they are
+    passed through as a TUPLE and stacked inside jit. ``aot_box`` (a
+    caller-owned list) with ``barrier`` implements the multi-host
+    compile-then-rendezvous pattern: the first dispatch AOT-compiles
+    the step, calls ``barrier()`` so slow-compiling hosts don't blow
+    the collective rendezvous window, and every later dispatch reuses
+    the stored executable."""
     import jax.numpy as jnp
     import numpy as np
 
-    gb = {
-        "stack": jnp.stack([b["stack"] for b, _ in pending]),
-        "heights": np.stack([b["heights"] for b, _ in pending]),
-        "widths": np.stack([b["widths"] for b, _ in pending]),
-        "valid": np.stack([b["valid"].astype(np.float32)
-                           for b, _ in pending]),
-    }
-    if extra_row_fn is not None:
-        gb["labelled"] = np.stack([extra_row_fn(b)
-                                   for b, _ in pending])
+    if multihost:
+        gb = tuple(
+            dict({k: b[k] for k in ("stack", "heights", "widths")},
+                 valid=b["valid"].astype(jnp.float32),
+                 **({"labelled": extra_row_fn(b)}
+                    if extra_row_fn is not None else {}))
+            for b, _ in pending)
+    else:
+        gb = {
+            "stack": jnp.stack([b["stack"] for b, _ in pending]),
+            "heights": np.stack([b["heights"] for b, _ in pending]),
+            "widths": np.stack([b["widths"] for b, _ in pending]),
+            "valid": np.stack([b["valid"].astype(np.float32)
+                               for b, _ in pending]),
+        }
+        if extra_row_fn is not None:
+            gb["labelled"] = np.stack([extra_row_fn(b)
+                                       for b, _ in pending])
     keys = jnp.stack([key for _, key in pending])
-    state, gm = grouped_step(state, gb, keys)
+    fn = grouped_step
+    if aot_box is not None:
+        if not aot_box:
+            aot_box.append(grouped_step.lower(state, gb, keys).compile())
+            if barrier is not None:
+                barrier()
+        fn = aot_box[0]
+    state, gm = fn(state, gb, keys)
     iter_buf.extend_group(gm)
     acc.update(gm["confusion"])
     return state

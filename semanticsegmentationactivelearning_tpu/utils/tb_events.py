@@ -127,6 +127,47 @@ def histogram_value(tag: str, counts: Sequence[float],
     return bytes(v)
 
 
+def text_value(tag: str, strings: Sequence[str],
+               shape: Optional[Sequence[int]] = None) -> bytes:
+    """Encode one ``Summary.Value`` carrying a string tensor routed to
+    TensorBoard's text plugin.
+
+    The reference wrote its per-epoch confusion matrix this way:
+    ``tf.summary.text("ConfusionMatrix", tf.as_string(confusion_mat))``
+    (reference tensortools/metrics.py:147-148) — a rank-2 string tensor
+    the text plugin renders as a table. ``strings`` is the row-major
+    flat cell list; ``shape`` its dims (default: rank-1).
+
+        TensorProto { DataType dtype = 1;  // DT_STRING = 7
+                      TensorShapeProto tensor_shape = 2;
+                      repeated bytes string_val = 8; }
+        TensorShapeProto { repeated Dim dim = 2; }  Dim { int64 size = 1; }
+        SummaryMetadata { PluginData plugin_data = 1; }
+        PluginData      { string plugin_name = 1; }
+    """
+    if shape is None:
+        shape = (len(strings),)
+    shp = bytearray()
+    for size in shape:
+        dim = bytearray()
+        _write_int(dim, 1, size)
+        _write_len_delimited(shp, 2, bytes(dim))
+    tensor = bytearray()
+    _write_int(tensor, 1, 7)                      # DT_STRING
+    _write_len_delimited(tensor, 2, bytes(shp))
+    for s in strings:
+        _write_len_delimited(tensor, 8, s.encode())
+    plugin = bytearray()
+    _write_len_delimited(plugin, 1, b"text")
+    meta = bytearray()
+    _write_len_delimited(meta, 1, bytes(plugin))
+    v = bytearray()
+    _write_len_delimited(v, 1, tag.encode())
+    _write_len_delimited(v, 8, bytes(tensor))
+    _write_len_delimited(v, 9, bytes(meta))
+    return bytes(v)
+
+
 def encode_event(wall_time: float, step: Optional[int] = None,
                  values: Optional[Sequence[bytes]] = None,
                  file_version: Optional[str] = None) -> bytes:
@@ -207,6 +248,14 @@ class EventWriter:
         self.add_event(encode_event(
             wall_time, step,
             [histogram_value(tag, counts, bin_edges)]))
+
+    def text(self, tag: str, strings: Sequence[str], step: int,
+             shape: Optional[Sequence[int]] = None,
+             wall_time: Optional[float] = None) -> None:
+        if wall_time is None:
+            wall_time = time.time()
+        self.add_event(encode_event(
+            wall_time, step, [text_value(tag, strings, shape)]))
 
     def flush(self) -> None:
         self._fp.flush()
@@ -305,6 +354,28 @@ def _decode_float_tensor(buf):
     return None
 
 
+def _decode_string_tensor(buf):
+    """DT_STRING TensorProto reader (text summaries): returns
+    ``(strings, shape)`` or None when the tensor is not a string one."""
+    dtype = None
+    strings: list = []
+    shape: list = []
+    for field, wt, payload in _iter_fields(buf):
+        if field == 1 and wt == _WIRE_VARINT:
+            dtype = payload
+        elif field == 2 and wt == _WIRE_LEN:
+            for f2, _wt2, dim in _iter_fields(payload):
+                if f2 == 2:
+                    for f3, _wt3, size in _iter_fields(dim):
+                        if f3 == 1:
+                            shape.append(int(size))
+        elif field == 8 and wt == _WIRE_LEN:
+            strings.append(bytes(payload).decode())
+    if dtype == 7 and strings:
+        return strings, (shape or [len(strings)])
+    return None
+
+
 def _decode_value(buf) -> dict:
     out: dict = {}
     for field, wt, payload in _iter_fields(buf):
@@ -320,6 +391,10 @@ def _decode_value(buf) -> dict:
             scalar = _decode_float_tensor(payload)
             if scalar is not None:
                 out.setdefault("simple_value", scalar)
+            else:
+                text = _decode_string_tensor(payload)
+                if text is not None:
+                    out["tensor_strings"], out["tensor_shape"] = text
     return out
 
 
@@ -376,9 +451,12 @@ def record_to_values(record: dict) -> List[bytes]:
 
     Tag layout matches tools/dump_summaries.py: ``<split>/<key>``.
     Scalars become simple_values; the AL confidence-histogram pair
-    (``histogram`` + ``bin_edges``) becomes a HistogramProto; other
-    flat numeric lists (e.g. per-class IoU) become per-index scalars
-    ``<tag>/<i>`` like the reference's per-class summaries
+    (``histogram`` + ``bin_edges``) becomes a HistogramProto; the
+    per-epoch ``confusion`` counts become the reference's
+    ConfusionMatrix TEXT summary (a [C,C] string tensor of the counts,
+    ``tf.as_string(confusion_mat)`` — tensortools/metrics.py:147-148);
+    other flat numeric lists (e.g. per-class IoU) become per-index
+    scalars ``<tag>/<i>`` like the reference's per-class summaries
     (reference: tensortools/metrics.py:92-153).
     """
     split = record.get("split", "default")
@@ -395,6 +473,13 @@ def record_to_values(record: dict) -> List[bytes]:
         if key in ("histogram", "bin_edges") and has_histo:
             if key == "histogram":
                 values.append(histogram_value(tag, hist, edges))
+            continue
+        if (key == "confusion" and isinstance(value, list) and value
+                and all(isinstance(row, list)
+                        and len(row) == len(value) for row in value)):
+            cells = [str(int(x)) for row in value for x in row]
+            values.append(text_value(f"{split}/ConfusionMatrix", cells,
+                                     shape=(len(value), len(value))))
             continue
         if isinstance(value, bool):
             continue
@@ -431,6 +516,6 @@ def jsonl_to_events(jsonl_path: str, out_dir: str,
 
 
 __all__ = ["EventWriter", "encode_event", "scalar_value", "image_value",
-           "histogram_value", "decode_event", "iter_events",
+           "histogram_value", "text_value", "decode_event", "iter_events",
            "find_event_files", "record_to_values", "record_step",
            "jsonl_to_events"]

@@ -85,6 +85,45 @@ class TestWriterReadByTF:
         assert events[1]["values"] == [
             {"tag": "a/b", "simple_value": 2.5}]
 
+    def test_text_summary_read_by_tf(self, tmp_path):
+        # the reference's ConfusionMatrix text summary: a [C,C] string
+        # tensor routed to the text plugin (tensortools/metrics.py:147)
+        with tb_events.EventWriter(str(tmp_path)) as w:
+            w.text("val/ConfusionMatrix", ["1", "2", "3", "4"],
+                   step=5, shape=(2, 2), wall_time=50.0)
+            path = w.path
+        events = _tf_events(path)  # TF validates record CRCs
+        v = events[1].summary.value[0]
+        assert v.tag == "val/ConfusionMatrix"
+        assert v.metadata.plugin_data.plugin_name == "text"
+        arr = tf.make_ndarray(v.tensor)
+        assert arr.shape == (2, 2)
+        assert [[c.decode() for c in row] for row in arr] == \
+            [["1", "2"], ["3", "4"]]
+
+    def test_text_summary_own_reader_round_trip(self, tmp_path):
+        with tb_events.EventWriter(str(tmp_path)) as w:
+            w.text("t", ["a", "b"], step=1, shape=(2,), wall_time=1.0)
+            path = w.path
+        ev = list(tb_events.iter_events(path, verify_crc=True))[1]
+        assert ev["values"][0]["tensor_strings"] == ["a", "b"]
+        assert ev["values"][0]["tensor_shape"] == [2]
+
+    def test_reader_reads_tf_text_summary(self, tmp_path):
+        # interop the other way: TF2's own text summary decodes
+        writer = tf.summary.create_file_writer(str(tmp_path))
+        with writer.as_default():
+            tf.summary.text("notes", tf.constant([["x", "y"]]), step=3)
+        writer.flush()
+        found = None
+        for path in tb_events.find_event_files(str(tmp_path)):
+            for ev in tb_events.iter_events(path):
+                for v in ev["values"]:
+                    if v.get("tag", "").startswith("notes"):
+                        found = v
+        assert found is not None
+        assert found["tensor_strings"] == ["x", "y"]
+
     def test_wall_time_zero_preserved(self, tmp_path):
         # epoch-zero wall times are valid, not "missing"
         with tb_events.EventWriter(str(tmp_path)) as w:
@@ -171,6 +210,29 @@ class TestJsonlBridge:
         assert steps["val/mean_iou"] == 2
         assert got_histo.tag == "al_confidence/histogram"
         assert list(got_histo.histo.bucket) == [4.0, 2.0]
+
+    def test_confusion_becomes_text_summary(self, tmp_path):
+        # per-epoch confusion counts in metrics.jsonl mirror to the
+        # reference's ConfusionMatrix text summary (a [C,C] string
+        # tensor, tf.as_string(confusion_mat) —
+        # reference tensortools/metrics.py:147-148, train.py:178-206)
+        jsonl = tmp_path / "metrics.jsonl"
+        with open(jsonl, "w") as fp:
+            fp.write(json.dumps({
+                "split": "val", "epoch": 2, "step": 7, "mean_iou": 0.5,
+                "confusion": [[5, 1], [0, 4]], "wall_time": 2.0}) + "\n")
+        path = tb_events.jsonl_to_events(str(jsonl), str(tmp_path))
+        text = None
+        for ev in _tf_events(path)[1:]:
+            for v in ev.summary.value:
+                if v.tag == "val/ConfusionMatrix":
+                    text = v
+                    assert ev.step == 7
+        assert text is not None
+        assert text.metadata.plugin_data.plugin_name == "text"
+        arr = tf.make_ndarray(text.tensor)
+        assert [[c.decode() for c in row] for row in arr] == \
+            [["5", "1"], ["0", "4"]]
 
     def test_export_tool(self, tmp_path):
         jsonl = tmp_path / "metrics.jsonl"

@@ -20,13 +20,25 @@ trainer; production hosts overlap PCIe DMA with compute
 fresh-upload mode as a transport diagnostic.
 
 Env knobs: BT_BATCH (8), BT_HW ("512x1024"), BT_GROUPS (number of
-grouped dispatches timed, 4), BT_GROUP (16), BT_DTYPE ("bf16"|"fp32"),
-BT_CONV ("auto"|"lax"|"matmul"), BT_UPLOAD (0).
+grouped dispatches timed, 6), BT_GROUP (16), BT_DTYPE ("bf16"|"fp32"),
+BT_CONV ("auto"|"lax"|"matmul"), BT_UPLOAD (0), BT_MODEL
+("ENet"|"ICNet"), BT_REPEATS (3), BT_MULTISCALE (model default).
 
-Baseline: the round-3 per-step dispatch measured 97.9 ms/step at this
-shape = 81.7 img/s/chip; ``vs_baseline`` is measured throughput over
-that. Writes the JSON to stdout; run from the repo root on the real
-TPU and copy the line into BENCH_TRAIN.json.
+``BT_MODEL=ICNet`` benches the ICNet training step at its production
+configuration (conf/icnet_cityscapes.json: batch 8, cascade-guidance
+multiscale loss, Momentum 0.9) — set BT_HW=1024x2048 for the conf
+shape. Its JSON goes to BENCH_TRAIN_ICNET.json (PERF.md §2b).
+
+Variance protocol (round 5): the timed dispatches are split into
+``BT_REPEATS`` >= 3 blocks timed independently; ``value`` is the
+median block throughput, ``value_min``/``value_max`` the spread.
+
+Baseline (ENet): the round-3 per-step dispatch measured 97.9 ms/step
+at 512x1024 batch 8 = 81.7 img/s/chip; ``vs_baseline`` is measured
+throughput over that. For ICNet the baseline is the ungrouped
+(group 1) lax-conv step at the same shape, measured once and pinned
+below. Writes the JSON to stdout; run from the repo root on the real
+TPU and copy the line into BENCH_TRAIN{,_ICNET}.json.
 """
 
 import json
@@ -39,7 +51,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-_BASELINE_IMG_S = 8 / 0.0979   # round-3: 97.9 ms/step at batch 8
+# ms per image baselines. ENet: round-3 97.9 ms/step at batch 8
+# 512x1024. ICNet: None until the round-5 group-1 production-shape
+# measurement pins it (then vs_baseline appears in its JSON too).
+_BASELINE_MS = {"ENet": 97.9 / 8, "ICNet": None}
 
 
 def log(msg):
@@ -52,38 +67,58 @@ def main():
 
     from semanticsegmentationactivelearning_tpu.data import (
         device_prefetch)
-    from semanticsegmentationactivelearning_tpu.models import ENet
+    from semanticsegmentationactivelearning_tpu.models import get_model
     from semanticsegmentationactivelearning_tpu.train import (
         create_train_state, make_grouped_train_step, make_train_step,
         optim)
     from semanticsegmentationactivelearning_tpu.utils import cli
 
     cli.enable_compilation_cache()
+    model_name = os.environ.get("BT_MODEL", "ENet")
     batch = int(os.environ.get("BT_BATCH", 8))
     h, w = (int(v) for v in
             os.environ.get("BT_HW", "512x1024").split("x"))
     group = int(os.environ.get("BT_GROUP", 16))
-    n_groups = int(os.environ.get("BT_GROUPS", 4))
+    n_groups = int(os.environ.get("BT_GROUPS", 6))
     num_classes = 19
-    hparams = {
-        "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
-        "learning_rate": 5e-4, "learning_rate_decay": 0.0,
-        "optimizer": {"type": "Adam",
-                      "kwargs": {"beta1": 0.9, "beta2": 0.99}},
-        "weight_reg": {"L2": 2e-4, "L1": 0.0, "glorot_scaling": False},
-        "softmax": {"label_smoothing": 0.0, "loginverse_scaling": 0.0,
-                    "multiscale": False},
-    }
+    if model_name == "ICNet":
+        # conf/icnet_cityscapes.json hyperparams: cascade-guidance
+        # multiscale loss (weights 1/0.4/0.4), Momentum 0.9
+        hparams = {
+            "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
+            "learning_rate": 1e-3, "learning_rate_decay": 0.0,
+            "optimizer": {"type": "Momentum",
+                          "kwargs": {"momentum": 0.9}},
+            "weight_reg": {"L2": 1e-4, "L1": 0.0,
+                           "glorot_scaling": False},
+            "softmax": {"label_smoothing": 0.0,
+                        "loginverse_scaling": 0.0, "multiscale": True},
+        }
+    else:
+        hparams = {
+            "dropout_rates": [0.01, 0.1, 0.1, 0.1, 0.1],
+            "learning_rate": 5e-4, "learning_rate_decay": 0.0,
+            "optimizer": {"type": "Adam",
+                          "kwargs": {"beta1": 0.9, "beta2": 0.99}},
+            "weight_reg": {"L2": 2e-4, "L1": 0.0,
+                           "glorot_scaling": False},
+            "softmax": {"label_smoothing": 0.0,
+                        "loginverse_scaling": 0.0, "multiscale": False},
+        }
+    if os.environ.get("BT_MULTISCALE"):
+        hparams["softmax"]["multiscale"] = bool(
+            int(os.environ["BT_MULTISCALE"]))
+    multiscale = bool(hparams["softmax"]["multiscale"])
     model_kwargs = {"conv_impl": os.environ.get("BT_CONV", "auto")}
     if os.environ.get("BT_DTYPE", "bf16") == "bf16":
         model_kwargs["dtype"] = jnp.bfloat16
-    model = ENet(num_classes=num_classes, **model_kwargs)
+    model = get_model(model_name, num_classes, **model_kwargs)
     optimizer = optim.make_optimizer(hparams)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
-                               (h, w))
+                               (h, w), multiscale=multiscale)
     dev = jax.devices()[0]
-    log(f"device: {dev.device_kind}, batch={batch}, group={group}, "
-        f"input={h}x{w}")
+    log(f"device: {dev.device_kind}, model={model_name}, batch={batch}, "
+        f"group={group}, input={h}x{w}, multiscale={multiscale}")
 
     if group > 1:
         step = make_grouped_train_step(model, optimizer, num_classes,
@@ -137,20 +172,37 @@ def main():
     loss = run(1)
     log(f"compile+first: {time.time() - t0:.1f}s, loss={loss:.3f}")
 
-    t0 = time.time()
-    loss = run(n_groups, i0=1000)
-    dt = time.time() - t0
-    per_step = dt / (n_groups * group)
-    img_s = batch / per_step
-    log(f"steady state: {per_step * 1e3:.1f} ms/step "
-        f"({n_groups} dispatches x {group} steps), loss={loss:.3f}")
-    print(json.dumps({
-        "metric": "enet_512x1024_train_images_per_sec_per_chip",
+    repeats = max(1, int(os.environ.get("BT_REPEATS", 3)))
+    block = max(1, n_groups // repeats)
+    rates = []
+    for r in range(repeats):
+        t0 = time.time()
+        loss = run(block, i0=1000 * (r + 1))
+        dt = time.time() - t0
+        per_step = dt / (block * group)
+        rates.append(batch / per_step)
+        log(f"block {r + 1}/{repeats}: {per_step * 1e3:.1f} ms/step "
+            f"({block} dispatches x {group} steps), loss={loss:.3f}")
+    img_s = float(np.median(rates))
+    per_step = batch / img_s
+    log(f"steady state median of {repeats} blocks: "
+        f"{per_step * 1e3:.1f} ms/step ({img_s:.1f} img/s, "
+        f"min {min(rates):.1f}, max {max(rates):.1f})")
+    result = {
+        "metric": f"{model_name.lower()}_{h}x{w}"
+                  f"_train_images_per_sec_per_chip",
         "value": round(img_s, 1),
         "unit": "images/sec/chip",
         "ms_per_step": round(per_step * 1e3, 1),
         "batch": batch, "group": group,
-        "vs_baseline": round(img_s / _BASELINE_IMG_S, 3)}))
+        "value_min": round(min(rates), 1),
+        "value_max": round(max(rates), 1),
+        "repeats": repeats, "block_dispatches": block,
+    }
+    base_ms = _BASELINE_MS.get(model_name)
+    if base_ms:
+        result["vs_baseline"] = round(img_s * base_ms / 1e3, 3)
+    print(json.dumps(result))
     return 0
 
 

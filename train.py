@@ -184,18 +184,21 @@ def main(args):
     # included) in ONE jit call — identical trajectory, fixed
     # per-dispatch overhead (~27ms through the TPU relay) amortized
     # over the group (train.steps.make_grouped_train_step). Conf knob
-    # `train_group`; single-host (the multi-host loop keeps its
-    # per-step compile/collective barrier pattern). Tail batches that
-    # don't fill a group run the per-step path.
+    # `train_group`. Multi-host runs pass the globally-sharded batches
+    # as a tuple (stacked inside jit, zero cross-host data movement)
+    # and AOT-compile + barrier before the first collective executes.
+    # Tail batches that don't fill a group run the per-step path.
     train_group = int(params.get("train_group", 1))
     grouped_step = None
-    if train_group > 1 and nproc == 1:
+    grouped_aot = [] if nproc > 1 else None
+    if train_group > 1:
         from semanticsegmentationactivelearning_tpu.train import \
             make_grouped_train_step
         grouped_step = make_grouped_train_step(
             model, optimizer, dataset.num_classes, hparams,
             group=train_group, crop_hw=in_hw, channels=in_channels,
-            mesh=mesh, steps_per_epoch=train_batches)
+            mesh=mesh, steps_per_epoch=train_batches,
+            stacked_inputs=nproc == 1)
         logger.info("Grouped training dispatch: %d steps/call",
                     train_group)
     eval_step = make_eval_step(model, dataset.num_classes, mesh=mesh)
@@ -229,6 +232,7 @@ def main(args):
 
     aug_rng = np.random.default_rng(args.seed)
     order_rng = np.random.default_rng(args.seed + 1)
+    _single_aot = []   # multi-host: per-step AOT compile happened
     # step-resolution scalar cadence (reference wrote loss/cost/LR
     # every iteration, train.py:167-176, 339-341); 0 disables
     summary_interval = int(params.get("summary_interval", 1))
@@ -258,8 +262,8 @@ def main(args):
             step_batch = {
                 "image": image, "label": label, "mask": mask,
                 "valid": b["valid"].astype(np.float32)}
-            if nproc > 1 and epoch == start_epoch + 1 \
-                    and not len(iter_buf):
+            if nproc > 1 and not _single_aot:
+                _single_aot.append(True)
                 # Compile before the first collective executes, then
                 # barrier: the CPU Gloo rendezvous window (~30s) is far
                 # shorter than a cold compile, so a host that compiles
@@ -289,8 +293,13 @@ def main(args):
                 return
             if grouped_step is not None \
                     and len(pending) == train_group:
+                from semanticsegmentationactivelearning_tpu import \
+                    parallel
                 state = cli.dispatch_grouped_train(
-                    pending, state, grouped_step, iter_buf, acc)
+                    pending, state, grouped_step, iter_buf, acc,
+                    multihost=nproc > 1, aot_box=grouped_aot,
+                    barrier=lambda: parallel.sync_processes(
+                        "grouped-train-compiled"))
             else:
                 # partial tail group (or grouping off): per-step path
                 for b, key in pending:
