@@ -457,14 +457,97 @@ class ICNet(nn.Module):
         fused8, _ = self.cff2(fused16, f1, training)
         return fused8
 
+    def head_pre_logits(self, fused8):
+        """1/8-res fused features -> 1/4-res classifier logits (the
+        head's pre-upsample half; the chunked XLA scoring tail consumes
+        these — see ``fused_score``'s fallback path)."""
+        n, h8, w8, _c = fused8.shape
+        up4 = _resize_bilinear(fused8, (2 * h8, 2 * w8))
+        return self.classifier(up4.astype(jnp.float32))
+
+    def spatial_front_score(self, variables, image, measure: str,
+                            mesh, interpret: bool = False):
+        """Width-sharded scoring with the Pallas FRONT+STEM kernel
+        running per shard under ``jax.shard_map`` — the
+        ``("data", "space")`` mesh no longer forces ICNet onto the full
+        XLA fallback (the full-res model is the one SURVEY §5 names as
+        the spatial-sharding motivation).
+
+        Exactness by halo analysis: an f1 column (three 3x3/s2 convs)
+        depends on at most +-7 image columns; a stem1 column depends on
+        the half-res image within +-7 half-res columns, i.e. +-17
+        image columns including the antialiased 2x downsample taps —
+        both within a 32-column halo. Unlike the ENet front (pure
+        SAME-zero-padded convs, where ppermute zero-fill IS the
+        padding), the in-kernel bilinear downsample CLAMPS at the image
+        boundary, so the shards take ``parallel.spatial
+        .edge_aligned_window``: uniform-width windows that coincide
+        with the true global edges on the edge shards (the kernel's own
+        boundary handling lands exactly where the unsharded kernel
+        applies it) and carry real neighbor columns in the interior.
+        The per-shard kernel outputs are cropped back to own columns —
+        bit-equal to the unsharded kernel (tests/test_spatial.py).
+        The stem body/tail/CFFs and the chunked upsample head stay XLA
+        under GSPMD width sharding (their dilated receptive fields at
+        1/16-1/32 res span most of a shard — the same cost analysis as
+        ENet's stages 2-5, quantified in docs/PERF.md)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops import acquisition, pallas_kernels
+        from ..parallel import spatial as sp
+
+        packed = pallas_kernels.pack_icnet_front_stem(variables)
+        halo = 32            # >= the +-17-col receptive field
+        axis = "space"
+        dt = self.dtype if self.dtype is not None else jnp.float32
+
+        def local(img):
+            win, off = sp.edge_aligned_window(img, axis, halo)
+            f1, st = pallas_kernels.fused_icnet_front_stem(
+                win.astype(dt), packed, interpret=interpret)
+            o8 = off // 8
+            wl8 = img.shape[2] // 8
+            f1 = jax.lax.dynamic_slice_in_dim(f1, o8, wl8, axis=2)
+            st = jax.lax.dynamic_slice_in_dim(st, o8, wl8, axis=2)
+            return f1, st
+
+        spec = P("data", None, axis, None)
+        f1, stem1 = jax.shard_map(
+            local, mesh=mesh, in_specs=spec, out_specs=(spec, spec),
+            check_vma=False)(image)
+        fused8 = self.apply(variables, f1, stem1, training=False,
+                            method=ICNet.fuse_from_stem1)
+        cls4 = self.apply(variables, fused8,
+                          method=ICNet.head_pre_logits)
+        return acquisition.chunked_upsample_mean_confidence(
+            cls4, 4, measure, self.num_classes)
+
     def fused_score(self, variables, image, measure: str,
                     use_pallas: bool = False, fuse_stem: bool = True,
-                    fuse_cff2: bool = True, interpret: bool = False):
+                    fuse_cff2: bool = True, interpret: bool = False,
+                    spatial_mesh=None):
         """Acquisition scoring without materializing full-res logits
         (the AL pool-ranking hot loop, reference
         active_learning.py:229-263)."""
         from ..ops import acquisition, pallas_kernels
         _n, h, w, _c = image.shape
+        if spatial_mesh is not None:
+            # ("data","space") mesh: per-shard front+stem kernel + XLA
+            # rest when the shard geometry allows it, else full XLA (an
+            # unsharded pallas_call under GSPMD would be replicated by
+            # the partitioner — never let one through here). W_local
+            # needs %32 (the kernel's column blocks) and >= 64 (the
+            # edge-aligned window's 2*halo exchange).
+            ns = spatial_mesh.shape.get("space", 1)
+            wl = w // max(ns, 1)
+            if (measure == "entropy" and _c == 3 and ns > 1
+                    and h % 32 == 0 and w % ns == 0
+                    and wl % 32 == 0 and wl >= 64):
+                return self.spatial_front_score(
+                    variables, image, measure, spatial_mesh,
+                    interpret=interpret)
+            use_pallas = False
         if h % 32 or w % 32:
             # same guard as __call__ — the Pallas front kernels reshape
             # the image into 32-px column blocks and would otherwise

@@ -54,6 +54,47 @@ def halo_exchange_width(x: jnp.ndarray, axis_name: str,
     return jnp.concatenate(parts, axis=2) if len(parts) > 1 else x
 
 
+def edge_aligned_window(x: jnp.ndarray, axis_name: str, halo: int):
+    """Per-shard width window of ``W_local + 2*halo`` REAL columns whose
+    boundary coincides with the global array edge on the edge shards.
+
+    ``halo_exchange_width`` zero-fills at the global edges — exactly
+    SAME-conv padding, which is why the ENet front kernel composes with
+    it bit-exactly. Kernels with *clamped-edge* semantics (ICNet's
+    in-kernel bilinear half-res downsample renormalizes its taps at the
+    image boundary) would instead see the clamp applied at the zero
+    halo rather than at the true image edge. This variant fixes that by
+    SHIFTING the window on the edge shards: every shard exchanges
+    ``2*halo`` columns with each neighbor, then slices a uniform-width
+    window that starts at its own first column on the first shard (so
+    the kernel's own edge handling lands on the true global edge) and
+    ends at its own last column on the last shard; interior shards take
+    the centered window. Works for any kernel whose edge behavior is a
+    function of its input's boundary — zero-pad or clamp alike.
+
+    Runs inside ``shard_map``. Returns ``(window, own_off)`` where
+    ``window`` is ``[N, H, W_local + 2*halo, C]`` and ``own_off`` (a
+    traced per-shard scalar: 0 / halo / 2*halo) is the column offset of
+    this shard's own first column within the window — divide by the
+    model's output stride to crop the kernel output back to the shard's
+    own columns. Requires ``W_local >= 2*halo`` and at least 2 shards.
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    wl = x.shape[2]
+    if wl < 2 * halo:
+        raise ValueError(
+            f"W_local ({wl}) must be >= 2*halo ({2 * halo}) for the "
+            "edge-aligned window exchange")
+    ext = halo_exchange_width(x, axis_name, 2 * halo)
+    own_off = jnp.where(idx == 0, 0,
+                        jnp.where(idx == n_dev - 1, 2 * halo, halo))
+    start = 2 * halo - own_off
+    window = jax.lax.dynamic_slice_in_dim(ext, start, wl + 2 * halo,
+                                          axis=2)
+    return window, own_off
+
+
 def _same_pads(size: int, k: int, s: int) -> Tuple[int, int]:
     """XLA's SAME padding pair for one dimension."""
     out = -(-size // s)

@@ -133,9 +133,17 @@ def _run(records, log_dir, conf_path, timeout=900):
 
 
 class TestActiveLearningCLI:
-    def test_two_rounds_end_to_end(self, records, tmp_path):
+    @pytest.mark.parametrize("model,input_hw", [
+        ("ENet", (32, 48)),
+        # the second model family through the identical 2-round loop
+        # (ICNet input dims must divide 32; the loader pads 48->64)
+        ("ICNet", (32, 64)),
+    ])
+    def test_two_rounds_end_to_end(self, records, tmp_path, model,
+                                   input_hw):
         log_dir = tmp_path / "al_log"
-        res = _run(records, log_dir, _conf(tmp_path))
+        res = _run(records, log_dir,
+                   _conf(tmp_path, model=model, input_hw=input_hw))
         assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
 
         state = json.loads((log_dir / "state.json").read_text())
@@ -172,6 +180,14 @@ class TestActiveLearningCLI:
         # two selections of 3 were moved out of it)
         assert sum(hists[0]["histogram"]) == len(unlab) + 6
         assert sum(hists[1]["histogram"]) == len(unlab) + 3
+        # per-round phase wall clocks (tools/bench_al_round.py input)
+        timing = [l for l in lines if l["split"] == "al_timing"]
+        assert [t["round"] for t in timing] == [0, 1]
+        assert [t["labelled"] for t in timing] == [6, 9]
+        for t in timing:
+            assert set(t) >= {"round_s", "train_s", "restore_s",
+                              "test_s", "score_select_s"}
+            assert t["round_s"] >= t["train_s"] > 0
 
     def test_resume_from_state(self, records, tmp_path):
         log_dir = tmp_path / "al_log2"

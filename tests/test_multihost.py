@@ -392,3 +392,143 @@ def test_two_process_dp_matches_single_process(tmp_path):
     assert got_conf == conf
     np.testing.assert_allclose(got_loss, loss, rtol=1e-6)
     np.testing.assert_allclose(got_digest, digest, rtol=1e-6)
+
+
+WORKER_GROUPED = r"""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+
+sys.path.insert(0, os.environ["SSAL_REPO"])
+from semanticsegmentationactivelearning_tpu import parallel
+
+parallel.initialize_distributed()
+assert jax.device_count() == 4, jax.device_count()
+
+import jax.numpy as jnp
+from semanticsegmentationactivelearning_tpu.models import ENet
+from semanticsegmentationactivelearning_tpu.data import pipeline
+from semanticsegmentationactivelearning_tpu.train import (
+    create_train_state, make_grouped_train_step, make_train_step, optim)
+
+HW, C, BATCH, GROUP = (32, 48), 4, 8, 2
+# SGD: grouped-vs-per-step compile in different fusion contexts, so fp
+# drifts at ulp scale — Adam's sign-descent would amplify that on
+# sub-noise gradients (see tests/test_train.py grouped unit test)
+HPARAMS = {
+    "dropout_rates": [0.0] * 5,
+    "learning_rate": 1e-2, "learning_rate_decay": 0.0,
+    "optimizer": {"type": "GradientDescent", "kwargs": {}},
+    "weight_reg": {"L2": 2e-4, "L1": 0.0, "glorot_scaling": False},
+    "softmax": {"label_smoothing": 0.0, "loginverse_scaling": 0.0,
+                "multiscale": False},
+}
+
+mesh = parallel.make_mesh(4)
+sl = parallel.process_shard(BATCH)
+rng = np.random.default_rng(0)
+chunks = []
+for g in range(GROUP):
+    stack = rng.integers(0, 255, (BATCH, *HW, 4)).astype(np.uint8)
+    stack[..., 3] = rng.integers(0, C, (BATCH, *HW))   # label plane
+    local = {
+        "stack": stack[sl],
+        "heights": np.full((BATCH,), HW[0], np.int32)[sl],
+        "widths": np.full((BATCH,), HW[1], np.int32)[sl],
+        "valid": np.ones((BATCH,), np.float32)[sl],
+    }
+    chunks.append(parallel.make_global_batch(
+        mesh, local, batch_keys=("stack", "heights", "widths", "valid")))
+
+model = ENet(num_classes=C, drop_rates=(0.0,) * 5)
+optimizer = optim.make_optimizer(HPARAMS)
+keys = [jax.random.PRNGKey(100 + g) for g in range(GROUP)]
+
+# grouped: tuple of globally-sharded batches, stacked inside jit
+state_g = create_train_state(model, optimizer, jax.random.PRNGKey(0), HW)
+grouped = make_grouped_train_step(
+    model, optimizer, C, HPARAMS, group=GROUP, crop_hw=HW, mesh=mesh,
+    stacked_inputs=False)
+gchunks = tuple(chunks)
+gkeys = jnp.stack(keys)
+grouped.lower(state_g, gchunks, gkeys).compile()
+parallel.sync_processes("grouped-compiled")
+state_g, gm = grouped(state_g, gchunks, gkeys)
+g_losses = np.asarray(gm["loss"].addressable_data(0)).tolist()
+g_digest = sum(float(jnp.sum(jnp.abs(l.addressable_data(0))))
+               for l in jax.tree.leaves(state_g.params))
+g_conf = int(np.asarray(gm["confusion"].addressable_data(0)).sum())
+
+# per-step reference: same batches, same key-split convention
+state_s = create_train_state(model, optimizer, jax.random.PRNGKey(0), HW)
+step = make_train_step(model, optimizer, C, HPARAMS, mesh=mesh)
+s_losses = []
+s_conf = 0
+for b, key in zip(chunks, keys):
+    k_aug, k_drop = jax.random.split(key)
+    _raw, image, label, mask = pipeline.augment_batch(
+        b["stack"], b["heights"], b["widths"], k_aug, crop_hw=HW)
+    sb = {"image": image, "label": label, "mask": mask,
+          "valid": b["valid"]}
+    if not s_losses:
+        step.lower(state_s, sb, k_drop).compile()
+        parallel.sync_processes("step-compiled")
+        step = step.lower(state_s, sb, k_drop).compile()
+    state_s, m = step(state_s, sb, k_drop)
+    s_losses.append(float(np.asarray(m["loss"].addressable_data(0))))
+    s_conf += int(np.asarray(m["confusion"].addressable_data(0)).sum())
+s_digest = sum(float(jnp.sum(jnp.abs(l.addressable_data(0))))
+               for l in jax.tree.leaves(state_s.params))
+
+print("RESULT", " ".join(f"{x:.8f}" for x in g_losses), g_conf,
+      f"{g_digest:.6f}",
+      " ".join(f"{x:.8f}" for x in s_losses), s_conf,
+      f"{s_digest:.6f}", flush=True)
+"""
+
+
+@pytest.mark.xdist_group("multihost")
+def test_two_process_grouped_train_matches_per_step(tmp_path):
+    """Multi-host grouped training dispatch (round-4 weak #5: it was
+    single-host only): two Gloo processes run ONE grouped dispatch of
+    2 scanned steps over tuple-passed globally-sharded batches and it
+    must match the per-step path on the same batches/keys — same
+    per-step losses, same summed confusion counts, same updated
+    params — and both hosts must observe identical replicated
+    results."""
+    worker = tmp_path / "worker_grouped.py"
+    worker.write_text(WORKER_GROUPED)
+    port = _free_port()
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = []
+    for pid in range(2):
+        env = dict(base_env,
+                   SSAL_REPO=REPO,
+                   JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   JAX_NUM_PROCESSES="2",
+                   JAX_PROCESS_ID=str(pid),
+                   JAX_COMPILATION_CACHE_DIR="/tmp/ssal_test_jax_cache")
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=840)
+        assert p.returncode == 0, out + err
+        line = [l for l in out.splitlines()
+                if l.startswith("RESULT")][0]
+        results.append(line.split()[1:])
+    # both hosts print the identical replicated outcome
+    assert results[0] == results[1]
+    g_l0, g_l1, g_conf, g_digest, s_l0, s_l1, s_conf, s_digest = \
+        results[0]
+    # integer confusion counts: exact
+    assert int(g_conf) == int(s_conf) == 2 * 8 * 32 * 48
+    # losses/params: same math, different fusion contexts (scan body
+    # vs per-step executable) — ulp-scale drift only under SGD
+    np.testing.assert_allclose(
+        [float(g_l0), float(g_l1), float(g_digest)],
+        [float(s_l0), float(s_l1), float(s_digest)], rtol=1e-5)

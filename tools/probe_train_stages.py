@@ -49,7 +49,21 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--model", default="ENet")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--multiscale", action="store_true",
+                    help="cascade/multiscale loss heads (the ICNet "
+                         "production conf trains with the 1/0.4/0.4 "
+                         "cascade guidance)")
+    ap.add_argument("--optimizer", default=None,
+                    help="override HPARAMS optimizer type (e.g. "
+                         "Momentum for the icnet conf)")
     args = ap.parse_args()
+    if args.multiscale:
+        HPARAMS["softmax"]["multiscale"] = True
+    if args.optimizer:
+        HPARAMS["optimizer"] = {
+            "type": args.optimizer,
+            "kwargs": {"momentum": 0.9} if args.optimizer == "Momentum"
+            else {}}
 
     import jax
     import jax.numpy as jnp
@@ -67,9 +81,11 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = get_model(args.model, num_classes, dtype=dtype)
     optimizer = optim.make_optimizer(HPARAMS)
+    multiscale = bool(HPARAMS["softmax"]["multiscale"])
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0),
-                               (h, w))
-    log(f"init done, device={jax.devices()[0]}")
+                               (h, w), multiscale=multiscale)
+    log(f"init done, device={jax.devices()[0]}, "
+        f"multiscale={multiscale}")
 
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.uniform(
@@ -95,12 +111,18 @@ def main():
         return jnp.sum(logits) + stats
 
     def loss_fn(params, stats, image, key):
-        logits, mutated = model.apply(
+        outputs, mutated = model.apply(
             {"params": params, "batch_stats": stats}, image,
-            training=True, rngs={"dropout": key},
+            training=True, multiscale=multiscale, rngs={"dropout": key},
             mutable=["batch_stats"])
-        loss = losses.masked_softmax_cross_entropy(
-            label, logits, mask, num_classes, 0.0, 0.0)
+        if multiscale:
+            _logits, heads = outputs
+            loss = losses.multiscale_masked_softmax_cross_entropy(
+                label, heads, mask, num_classes, 0.0, 0.0,
+                scale_weights=getattr(model, "ms_loss_weights", None))
+        else:
+            loss = losses.masked_softmax_cross_entropy(
+                label, outputs, mask, num_classes, 0.0, 0.0)
         cost = loss + losses.regularization_loss(params, 0.0, 2e-4)
         stats_sum = jax.tree.reduce(
             lambda a, b: a + jnp.sum(b), mutated["batch_stats"], 0.0)
