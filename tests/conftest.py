@@ -23,3 +23,15 @@ assert jax.devices()[0].platform == "cpu", (
     "tests must run on local CPU, got %r" % jax.devices())
 assert jax.device_count() == 8, (
     "expected 8 virtual CPU devices, got %d" % jax.device_count())
+
+
+def pytest_configure(config):
+    """On a single-core host, run the quick lane in-process: each of
+    pytest.ini's 4 xdist workers pays its own ~10s jax import plus
+    scheduler churn, which on 1 CPU is pure overhead (measured: the
+    quick lane is jax-import + CLI-subprocess bound there). Multicore
+    hosts keep the parallel default."""
+    if (os.cpu_count() == 1 and "quick" in (config.option.markexpr or "")
+            and getattr(config.option, "numprocesses", None)):
+        config.option.numprocesses = 0
+        config.option.dist = "no"
