@@ -302,11 +302,13 @@ class ICNet(nn.Module):
     # accepted for registry uniformity with ENet; ICNet has no dropout
     drop_rates: Sequence[float] = ()
     dtype: Any = jnp.float32   # computation dtype; bf16 for TPU speed
-    # conv lowering: "auto" = shifted matmuls off-CPU
-    # (ops/shiftconv.py) for the low-channel branches/stem, lax.conv
-    # for the 256-1024ch LowResTail (MXU-bound either way; its 12 res
-    # blocks dominate XLA compile time under the matmul lowering) and
-    # on CPU; "matmul"/"lax" force one lowering everywhere
+    # conv lowering: "auto" = lax.conv EVERYWHERE for ICNet (round 5,
+    # measured at the production shape, batch 8 @1024x2048 bf16
+    # grouped: training 168.2 ms/step with the shifted-matmul
+    # branches/stem vs 97.8 with lax — the lowering that wins ENet
+    # training at 512x1024 loses 1.72x here; the 256-1024ch tail was
+    # already lax per the round-4 CFF probe, docs/PERF.md §2b).
+    # "matmul"/"lax" force one lowering everywhere.
     conv_impl: str = "auto"
 
     # no dropout layers -> MC-dropout measures (BALD) are meaningless
@@ -341,7 +343,8 @@ class ICNet(nn.Module):
 
     def setup(self):
         dt = self.dtype if self.dtype is not None else jnp.float32
-        ci = self.conv_impl
+        # see conv_impl: "auto" resolves to lax for every ICNet stage
+        ci = "lax" if self.conv_impl == "auto" else self.conv_impl
         self.branch1_1 = ConvBN(32, 3, strides=2, dtype=dt, conv_impl=ci,
                                 name="Branch1_1")
         self.branch1_2 = ConvBN(32, 3, strides=2, dtype=dt, conv_impl=ci,
@@ -351,8 +354,7 @@ class ICNet(nn.Module):
         self.stem = SharedStem(dtype=dt, conv_impl=ci, name="SharedStem")
         # high-channel 1/32-res tail: MXU-shape-bound, keep lax under
         # "auto" (same reasoning as ENet's stage-2/3)
-        tail_ci = "lax" if ci == "auto" else ci
-        self.tail = LowResTail(dtype=dt, conv_impl=tail_ci,
+        self.tail = LowResTail(dtype=dt, conv_impl=ci,
                                name="LowResTail")
         self.cff1 = CascadeFeatureFusion(128, self.num_classes, dtype=dt,
                                          conv_impl=ci, name="CFF1")

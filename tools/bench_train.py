@@ -52,9 +52,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 # ms per image baselines. ENet: round-3 97.9 ms/step at batch 8
-# 512x1024. ICNet: None until the round-5 group-1 production-shape
-# measurement pins it (then vs_baseline appears in its JSON too).
-_BASELINE_MS = {"ENet": 97.9 / 8, "ICNet": None}
+# 512x1024. ICNet: the round-5 ungrouped production-shape measurement
+# (184.8 ms/step at batch 8 1024x2048 bf16 multiscale Momentum,
+# BT_GROUP=1, median of 3 blocks) — the pre-grouping reference point
+# for PERF.md §2b.
+_BASELINE_MS = {"ENet": 97.9 / 8, "ICNet": 184.8 / 8}
 
 
 def log(msg):
