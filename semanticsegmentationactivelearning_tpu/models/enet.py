@@ -263,12 +263,15 @@ class ENet(nn.Module):
         2x2 pools are stride-aligned so padding never enters a pool
         window) and crops 8 quarter columns per side — bit-equal to
         the unsharded kernel (tests/test_spatial.py). Stages 2-5 and
-        the chunked deconv scoring stay XLA under GSPMD (their dilated
-        receptive fields span most of a shard: exact halos for the
-        W-packed mid kernel would recompute nearly the full width, and
-        the tail kernel's in-kernel per-image mean cannot crop halo
-        contributions), so the spatial mesh keeps the dominant front
-        fusion while XLA inserts the remaining halo exchanges.
+        the chunked deconv scoring stay XLA under GSPMD — quantified,
+        not asserted (tools/probe_mid_halo.py, docs/PERF.md §1): the
+        mid section's measured column receptive field is +-584 image
+        columns, so a per-shard mid kernel at space degree 2 would
+        recompute 1.07x the ENTIRE unsharded mid per shard (5.6x
+        aggregate at degree 8); the tail kernel's in-kernel per-image
+        mean additionally cannot crop halo contributions. The spatial
+        mesh therefore keeps the dominant front fusion while XLA
+        inserts the remaining per-conv halo exchanges of 1-16 columns.
         """
         import jax
         from jax.sharding import PartitionSpec as P

@@ -35,7 +35,16 @@ probe measures it: equal USEFUL work issued as
           (dense K, narrow N; 8x the rows because spatial positions
           stay unpacked in sublanes)
 
-If nside's wall clock >= base's (per useful FLOP), the packing axis is
+Counting: per conv layer the W-pack issues 9 tap-matmuls [R,128]x
+[128,128] (issued 9*R*128^2, useful 1/8 of that); the tap-dense form
+issues ONE [8R,128]x[128,16] matmul (issued 8R*128*16 = R*128^2, all
+useful) — 9x fewer issued MACs. It wins IF the MXU runs the narrow-N
+(16-lane) stream at better than 1/9 of the wide stream's rate; the
+expectation is ~1/8 (N=16 fills 16/128 output lanes), i.e. parity at
+best, before paying the real im2col operand rebuild (modeled here by
+a generous single broadcast per layer).
+
+If nside's per-useful-FLOP wall clock >= base's, the packing axis is
 CLOSED by measurement + arithmetic: >=400 img/s needs lower precision
 (int8/fp8 front) or an algorithmic change (channel widening), not a
 repacking. Run on the real TPU:
@@ -58,14 +67,16 @@ def log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=192,
+    ap.add_argument("--rows", type=int, default=512,
                     help="packed matmul rows per tile (base mode); "
                          "nside uses 8x this")
-    ap.add_argument("--m", type=int, default=54,
-                    help="matmuls per tile (front: ~6 convs x 9 taps)")
+    ap.add_argument("--m", type=int, default=108,
+                    help="tap-matmuls per tile for base (layers x 9 "
+                         "taps); nside runs m//9 dense matmuls")
     ap.add_argument("--tiles", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--modes", default="base,nside")
     args = ap.parse_args()
 
     import jax
@@ -79,16 +90,18 @@ def main():
     cli.enable_compilation_cache()
     R, M, T, G = args.rows, args.m, args.tiles, args.group
 
-    # equal USEFUL work per tile in both modes:
-    #   base:  M x [R,128]x[128,128]   useful 1/8 -> U = M*R*128*128/8
-    #   nside: M x [8R,128]x[128,16]   useful 1   -> U = M*8R*128*16
-    useful = 2.0 * M * R * 128 * 128 / 8 * T
-    log(f"device={jax.devices()[0]}; useful "
+    layers = max(1, M // 9)
+    # equal LAYER count, hence equal USEFUL work:
+    #   base:  layers x 9 tap-matmuls [R,128]x[128,128], useful 1/8
+    #   nside: layers x 1 dense matmul [8R,128]x[128,16], useful 1
+    # (per layer both compute 8R outputs x 16 ch x 9 taps x 16 cin)
+    useful = 2.0 * layers * 9 * R * 128 * 128 / 8 * T
+    log(f"device={jax.devices()[0]}; {layers} layers/tile, useful "
         f"{useful / 1e9:.0f} GFLOP/dispatch-call, x{G} per dispatch")
 
     def base_kernel(a_ref, w_ref, out_ref):
         cur = a_ref[0]
-        for _ in range(M):
+        for _ in range(layers * 9):
             t = jnp.dot(cur, w_ref[...],
                         preferred_element_type=jnp.float32)
             cur = t.astype(a_ref.dtype)
@@ -98,10 +111,10 @@ def main():
     def nside_kernel(a_ref, w_ref, out_ref):
         # dense-K narrow-N chain: [8R,128] x [128,16] -> [8R,16];
         # the next layer's im2col re-widens K by taps — modeled here
-        # as a free broadcast back to 128 lanes (generous to nside:
+        # as a single broadcast back to 128 lanes (generous to nside:
         # the real im2col pays 9 shifted lane placements per layer)
         cur = a_ref[0]
-        for _ in range(M):
+        for _ in range(layers):
             t = jnp.dot(cur, w_ref[...],
                         preferred_element_type=jnp.float32)  # [8R,16]
             cur = jnp.tile(t, (1, 8)).astype(a_ref.dtype)    # [8R,128]
@@ -110,7 +123,7 @@ def main():
 
     rng = np.random.default_rng(0)
     results = {}
-    for mode in ("base", "nside"):
+    for mode in args.modes.split(","):
         rows = R if mode == "base" else 8 * R
         ncols = 128 if mode == "base" else 16
         a = jnp.asarray(rng.normal(size=(G, T, rows, 128)) / 16.0
@@ -144,11 +157,13 @@ def main():
         results[mode] = dt
         log(f"  {mode}: {dt:.2f} ms/call -> {tf:.1f} useful TFLOP/s")
 
-    verdict = ("nside SLOWER or equal -> packing axis CLOSED"
-               if results["nside"] >= 0.95 * results["base"]
-               else "nside FASTER -> tap-dense-K packing has headroom")
-    log(f"--- {verdict} (base {results['base']:.2f} ms vs nside "
-        f"{results['nside']:.2f} ms at equal useful work) ---")
+    if "base" in results and "nside" in results:
+        verdict = ("nside SLOWER or equal -> packing axis CLOSED"
+                   if results["nside"] >= 0.95 * results["base"]
+                   else "nside FASTER -> tap-dense-K packing has "
+                        "headroom")
+        log(f"--- {verdict} (base {results['base']:.2f} ms vs nside "
+            f"{results['nside']:.2f} ms at equal useful work) ---")
     return 0
 
 
