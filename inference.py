@@ -67,8 +67,14 @@ def make_predict_fn(model, state, lut, height, width, in_channels,
     elif fused_env in ("1", "on"):
         use_fused = applicable
     else:
+        # per-model default: ENet's kernel chain is a 6.3x serving win
+        # (its XLA forward can't even compile at batch 16); ICNet's
+        # plain lax forward measured FASTER than its predict kernels
+        # once the round-5 conv lowering landed (224.8 vs 180.5 img/s,
+        # tools/probe_icnet_predict.py, docs/PERF.md)
         use_fused = (applicable
-                     and jax.default_backend() not in ("cpu",))
+                     and jax.default_backend() not in ("cpu",)
+                     and getattr(model, "fused_predict_default", True))
     fused_interpret = use_fused and jax.default_backend() == "cpu"
 
     def body(state, lut, stack):

@@ -318,6 +318,11 @@ class ICNet(nn.Module):
     # scoring can stop at the 1/4-res classifier head: the full-res
     # logits are a pure bilinear upsample of it (see fused_score)
     supports_fused_scoring = True
+    # serving default: the plain lax forward beats the predict-kernel
+    # chain for ICNet since the round-5 conv lowering (224.8 vs 180.5
+    # img/s at batch 16 @1024x2048 bf16, tools/probe_icnet_predict.py)
+    # — the kernels remain available via SSAL_FUSED_PREDICT=1
+    fused_predict_default = False
     # top-level param collection holding the classifier head (used by
     # checkpoint.reinitialize_final_layer, the `-r` transfer flag)
     output_module = "Classifier"
